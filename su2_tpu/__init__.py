@@ -1,0 +1,22 @@
+"""su2_tpu — a TPU-native unstructured finite-volume solver for turbulent
+reactive compressible flows.
+
+A ground-up JAX/XLA/Pallas re-design of the capabilities of the SU2 v5.0.0
+fork "Development of a turbulent numerical solver for reactive flows in SU2"
+(multispecies reactive Navier-Stokes + SST k-omega + PaSR turbulent
+combustion closure).  See SURVEY.md at the repo root for the layer map of the
+reference this framework re-implements.
+
+Architecture (TPU-first, not a port):
+  - struct-of-arrays state: U[nPoint, nVar], V[nPoint, nPrimVar] jnp arrays
+  - mesh preprocessing on host (NumPy / native C++) producing static-shape
+    device arrays (edges, dual normals, volumes, padded BC index sets)
+  - per-edge/per-cell loops -> vectorized gather / compute / segment-sum
+  - per-cell secant T-solve, per-face Stefan-Maxwell -> batched, branchless
+  - implicit solve -> matrix-free / block-CSR FGMRES with block-Jacobi
+  - MPI halo exchange -> jax.sharding.Mesh + shard_map + ppermute
+"""
+
+from su2_tpu.version import __version__
+
+__all__ = ["__version__"]

@@ -1,0 +1,381 @@
+"""SU2-compatible configuration system.
+
+Parses the same ``.cfg`` text format as the reference's ``CConfig`` option
+registry (reference: Common/src/config_structure.cpp:545-723 for the
+fork-specific options) so the shipped ``Test_Cases`` run unmodified.
+
+Instead of ~500 imperative ``addXOption`` calls + virtual dispatch, options
+are declared in a typed registry table and materialized onto a plain Python
+object; numerics modules read plain attributes (hashable / static under jit).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+
+# --------------------------------------------------------------------------
+# Option kinds
+# --------------------------------------------------------------------------
+
+def _parse_bool(s: str) -> bool:
+    s = s.strip().upper()
+    if s in ("YES", "TRUE", "1"):
+        return True
+    if s in ("NO", "FALSE", "0"):
+        return False
+    raise ValueError(f"invalid boolean value {s!r}")
+
+
+def _strip_parens(s: str) -> str:
+    s = s.strip()
+    if s.startswith("(") and s.endswith(")"):
+        s = s[1:-1]
+    return s
+
+
+def _split_list(s: str) -> list[str]:
+    s = _strip_parens(s)
+    toks = [t for t in re.split(r"[,\s]+", s) if t]
+    return toks
+
+
+def _parse_double_list(s: str) -> list[float]:
+    return [float(t) for t in _split_list(s)]
+
+
+def _parse_string_list(s: str) -> list[str]:
+    return _split_list(s)
+
+
+def _parse_marker_inlet(s: str) -> dict[str, tuple[float, float, tuple[float, ...]]]:
+    """MARKER_INLET = (name, Ttot, Ptot, nx, ny, nz, name2, ...).
+
+    2D cfgs still list three flow-direction components.
+    Returns {marker: (val1, val2, flow_dir)} where for TEMPERATURE_IMPOSE
+    inlets val1 = static T, val2 = velocity magnitude (reference semantics).
+    """
+    toks = _split_list(s)
+    if toks == ["NONE"] or not toks:
+        return {}
+    out: dict[str, tuple[float, float, tuple[float, ...]]] = {}
+    i = 0
+    while i < len(toks):
+        name = toks[i]
+        vals = [float(t) for t in toks[i + 1:i + 6]]
+        out[name] = (vals[0], vals[1], tuple(vals[2:5]))
+        i += 6
+    return out
+
+
+def _parse_marker_pairs(s: str) -> dict[str, float]:
+    """MARKER_OUTLET / MARKER_ISOTHERMAL / MARKER_HEATFLUX style: (name, val, ...)."""
+    toks = _split_list(s)
+    if toks == ["NONE"] or not toks:
+        return {}
+    out: dict[str, float] = {}
+    for i in range(0, len(toks), 2):
+        out[toks[i]] = float(toks[i + 1])
+    return out
+
+
+def _parse_marker_names(s: str) -> list[str]:
+    toks = _split_list(s)
+    if toks == ["NONE"]:
+        return []
+    return toks
+
+
+def _parse_inlet_mass_frac(s: str) -> dict[str, list[float]]:
+    """INLET_MASS_FRAC = (marker, y1, ..., yNs; marker2, y1, ...).
+
+    Reference: per-marker species list option (config_structure.cpp:558),
+    groups separated by ';'.
+    """
+    s = _strip_parens(s)
+    out: dict[str, list[float]] = {}
+    for group in s.split(";"):
+        toks = [t for t in re.split(r"[,\s]+", group) if t]
+        if not toks:
+            continue
+        out[toks[0]] = [float(t) for t in toks[1:]]
+    return out
+
+
+def _parse_marker_supersonic_inlet(s: str) -> dict[str, tuple[float, float, tuple[float, ...]]]:
+    """MARKER_SUPERSONIC_INLET = (name, T, P, vx, vy, vz, ...)."""
+    toks = _split_list(s)
+    if toks == ["NONE"] or not toks:
+        return {}
+    out: dict[str, tuple[float, float, tuple[float, ...]]] = {}
+    i = 0
+    while i < len(toks):
+        name = toks[i]
+        vals = [float(t) for t in toks[i + 1:i + 6]]
+        out[name] = (vals[0], vals[1], tuple(vals[2:5]))
+        i += 6
+    return out
+
+
+@dataclass
+class _Opt:
+    parse: Callable[[str], Any]
+    default: Any
+
+
+def _d(x: float) -> _Opt:
+    return _Opt(float, x)
+
+
+def _i(x: int) -> _Opt:
+    return _Opt(lambda s: int(float(s)), x)
+
+
+def _b(x: bool) -> _Opt:
+    return _Opt(_parse_bool, x)
+
+
+def _s(x: str) -> _Opt:
+    return _Opt(lambda v: v.strip(), x)
+
+
+def _enum(x: str) -> _Opt:
+    return _Opt(lambda v: v.strip().upper(), x)
+
+
+# --------------------------------------------------------------------------
+# Option registry — defaults follow the reference CConfig
+# (Common/src/config_structure.cpp) unless noted.
+# --------------------------------------------------------------------------
+
+_REGISTRY: dict[str, _Opt] = {
+    # --- fork-specific: chemistry library (config_structure.cpp:545-609) ---
+    "CONFIG_LIB_FILE": _s(""),
+    "LIBRARY_PATH": _s(""),
+    "FREESTREAM_MASS_FRAC": _Opt(_parse_double_list, []),
+    "SPECIES_ORDER": _Opt(_parse_string_list, []),
+    "INLET_MASS_FRAC": _Opt(_parse_inlet_mass_frac, {}),
+    "IGNITION": _b(False),
+    "IGNITION_TEMPERATURE": _d(1700.0),
+    "IGNITION_ITER": _i(0),
+    "FUEL_INDEX": _i(0),
+    "OXIDIZER_INDEX": _i(0),
+    "PASR_LB": _d(1.0),
+    "TEMPERATURE_MIN": _d(200.0),
+    "TEMPERATURE_MAX": _d(6000.0),
+    "CLIPPING_TEMPRATURE": _b(False),  # reference's spelling
+    # --- debug print flags (config_structure.cpp:713-723) ---
+    "DEBUG_PRIM_VAR": _b(False),
+    "DEBUG_TURB_VAR": _b(False),
+    "DEBUG_TIME": _b(False),
+    "DEBUG_VISCOUS_FLOW": _b(False),
+    "DEBUG_VISCOUS_BOUND": _b(False),
+    "DEBUG_SOURCE": _b(False),
+    # --- problem definition ---
+    "PHYSICAL_PROBLEM": _enum("EULER"),
+    "KIND_TURB_MODEL": _enum("NONE"),
+    "MATH_PROBLEM": _enum("DIRECT"),
+    "RESTART_SOL": _b(False),
+    "SYSTEM_MEASUREMENTS": _enum("SI"),
+    "REGIME_TYPE": _enum("COMPRESSIBLE"),
+    # --- freestream ---
+    "MACH_NUMBER": _d(0.0),
+    "AOA": _d(0.0),
+    "SIDESLIP_ANGLE": _d(0.0),
+    "FREESTREAM_TEMPERATURE": _d(288.15),
+    "FREESTREAM_PRESSURE": _d(101325.0),
+    "FREESTREAM_DENSITY": _d(-1.0),
+    "FREESTREAM_VELOCITY": _Opt(_parse_double_list, [1.0, 0.0, 0.0]),
+    "FREESTREAM_VISCOSITY": _d(-1.0),
+    "FREESTREAM_TURBULENCEINTENSITY": _d(0.05),
+    "FREESTREAM_TURB2LAMVISCRATIO": _d(10.0),
+    "FREESTREAM_NU_FACTOR": _d(3.0),
+    "REYNOLDS_NUMBER": _d(0.0),
+    "REYNOLDS_LENGTH": _d(1.0),
+    "GAS_CONSTANT": _d(287.058),
+    "GAMMA_VALUE": _d(1.4),
+    "PRANDTL_LAM": _d(0.72),
+    "PRANDTL_TURB": _d(0.90),
+    "REF_DIMENSIONALIZATION": _enum("DIMENSIONAL"),
+    "FREESTREAM_OPTION": _enum("TEMPERATURE_FS"),
+    "INIT_OPTION": _enum("REYNOLDS"),
+    # --- reference values ---
+    "REF_ORIGIN_MOMENT_X": _d(0.25),
+    "REF_ORIGIN_MOMENT_Y": _d(0.0),
+    "REF_ORIGIN_MOMENT_Z": _d(0.0),
+    "REF_LENGTH": _d(1.0),
+    "REF_AREA": _d(1.0),
+    "REF_ELEM_LENGTH": _d(0.1),
+    # --- boundary markers ---
+    "MARKER_EULER": _Opt(_parse_marker_names, []),
+    "MARKER_FAR": _Opt(_parse_marker_names, []),
+    "MARKER_SYM": _Opt(_parse_marker_names, []),
+    "MARKER_ISOTHERMAL": _Opt(_parse_marker_pairs, {}),
+    "MARKER_HEATFLUX": _Opt(_parse_marker_pairs, {}),
+    "MARKER_INLET": _Opt(_parse_marker_inlet, {}),
+    "MARKER_OUTLET": _Opt(_parse_marker_pairs, {}),
+    "MARKER_SUPERSONIC_INLET": _Opt(_parse_marker_supersonic_inlet, {}),
+    "MARKER_SUPERSONIC_OUTLET": _Opt(_parse_marker_names, []),
+    "MARKER_PLOTTING": _Opt(_parse_marker_names, []),
+    "MARKER_MONITORING": _Opt(_parse_marker_names, []),
+    "INLET_TYPE": _enum("TOTAL_CONDITIONS"),
+    # --- numerics ---
+    "NUM_METHOD_GRAD": _enum("GREEN_GAUSS"),
+    "CFL_NUMBER": _d(1.25),
+    "CFL_ADAPT": _b(False),
+    "CFL_ADAPT_PARAM": _Opt(_parse_double_list, [1.5, 0.5, 1.25, 50.0]),
+    "MAX_DELTA_TIME": _d(1e6),
+    "UNST_CFL_NUMBER": _d(0.0),
+    "EXT_ITER": _i(999999),
+    "RELAXATION_FACTOR_FLOW": _d(1.0),
+    "RELAXATION_FACTOR_TURB": _d(1.0),
+    # --- linear solver ---
+    "LINEAR_SOLVER": _enum("FGMRES"),
+    "LINEAR_SOLVER_PREC": _enum("LU_SGS"),
+    "LINEAR_SOLVER_ERROR": _d(1e-6),
+    "LINEAR_SOLVER_ITER": _i(10),
+    # --- multigrid (parsed; MG cycles beyond level 0 are not used by the
+    #     shipped cases: both cfgs set MGLEVEL= 0) ---
+    "MGLEVEL": _i(0),
+    "MGCYCLE": _enum("V_CYCLE"),
+    "MG_PRE_SMOOTH": _Opt(_parse_double_list, [1, 2, 3, 3]),
+    "MG_POST_SMOOTH": _Opt(_parse_double_list, [0, 0, 0, 0]),
+    "MG_CORRECTION_SMOOTH": _Opt(_parse_double_list, [0, 0, 0, 0]),
+    "MG_DAMP_RESTRICTION": _d(0.75),
+    "MG_DAMP_PROLONGATION": _d(0.75),
+    # --- flow numerics ---
+    "CONV_NUM_METHOD_FLOW": _enum("ROE"),
+    "SPATIAL_ORDER_FLOW": _enum("2ND_ORDER"),
+    "SLOPE_LIMITER_FLOW": _enum("VENKATAKRISHNAN"),
+    "LIMITER_COEFF": _d(0.5),
+    "LIMITER_ITER": _i(999999),
+    "AD_COEFF_FLOW": _Opt(_parse_double_list, [0.15, 0.5, 0.02]),
+    "TIME_DISCRE_FLOW": _enum("RUNGE-KUTTA_EXPLICIT"),
+    "ENTROPY_FIX_COEFF": _d(0.001),
+    # --- turbulence numerics ---
+    "CONV_NUM_METHOD_TURB": _enum("SCALAR_UPWIND"),
+    "SPATIAL_ORDER_TURB": _enum("1ST_ORDER"),
+    "SLOPE_LIMITER_TURB": _enum("VENKATAKRISHNAN"),
+    "TIME_DISCRE_TURB": _enum("EULER_IMPLICIT"),
+    "CFL_REDUCTION_TURB": _d(1.0),
+    # --- unsteady ---
+    "UNSTEADY_SIMULATION": _enum("NO"),
+    "UNST_TIMESTEP": _d(0.0),
+    "UNST_TIME": _d(1.0),
+    "UNST_INT_ITER": _i(100),
+    "UNST_RESTART_ITER": _i(0),
+    # --- convergence ---
+    "CONV_CRITERIA": _enum("RESIDUAL"),
+    "RESIDUAL_REDUCTION": _d(3.0),
+    "RESIDUAL_MINVAL": _d(-8.0),
+    "RESIDUAL_FUNC_FLOW": _enum("RHO"),
+    "STARTCONV_ITER": _i(5),
+    "CAUCHY_ELEMS": _i(100),
+    "CAUCHY_EPS": _d(1e-10),
+    "CAUCHY_FUNC_FLOW": _enum("DRAG"),
+    # --- I/O ---
+    "MESH_FILENAME": _s("mesh.su2"),
+    "MESH_FORMAT": _enum("SU2"),
+    "MESH_OUT_FILENAME": _s("mesh_out.su2"),
+    "SOLUTION_FLOW_FILENAME": _s("solution_flow.dat"),
+    "SOLUTION_ADJ_FILENAME": _s("solution_adj.dat"),
+    "OUTPUT_FORMAT": _enum("TECPLOT"),
+    "CONV_FILENAME": _s("history"),
+    "RESTART_FLOW_FILENAME": _s("restart_flow.dat"),
+    "RESTART_ADJ_FILENAME": _s("restart_adj.dat"),
+    "VOLUME_FLOW_FILENAME": _s("flow"),
+    "VOLUME_ADJ_FILENAME": _s("adjoint"),
+    "GRAD_OBJFUNC_FILENAME": _s("of_grad.dat"),
+    "SURFACE_FLOW_FILENAME": _s("surface_flow"),
+    "SURFACE_ADJ_FILENAME": _s("surface_adjoint"),
+    "WRT_SOL_FREQ": _i(1000),
+    "WRT_SOL_FREQ_DUALTIME": _i(1),
+    "WRT_CON_FREQ": _i(1),
+    "WRT_CON_FREQ_DUALTIME": _i(10),
+    "LOW_MEMORY_OUTPUT": _b(False),
+    "WRT_BINARY_RESTART": _b(False),
+    "READ_BINARY_RESTART": _b(False),
+    "GRID_MOVEMENT": _b(False),
+}
+
+
+class Config:
+    """Parsed configuration (CConfig-equivalent).
+
+    Attributes are lower-cased option names, e.g. ``cfg.mach_number``,
+    ``cfg.marker_inlet``. Unknown options are collected in ``cfg.extra``
+    (parsed as raw strings) and warned about, mirroring CConfig behavior.
+    """
+
+    def __init__(self, path: str | None = None, text: str | None = None,
+                 overrides: dict[str, str] | None = None):
+        self.cfg_path = path
+        self.base_dir = os.path.dirname(os.path.abspath(path)) if path else os.getcwd()
+        self.extra: dict[str, str] = {}
+        for name, opt in _REGISTRY.items():
+            setattr(self, name.lower(), opt.default)
+        if path is not None:
+            with open(path) as f:
+                text = f.read()
+        if text is not None:
+            self._parse(text)
+        if overrides:
+            for k, v in overrides.items():
+                self.set_option(k, v)
+        self._postprocess()
+
+    # -- parsing ----------------------------------------------------------
+    def _parse(self, text: str) -> None:
+        # Options can span physical lines only within parentheses; the
+        # reference reads one option per line, so we do too.
+        for raw in text.splitlines():
+            line = raw.split("%", 1)[0].strip()
+            if not line or "=" not in line:
+                continue
+            key, val = line.split("=", 1)
+            self.set_option(key.strip(), val.strip())
+
+    def set_option(self, key: str, val: str) -> None:
+        key = key.strip().upper()
+        opt = _REGISTRY.get(key)
+        if opt is None:
+            self.extra[key] = val
+            return
+        setattr(self, key.lower(), opt.parse(val))
+
+    # -- derived/validated quantities (CConfig::SetPostprocessing) ---------
+    def _postprocess(self) -> None:
+        p = self.physical_problem
+        # Solver-kind promotion: REACTIVE_NAVIER_STOKES + turb model
+        # -> REACTIVE_RANS (reference: config_structure.cpp:2872-2874).
+        if p == "REACTIVE_NAVIER_STOKES" and self.kind_turb_model != "NONE":
+            self.solver_kind = "REACTIVE_RANS"
+        elif p == "NAVIER_STOKES" and self.kind_turb_model != "NONE":
+            self.solver_kind = "RANS"
+        else:
+            self.solver_kind = p
+        self.nspecies = len(self.species_order)
+        self.viscous = self.solver_kind in (
+            "NAVIER_STOKES", "RANS", "REACTIVE_NAVIER_STOKES", "REACTIVE_RANS")
+        self.reactive = self.solver_kind in (
+            "REACTIVE_EULER", "REACTIVE_NAVIER_STOKES", "REACTIVE_RANS")
+        self.turbulent = self.solver_kind in ("RANS", "REACTIVE_RANS")
+        self.implicit_flow = self.time_discre_flow == "EULER_IMPLICIT"
+        self.implicit_turb = self.time_discre_turb == "EULER_IMPLICIT"
+        self.muscl_flow = self.spatial_order_flow in ("2ND_ORDER", "2ND_ORDER_LIMITER")
+        self.limiter_flow = self.spatial_order_flow == "2ND_ORDER_LIMITER"
+        self.us_system = self.system_measurements == "US"
+        self.steady = self.unsteady_simulation in ("NO", "STEADY")
+
+    # -- path helpers -------------------------------------------------------
+    def resolve(self, filename: str) -> str:
+        """Resolve a cfg-relative filename (mesh, chemistry manifest, ...)."""
+        if os.path.isabs(filename):
+            return filename
+        return os.path.join(self.base_dir, filename)
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"Config({self.cfg_path!r}, solver_kind={self.solver_kind})"

@@ -1,0 +1,231 @@
+"""Median-dual control-volume construction.
+
+Rebuilds the geometry pipeline of the reference
+(Common/src/geometry_structure.cpp::SetControlVolume at :10457,
+CEdge::SetNodes_Coord / GetVolume in Common/src/dual_grid_structure.cpp:425-530,
+boundary-vertex normals at geometry_structure.cpp:9645) as vectorized NumPy
+host preprocessing.  Output is a struct-of-arrays :class:`DualGrid` whose
+members become static-shape device arrays.
+
+Conventions (identical to the reference so residuals can match bitwise-ish):
+  * every edge is stored with node_i < node_j; its dual-face normal points
+    from i toward j and its magnitude is the dual-face area,
+  * 2D edge-normal contribution per adjacent element:
+    rot_cw(Elem_CG - Edge_CG) = (dy, -dx), accumulated over both elements,
+  * dual volume: triangle/tet areas (P, Edge_CG, Elem_CG) added per endpoint,
+  * boundary vertex normal contribution per boundary line element:
+    rot_cw((n0 - n1)/2) added to both endpoints (SU2 inward convention;
+    BC code negates it for the outward normal).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from su2_tpu.io.mesh import ELEM_FACES, RawMesh
+
+
+@dataclass
+class DualGrid:
+    ndim: int
+    coords: np.ndarray          # (nPoint, ndim)
+    volume: np.ndarray          # (nPoint,)
+    edges: np.ndarray           # (nEdge, 2) int32, i < j
+    edge_normal: np.ndarray     # (nEdge, ndim) dual-face area normal i->j
+    # Node->edge adjacency (gather-based scatter), padded with edge id nEdge:
+    node_edges: np.ndarray      # (nPoint, max_deg) int32
+    node_edge_sign: np.ndarray  # (nPoint, max_deg) float, +1 if node is i, -1 if j, 0 pad
+    node_nbrs: np.ndarray       # (nPoint, max_deg) int32, other endpoint, self-padded
+    # Boundary data per marker tag:
+    bnd_nodes: dict[str, np.ndarray] = field(default_factory=dict)    # (nV,) int32
+    bnd_normal: dict[str, np.ndarray] = field(default_factory=dict)   # (nV, ndim)
+
+    @property
+    def npoint(self) -> int:
+        return self.coords.shape[0]
+
+    @property
+    def nedge(self) -> int:
+        return self.edges.shape[0]
+
+    @property
+    def max_degree(self) -> int:
+        return self.node_edges.shape[1]
+
+
+def _collect_faces_2d(mesh: RawMesh):
+    """All element edges (2D faces) as (nFaceTotal, 2) node pairs in winding
+    order, plus the owning element id for each."""
+    faces, owner = [], []
+    for t, fl in ELEM_FACES.items():
+        if VTK_IS_3D.get(t, False):
+            continue
+        sel = np.nonzero(mesh.elem_types == t)[0]
+        if sel.size == 0:
+            continue
+        nodes = mesh.elem_nodes[sel]
+        for (a, b) in fl:
+            faces.append(np.stack([nodes[:, a], nodes[:, b]], axis=1))
+            owner.append(sel)
+    return np.concatenate(faces, axis=0), np.concatenate(owner, axis=0)
+
+
+VTK_IS_3D = {10: True, 12: True, 13: True, 14: True, 5: False, 9: False}
+
+
+def _element_cg(mesh: RawMesh) -> np.ndarray:
+    cg = np.zeros((mesh.nelem, mesh.ndim))
+    counts = (mesh.elem_nodes >= 0).sum(axis=1)
+    safe = np.where(mesh.elem_nodes >= 0, mesh.elem_nodes, 0)
+    pts = mesh.coords[safe]                          # (nE, maxN, ndim)
+    pts = pts * (mesh.elem_nodes >= 0)[..., None]
+    cg = pts.sum(axis=1) / counts[:, None]
+    return cg
+
+
+def _fix_orientation_2d(mesh: RawMesh) -> RawMesh:
+    """Reorient elements the way the reference does before building CVs.
+
+    Interior elements are flipped to CCW winding
+    (Check_IntElem_Orientation, geometry_structure.cpp:8542); boundary line
+    elements are flipped so the domain lies to their left
+    (Check_BoundElem_Orientation, :8825 — it tests against a node of the
+    owning domain element; the element CG gives the same sign).
+    """
+    coords = mesh.coords
+    elem_nodes = mesh.elem_nodes.copy()
+    counts = (elem_nodes >= 0).sum(axis=1)
+    # signed polygon area (shoelace) over valid nodes — all 2D elements here
+    # are convex tris/quads, so the sign test matches SU2's corner tests
+    area = np.zeros(mesh.nelem)
+    maxn = elem_nodes.shape[1]
+    for k in range(maxn):
+        a = elem_nodes[:, k]
+        valid = a >= 0
+        b = elem_nodes[np.arange(mesh.nelem), np.where(k + 1 < counts, k + 1, 0)]
+        contrib = coords[np.where(valid, a, 0), 0] * coords[np.where(valid, b, 0), 1] \
+            - coords[np.where(valid, b, 0), 0] * coords[np.where(valid, a, 0), 1]
+        area += np.where(valid, contrib, 0.0)
+    flip = area < 0.0
+    for k in np.nonzero(flip)[0]:
+        nn = counts[k]
+        elem_nodes[k, :nn] = elem_nodes[k, :nn][::-1]
+
+    # boundary lines: build an edge -> element CG map from the (now CCW)
+    # interior elements, then flip lines whose domain sits on the right
+    elem_cg_arr = _element_cg(
+        RawMesh(mesh.ndim, coords, mesh.elem_types, elem_nodes,
+                mesh.markers, mesh.marker_types))
+    edge_owner: dict[tuple[int, int], int] = {}
+    for k in range(mesh.nelem):
+        t = int(mesh.elem_types[k])
+        for (a, b) in ELEM_FACES[t]:
+            i, j = int(elem_nodes[k, a]), int(elem_nodes[k, b])
+            edge_owner[(min(i, j), max(i, j))] = k
+    markers = {}
+    for tag, melems in mesh.markers.items():
+        lines = melems[:, :2].copy()
+        for r in range(lines.shape[0]):
+            n0, n1 = int(lines[r, 0]), int(lines[r, 1])
+            own = edge_owner[(min(n0, n1), max(n0, n1))]
+            cg = elem_cg_arr[own]
+            a = 0.5 * (coords[n1] - coords[n0])
+            b = cg - coords[n0]
+            if a[0] * b[1] - a[1] * b[0] < 0.0:
+                lines[r] = (n1, n0)
+        full = melems.copy()
+        full[:, :2] = lines
+        markers[tag] = full
+    return RawMesh(mesh.ndim, coords, mesh.elem_types, elem_nodes,
+                   markers, mesh.marker_types)
+
+
+def build_dual_grid(mesh: RawMesh, max_degree: int | None = None) -> DualGrid:
+    if mesh.ndim != 2:
+        raise NotImplementedError("3D dual-grid construction lands with the 3D solver")
+    mesh = _fix_orientation_2d(mesh)
+    coords = mesh.coords
+    npoint = mesh.npoint
+
+    faces, owner = _collect_faces_2d(mesh)           # winding order preserved
+    elem_cg = _element_cg(mesh)
+
+    # Canonical edge keys (i<j) and unique edge list
+    swapped = faces[:, 0] > faces[:, 1]
+    canon = np.where(swapped[:, None], faces[:, ::-1], faces)
+    keys = canon[:, 0].astype(np.int64) * npoint + canon[:, 1].astype(np.int64)
+    uniq_keys, edge_of_face = np.unique(keys, return_inverse=True)
+    edges = np.stack([uniq_keys // npoint, uniq_keys % npoint], axis=1).astype(np.int64)
+    nedge = edges.shape[0]
+
+    # --- edge dual-face normals (SU2 2D formula) ---
+    edge_cg = 0.5 * (coords[edges[:, 0]] + coords[edges[:, 1]])   # (nEdge,2)
+    ecg = elem_cg[owner]                                          # per face
+    fcg = edge_cg[edge_of_face]
+    # no swap: rot_cw(Elem_CG - Edge_CG); swap: rot_cw(Edge_CG - Elem_CG)
+    delta = np.where(swapped[:, None], fcg - ecg, ecg - fcg)
+    contrib = np.stack([delta[:, 1], -delta[:, 0]], axis=1)
+    edge_normal = np.zeros((nedge, 2))
+    np.add.at(edge_normal, edge_of_face, contrib)
+
+    # zero-area guard (geometry_structure.cpp:10553): EPS^2 per component
+    area = np.linalg.norm(edge_normal, axis=1)
+    edge_normal[area == 0.0] = 1e-32
+
+    # --- dual volumes ---
+    # triangle (P, Edge_CG, Elem_CG) area for each face endpoint
+    volume = np.zeros(npoint)
+    for side in (0, 1):
+        p = coords[faces[:, side]]
+        va = ecg - p
+        vb = fcg - p
+        tri = 0.5 * np.abs(va[:, 0] * vb[:, 1] - va[:, 1] * vb[:, 0])
+        np.add.at(volume, faces[:, side], tri)
+
+    # --- adjacency (gather-based residual scatter) ---
+    deg = np.zeros(npoint, dtype=np.int64)
+    np.add.at(deg, edges[:, 0], 1)
+    np.add.at(deg, edges[:, 1], 1)
+    maxdeg = int(deg.max()) if max_degree is None else max_degree
+    node_edges = np.full((npoint, maxdeg), nedge, dtype=np.int64)
+    node_sign = np.zeros((npoint, maxdeg))
+    node_nbrs = np.tile(np.arange(npoint, dtype=np.int64)[:, None], (1, maxdeg))
+    # Vectorized slot assignment: for each side, sort incidences by node and
+    # compute each one's position within its node group (deterministic,
+    # edge-index order within a node).
+    slot = np.zeros(npoint, dtype=np.int64)
+    for side, sgn in ((0, 1.0), (1, -1.0)):
+        n = edges[:, side]
+        idx_sort = np.argsort(n, kind="stable")
+        n_sorted = n[idx_sort]
+        grp_start = np.searchsorted(n_sorted, np.arange(npoint))
+        pos_in_grp = np.arange(len(n_sorted)) - grp_start[n_sorted]
+        dest_slot = slot[n_sorted] + pos_in_grp
+        node_edges[n_sorted, dest_slot] = idx_sort
+        node_sign[n_sorted, dest_slot] = sgn
+        node_nbrs[n_sorted, dest_slot] = edges[idx_sort, 1 - side]
+        np.add.at(slot, n_sorted, 1)
+
+    # --- boundary vertex normals (geometry_structure.cpp:9645 for 2D) ---
+    bnd_nodes: dict[str, np.ndarray] = {}
+    bnd_normal: dict[str, np.ndarray] = {}
+    for tag, melems in mesh.markers.items():
+        lines = melems[:, :2]
+        # Both endpoints receive rot_cw((n0 - n1)/2); see module docstring.
+        acc = np.zeros((npoint, 2))
+        d = (coords[lines[:, 0]] - coords[lines[:, 1]]) * 0.5
+        rot = np.stack([d[:, 1], -d[:, 0]], axis=1)
+        for side in (0, 1):
+            np.add.at(acc, lines[:, side], rot)
+        nodes = np.unique(lines)
+        bnd_nodes[tag] = nodes.astype(np.int64)
+        bnd_normal[tag] = acc[nodes]
+
+    return DualGrid(
+        ndim=2, coords=coords, volume=volume,
+        edges=edges.astype(np.int64), edge_normal=edge_normal,
+        node_edges=node_edges, node_edge_sign=node_sign, node_nbrs=node_nbrs,
+        bnd_nodes=bnd_nodes, bnd_normal=bnd_normal,
+    )
