@@ -1,11 +1,22 @@
 import os
 
 # Tests run on a virtual 8-device CPU mesh so multi-chip sharding paths are
-# exercised without TPU hardware. Must be set before jax import.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# exercised without TPU hardware.
+#
+# NOTE: this image preloads jax via a sitecustomize and pins
+# JAX_PLATFORMS=axon (TPU-over-tunnel), so plain env setdefault is NOT enough
+# — we must override the env var and the live config before any backend
+# initialization.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+assert jax.devices()[0].platform == "cpu"
 
 import pytest  # noqa: E402
 
