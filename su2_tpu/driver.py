@@ -1,0 +1,162 @@
+"""Simulation driver: setup + main loop (CDriver/CFluidDriver equivalent).
+
+Builds geometry, chemistry library, solver parameters and the jitted step
+function from a Config; runs the outer iteration loop with convergence
+monitoring (reference: driver_structure.cpp StartSolver :2654, iteration
+sequencing iteration_structure.cpp:531-550).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from su2_tpu import state as st
+from su2_tpu.chemistry import library as cl
+from su2_tpu.config import Config
+from su2_tpu.geometry.dual_grid import build_dual_grid
+from su2_tpu.geometry.mesh_data import mesh_arrays
+from su2_tpu.io.mesh import read_su2_mesh
+from su2_tpu.ops import timestep
+from su2_tpu.solvers import euler as es
+from su2_tpu.state import Layout, TSolveParams
+
+
+class Simulation:
+    """One flow zone: reactive Euler/NS (+SST) on a single device."""
+
+    def __init__(self, cfg: Config, dtype=jnp.float64):
+        self.cfg = cfg
+        self.dtype = dtype
+        if not cfg.reactive:
+            raise NotImplementedError(
+                "standard (non-reactive) solvers land in a later milestone")
+
+        manifest = cfg.resolve(cfg.config_lib_file)
+        self.lib = cl.load_library(manifest, cfg.library_path or None, dtype)
+        assert self.lib.nspecies == cfg.nspecies, \
+            f"mixture has {self.lib.nspecies} species, cfg lists {cfg.nspecies}"
+
+        raw = read_su2_mesh(cfg.resolve(cfg.mesh_filename))
+        self.grid = build_dual_grid(raw)
+        self.mesh = mesh_arrays(self.grid, dtype)
+        self.lay = Layout(self.grid.ndim, cfg.nspecies)
+
+        self.tparams = TSolveParams(
+            tmin=cfg.temperature_min, tmax=cfg.temperature_max,
+            clip_temp=cfg.clipping_temprature)
+
+        self.params = es.EulerParams(
+            lay=self.lay, tparams=self.tparams,
+            m_infty=cfg.mach_number, cfl=cfg.cfl_number,
+            max_dt=cfg.max_delta_time,
+            muscl=cfg.muscl_flow, use_limiter=cfg.limiter_flow,
+            limiter_kind=cfg.slope_limiter_flow,
+            limiter_coeff=cfg.limiter_coeff,
+            ref_elem_length=cfg.ref_elem_length,
+            grad_method=cfg.num_method_grad,
+            reactive_sources=self.lib.nreactions > 0,
+            pasr=cfg.kind_turb_model == "SST",
+            pasr_lb=cfg.pasr_lb,
+        )
+        self.bcs = es.build_bc_markers(cfg, self.lib, self.mesh, self.lay, dtype)
+        self.lower, self.upper = es.clip_limits(self.lay, dtype)
+
+        self.u0, self.t0 = self.freestream_solution()
+        self._explicit_step = jax.jit(self._make_explicit_step())
+
+    # ------------------------------------------------------------------
+    def freestream_primitives(self):
+        cfg = self.cfg
+        ys = jnp.asarray(cfg.freestream_mass_frac, dtype=self.dtype)
+        t_inf = cfg.freestream_temperature
+        p_inf = cfg.freestream_pressure
+        rgas = float(cl.mixture_rgas(self.lib, ys[None])[0])
+        rho_inf = p_inf / (rgas * t_inf)
+        vel_inf = np.array(cfg.freestream_velocity[:self.lay.ndim])
+        e_int = float(cl.mixture_enthalpy(
+            self.lib, jnp.asarray([t_inf], dtype=self.dtype), ys[None])[0]) \
+            - rgas * t_inf
+        energy_inf = e_int + 0.5 * float(vel_inf @ vel_inf)
+        return ys, t_inf, p_inf, rho_inf, vel_inf, energy_inf
+
+    def freestream_solution(self):
+        """SetFreeStream_Solution (solver_direct_reactive.cpp:2499-2521)."""
+        ys, t_inf, p_inf, rho_inf, vel_inf, energy_inf = self.freestream_primitives()
+        n = self.mesh.npoint
+        lay = self.lay
+        u = np.zeros((n, lay.nvar))
+        u[:, lay.RHO] = rho_inf
+        u[:, lay.RHOVX:lay.RHOVX + lay.ndim] = rho_inf * vel_inf
+        u[:, lay.RHOE] = rho_inf * energy_inf
+        u[:, lay.RHOS:lay.RHOS + lay.ns] = rho_inf * np.asarray(ys)
+        t_guess = np.full(n, t_inf)
+        return (jnp.asarray(u, dtype=self.dtype),
+                jnp.asarray(t_guess, dtype=self.dtype))
+
+    # ------------------------------------------------------------------
+    def _make_explicit_step(self):
+        lib, lay, mesh, prm, bcs = self.lib, self.lay, self.mesh, self.params, self.bcs
+        tparams = self.tparams
+        lower, upper = self.lower, self.upper
+
+        def step(u, t_guess):
+            u, v, nonphys = st.cons2prim(lib, lay, u, t_guess, tparams)
+            dt, min_dt, max_dt = timestep.local_time_step(
+                mesh, lay, v, prm.cfl, prm.max_dt)
+            res, _ = es.total_residual(lib, lay, mesh, prm, bcs, v)
+            u_new, rms, rmax = es.explicit_euler_update(
+                lay, mesh, u, res, dt, lower, upper)
+            return u_new, v[:, lay.T], rms, rmax, nonphys.sum(), min_dt
+
+        return step
+
+    # ------------------------------------------------------------------
+    def run(self, niter: int | None = None, log_every: int = 1,
+            u=None, t_guess=None, quiet=False):
+        niter = niter if niter is not None else self.cfg.ext_iter
+        u = self.u0 if u is None else u
+        t_guess = self.t0 if t_guess is None else t_guess
+        hist = []
+        start = time.time()
+        rms0 = None
+        for it in range(niter):
+            u, t_guess, rms, rmax, nerr, min_dt = self._explicit_step(u, t_guess)
+            log_rms = np.log10(np.maximum(np.asarray(rms), 1e-300))
+            hist.append(log_rms)
+            if rms0 is None:
+                rms0 = log_rms.copy()
+            if not quiet and it % log_every == 0:
+                print(f"{it:6d}  Res[Rho]: {log_rms[self.lay.RHO]: .6f}  "
+                      f"Res[RhoE]: {log_rms[self.lay.RHOE]: .6f}  "
+                      f"dt_min: {float(min_dt):.3e}  nonphys: {int(nerr)}  "
+                      f"({time.time()-start:.1f}s)")
+            # convergence: residual order reduction / min value
+            if self.cfg.conv_criteria == "RESIDUAL" and it > self.cfg.startconv_iter:
+                if (log_rms[self.lay.RHO] < self.cfg.residual_minval or
+                        rms0[self.lay.RHO] - log_rms[self.lay.RHO]
+                        > self.cfg.residual_reduction):
+                    break
+        return u, t_guess, np.array(hist)
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    if not argv:
+        print("usage: python -m su2_tpu.driver <config.cfg> [niter]")
+        return 1
+    cfg = Config(argv[0])
+    niter = int(argv[1]) if len(argv) > 1 else None
+    sim = Simulation(cfg)
+    sim.run(niter)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,93 @@
+"""Static device-array mesh (struct-of-arrays) built from the host DualGrid.
+
+Everything here is shape-static so the whole residual evaluation jits once.
+Edge->node scatter is gather-based: each node stores its (padded) incident
+edge list and signs, so residual accumulation is a deterministic gather+sum —
+no atomics, no data-dependent shapes (TPU-friendly replacement for the
+reference's LinSysRes.AddBlock/SubtractBlock edge loops).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from su2_tpu.geometry.dual_grid import DualGrid
+
+
+@dataclass(frozen=True)
+class MeshArrays:
+    ndim: int
+    npoint: int
+    nedge: int
+    max_degree: int
+    coords: jax.Array        # (nP, d)
+    volume: jax.Array        # (nP,)
+    edges: jax.Array         # (nE, 2) int32
+    edge_normal: jax.Array   # (nE, d)
+    edge_area: jax.Array     # (nE,)
+    node_edges: jax.Array    # (nP, D) int32, pad = nE
+    node_sign: jax.Array     # (nP, D)
+    node_nbrs: jax.Array     # (nP, D) int32, pad = self
+    nbr_mask: jax.Array      # (nP, D) 1.0 for real neighbors
+    n_neighbors: jax.Array   # (nP,) int32
+    bnd_accum_normal: jax.Array  # (nP, d) sum of vertex normals over markers
+    markers: dict            # tag -> (nodes (nV,) int32, normal (nV, d))
+
+    def scatter_edges(self, edge_vals: jax.Array) -> jax.Array:
+        """Accumulate per-edge values to nodes with +/- orientation.
+
+        edge_vals: (nE, ...) -> (nP, ...): out[i] = sum_e sign(i,e)*edge_vals[e].
+        """
+        pad = jnp.zeros((1,) + edge_vals.shape[1:], dtype=edge_vals.dtype)
+        ext = jnp.concatenate([edge_vals, pad], axis=0)           # (nE+1, ...)
+        gathered = ext[self.node_edges]                            # (nP, D, ...)
+        sign = self.node_sign.reshape(self.node_sign.shape + (1,) * (edge_vals.ndim - 1))
+        return (gathered * sign).sum(axis=1)
+
+    def sum_edges_abs(self, edge_vals: jax.Array) -> jax.Array:
+        """out[i] = sum over incident edges of edge_vals (no sign)."""
+        pad = jnp.zeros((1,) + edge_vals.shape[1:], dtype=edge_vals.dtype)
+        ext = jnp.concatenate([edge_vals, pad], axis=0)
+        gathered = ext[self.node_edges]
+        mask = jnp.abs(self.node_sign).reshape(
+            self.node_sign.shape + (1,) * (edge_vals.ndim - 1))
+        return (gathered * mask).sum(axis=1)
+
+
+jax.tree_util.register_dataclass(
+    MeshArrays,
+    data_fields=["coords", "volume", "edges", "edge_normal", "edge_area",
+                 "node_edges", "node_sign", "node_nbrs", "nbr_mask",
+                 "n_neighbors", "bnd_accum_normal", "markers"],
+    meta_fields=["ndim", "npoint", "nedge", "max_degree"],
+)
+
+
+def mesh_arrays(grid: DualGrid, dtype=jnp.float64) -> MeshArrays:
+    f = lambda x: jnp.asarray(x, dtype=dtype)
+    i = lambda x: jnp.asarray(x, dtype=jnp.int32)
+
+    bnd_accum = np.zeros_like(grid.coords)
+    for tag in grid.bnd_nodes:
+        np.add.at(bnd_accum, grid.bnd_nodes[tag], grid.bnd_normal[tag])
+
+    markers = {tag: (i(grid.bnd_nodes[tag]), f(grid.bnd_normal[tag]))
+               for tag in grid.bnd_nodes}
+    area = np.linalg.norm(grid.edge_normal, axis=1)
+    nnb = (grid.node_edges < grid.nedge).sum(axis=1)
+
+    return MeshArrays(
+        ndim=grid.ndim, npoint=grid.npoint, nedge=grid.nedge,
+        max_degree=grid.max_degree,
+        coords=f(grid.coords), volume=f(grid.volume),
+        edges=i(grid.edges), edge_normal=f(grid.edge_normal), edge_area=f(area),
+        node_edges=i(grid.node_edges), node_sign=f(grid.node_edge_sign),
+        node_nbrs=i(grid.node_nbrs),
+        nbr_mask=f((grid.node_edges < grid.nedge).astype(np.float64)),
+        n_neighbors=i(nnb),
+        bnd_accum_normal=f(bnd_accum), markers=markers,
+    )

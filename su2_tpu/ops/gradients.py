@@ -1,0 +1,73 @@
+"""Spatial gradients of selected primitive variables.
+
+Green-Gauss (SetPrimitive_Gradient_GG, solver_direct_reactive.cpp:1086-1165)
+and weighted least squares (SetPrimitive_Gradient_LS, :1170-1326), vectorized
+over all nodes via the padded adjacency.
+
+``q`` is the (nP, nG) array of the variables being differentiated — the Euler
+path uses [T, u, v, P]; the NS path appends mole fractions
+(solver_direct_reactive.cpp:4167).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from su2_tpu.geometry.mesh_data import MeshArrays
+
+EPS = 1e-16
+
+
+def green_gauss(mesh: MeshArrays, q: jnp.ndarray) -> jnp.ndarray:
+    """(nP, nG) -> (nP, nG, d) gradient.
+
+    grad_i = (sum_edges sgn * 0.5(q_i+q_j) n_e  -  q_i * n_bnd,i) / Vol_i
+    where n_bnd,i is the accumulated (inward) vertex normal.
+    """
+    qi = q[mesh.edges[:, 0]]
+    qj = q[mesh.edges[:, 1]]
+    avg = 0.5 * (qi + qj)                                       # (nE, nG)
+    flux = avg[:, :, None] * mesh.edge_normal[:, None, :]       # (nE, nG, d)
+    acc = mesh.scatter_edges(flux)                              # (nP, nG, d)
+    acc = acc - q[:, :, None] * mesh.bnd_accum_normal[:, None, :]
+    return acc / mesh.volume[:, None, None]
+
+
+def weighted_least_squares(mesh: MeshArrays, q: jnp.ndarray) -> jnp.ndarray:
+    """(nP, nG) -> (nP, nG, d) inverse-distance-weighted LS gradient (2D).
+
+    Matches the reference's Cholesky-through-R formulation incl. its
+    singular-matrix guards (gradient = 0 if R is singular).
+    """
+    assert mesh.ndim == 2
+    xi = mesh.coords                                            # (nP, 2)
+    xj = mesh.coords[mesh.node_nbrs]                            # (nP, D, 2)
+    dx = (xj - xi[:, None, :])
+    w = jnp.sum(dx * dx, axis=-1)                               # (nP, D)
+    valid = (w > EPS) & (mesh.nbr_mask > 0.5)
+    invw = jnp.where(valid, 1.0 / jnp.where(valid, w, 1.0), 0.0)
+
+    r11s = jnp.sum(dx[..., 0] * dx[..., 0] * invw, axis=1)
+    r12s = jnp.sum(dx[..., 0] * dx[..., 1] * invw, axis=1)
+    r22s = jnp.sum(dx[..., 1] * dx[..., 1] * invw, axis=1)
+
+    dq = q[mesh.node_nbrs] - q[:, None, :]                      # (nP, D, nG)
+    cx = jnp.einsum("pd,pdg->pg", dx[..., 0] * invw, dq)
+    cy = jnp.einsum("pd,pdg->pg", dx[..., 1] * invw, dq)
+
+    r11 = jnp.where(r11s > EPS, jnp.sqrt(jnp.maximum(r11s, 0.0)), 0.0)
+    r12 = jnp.where(jnp.abs(r11) > EPS, r12s / jnp.where(r11 == 0, 1.0, r11), 0.0)
+    r22sq = r22s - r12 * r12
+    r22 = jnp.where(r22sq > EPS, jnp.sqrt(jnp.maximum(r22sq, 0.0)), 0.0)
+
+    det_r2 = (r11 * r22) ** 2
+    singular = jnp.abs(det_r2) < EPS
+    det_safe = jnp.where(singular, 1.0, det_r2)
+
+    s00 = jnp.where(singular, 0.0, (r12 * r12 + r22 * r22) / det_safe)
+    s01 = jnp.where(singular, 0.0, -r11 * r12 / det_safe)
+    s11 = jnp.where(singular, 0.0, r11 * r11 / det_safe)
+
+    gx = cx * s00[:, None] + cy * s01[:, None]
+    gy = cx * s01[:, None] + cy * s11[:, None]
+    return jnp.stack([gx, gy], axis=-1)

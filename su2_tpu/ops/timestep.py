@@ -1,0 +1,61 @@
+"""Local time step from inviscid/viscous spectral radii.
+
+SetTime_Step (reference: solver_direct_reactive.cpp:2000-2171 Euler,
+:5057-5230 NS).  Note the fork's inviscid eigenvalue uses the area-weighted
+projected velocity: Lambda = (|v . N| + a_mean) * Area with N the (un-unit)
+dual normal — reproduced exactly.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from su2_tpu.geometry.mesh_data import MeshArrays
+from su2_tpu.state import Layout
+
+EPS = 1e-16
+
+
+def max_lambda_inv(mesh: MeshArrays, lay: Layout, v: jnp.ndarray) -> jnp.ndarray:
+    """Per-node accumulated inviscid spectral radius (interior + boundary)."""
+    vel = v[:, lay.VX:lay.VX + lay.ndim]
+    a = v[:, lay.A]
+
+    i, j = mesh.edges[:, 0], mesh.edges[:, 1]
+    proj_i = jnp.sum(vel[i] * mesh.edge_normal, axis=1)
+    proj_j = jnp.sum(vel[j] * mesh.edge_normal, axis=1)
+    mean_proj = 0.5 * (proj_i + proj_j)
+    mean_a = 0.5 * (a[i] + a[j])
+    lam_e = (jnp.abs(mean_proj) + mean_a) * mesh.edge_area
+
+    lam = mesh.sum_edges_abs(lam_e)
+
+    # boundary vertices
+    for tag, (nodes, normal) in mesh.markers.items():
+        area = jnp.linalg.norm(normal, axis=1)
+        proj = jnp.sum(vel[nodes] * normal, axis=1)
+        lam_b = (jnp.abs(proj) + a[nodes]) * area
+        lam = lam.at[nodes].add(lam_b)
+    return lam
+
+
+def local_time_step(mesh: MeshArrays, lay: Layout, v: jnp.ndarray,
+                    cfl: float, max_dt: float = 1e6,
+                    lam_extra: jnp.ndarray | None = None):
+    """Per-node dt = CFL*Vol/lambda with the reference's guards.
+
+    lam_extra: optional viscous spectral radius contribution added with the
+    NS weighting (caller pre-scales it).  Returns (dt, min_dt, max_dt_seen).
+    """
+    lam = max_lambda_inv(mesh, lay, v)
+    if lam_extra is not None:
+        lam = lam + lam_extra
+    vol_ok = mesh.volume > EPS
+    dt = jnp.where(vol_ok, cfl * mesh.volume / jnp.where(lam > 0, lam, 1.0), 0.0)
+    dt_pos = jnp.where(vol_ok, dt, jnp.inf)
+    min_dt = dt_pos.min()
+    max_dt_seen = jnp.where(vol_ok, dt, 0.0).max()
+    dt = jnp.minimum(dt, max_dt)
+    # CVs with a single neighbor take the global min dt (:2120-2123)
+    dt = jnp.where(mesh.n_neighbors == 1, min_dt, dt)
+    return dt, min_dt, max_dt_seen

@@ -1,0 +1,284 @@
+"""Flow state: conserved/primitive layouts and conversions.
+
+Re-implements CReactiveEulerVariable / CReactiveNSVariable state handling
+(reference: SU2_CFD/src/variable_direct_reactive.cpp) as batched pure
+functions.
+
+Layouts (variable_direct_reactive.cpp:339-341, index maps
+variable_reactive.hpp:48-76):
+
+  U = [rho, rho*u, rho*v, (rho*w), rho*E, rho_1, ..., rho_Ns]   nVar = Ns+nDim+2
+  V = [T, u, v, (w), P, rho, h_tot, a, Y_1, ..., Y_Ns]          nPrim = Ns+nDim+5
+
+Note V[H] stores TOTAL enthalpy (rhoE + P)/rho.  The temperature comes from a
+fixed-iteration vectorized secant on the enthalpy spline with a masked
+bisection fallback (reference: secant 7 its tol 1e-6 + bisection 32 its tol
+1e-4, variable_direct_reactive.cpp:385-390), made branchless for TPU.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from su2_tpu.chemistry import library as cl
+from su2_tpu.chemistry.library import ChemLib
+
+EPS = 1e-16
+
+
+@dataclass(frozen=True)
+class Layout:
+    """Static index layout for a given (ndim, nspecies)."""
+    ndim: int
+    ns: int
+
+    # conserved
+    @property
+    def RHO(self):
+        return 0
+
+    @property
+    def RHOVX(self):
+        return 1
+
+    @property
+    def RHOE(self):
+        return 1 + self.ndim
+
+    @property
+    def RHOS(self):
+        return 2 + self.ndim
+
+    @property
+    def nvar(self):
+        return self.ns + self.ndim + 2
+
+    # primitive
+    @property
+    def T(self):
+        return 0
+
+    @property
+    def VX(self):
+        return 1
+
+    @property
+    def P(self):
+        return self.ndim + 1
+
+    @property
+    def PRHO(self):
+        return self.ndim + 2
+
+    @property
+    def H(self):
+        return self.ndim + 3
+
+    @property
+    def A(self):
+        return self.ndim + 4
+
+    @property
+    def YS(self):
+        return self.ndim + 5
+
+    @property
+    def nprim(self):
+        return self.ns + self.ndim + 5
+
+
+@dataclass(frozen=True)
+class TSolveParams:
+    tmin: float = 200.0
+    tmax: float = 6000.0
+    clip_temp: bool = False       # CLIPPING_TEMPRATURE cfg flag
+    secant_iters: int = 7
+    secant_tol: float = 1.0e-6
+    bisect_iters: int = 32
+    bisect_tol: float = 1.0e-4
+
+
+def solve_temperature(lib: ChemLib, c1: jax.Array, c2: jax.Array, ys: jax.Array,
+                      t_init: jax.Array, p: TSolveParams):
+    """Solve T - C1 - C2*h(T,Y) = 0 per cell (Cons2PrimVar secant+bisection,
+    variable_direct_reactive.cpp:398-502), branchless.
+
+    c1 = (-rhoE + 0.5 rho |v|^2)/(rho R),  c2 = 1/R.
+    Returns (T, converged_by_secant mask).
+    """
+    def f_of(t):
+        return t - c1 - c2 * cl.mixture_enthalpy(lib, t, ys)
+
+    # --- fixed-iteration masked secant ---
+    t = t_init
+    t_old = t_init + 1.0
+    done = jnp.zeros_like(t, dtype=bool)
+
+    def secant_body(_, carry):
+        t, t_old, done = carry
+        f = f_of(t)
+        f_old = f_of(t_old)
+        df = f - f_old
+        safe_df = jnp.where(df == 0.0, 1.0, df)
+        t_new = t - f * (t - t_old) / safe_df
+        t_new = jnp.where(df == 0.0, t, t_new)
+        converged = jnp.abs(t_new - t) < p.secant_tol
+        new_done = done | converged
+        t_next = jnp.where(done, t, jnp.where(converged, t, t_new))
+        t_old_next = jnp.where(done, t_old, t)
+        return t_next, t_old_next, new_done
+
+    t, t_old, done = jax.lax.fori_loop(
+        0, p.secant_iters, secant_body, (t, t_old, done))
+    # one extra convergence check mirroring the reference: after maxNIter
+    # secant steps without |dT|<tol the cell falls to bisection
+    secant_ok = done
+
+    # --- masked bisection fallback on [Tmin, Tmax] ---
+    ta = jnp.full_like(t, p.tmin)
+    tb = jnp.full_like(t, p.tmax)
+    tbis = 0.5 * (ta + tb)
+    bis_done = jnp.zeros_like(t, dtype=bool)
+
+    def bisect_body(_, carry):
+        ta, tb, tbis, bis_done = carry
+        tm = 0.5 * (ta + tb)
+        f = f_of(tm)
+        converged = jnp.abs(f) < p.bisect_tol
+        go_low = f > 0.0
+        ta_n = jnp.where(bis_done | converged, ta, jnp.where(go_low, tm, ta))
+        tb_n = jnp.where(bis_done | converged, tb, jnp.where(go_low, tb, tm))
+        tbis_n = jnp.where(bis_done, tbis, tm)
+        return ta_n, tb_n, tbis_n, bis_done | converged
+
+    ta, tb, tbis, bis_done = jax.lax.fori_loop(
+        0, p.bisect_iters, bisect_body, (ta, tb, tbis, bis_done))
+
+    t_final = jnp.where(secant_ok, t, tbis)
+    return t_final, secant_ok
+
+
+def cons2prim(lib: ChemLib, lay: Layout, u: jax.Array, t_guess: jax.Array,
+              p: TSolveParams, turb_ke: jax.Array | None = None,
+              first_iter: bool = False):
+    """Batched Cons2PrimVar (variable_direct_reactive.cpp:325-561).
+
+    u: (N, nVar); t_guess: (N,) previous temperature (secant start).
+    turb_ke: (N,) SST turbulent kinetic energy to subtract from rhoE
+    (MANGOTURB overload, :596).  Returns (u_clipped, v, nonphys_mask).
+    """
+    n = u.shape[0]
+    rho_s = u[:, lay.RHOS:lay.RHOS + lay.ns]
+    nonphys = jnp.any(rho_s < 0.0, axis=1)
+    rho_s = jnp.where(rho_s < 0.0, 1.0e-30, rho_s)
+
+    rho = u[:, lay.RHO]
+    nonphys = nonphys | (rho < EPS)
+    rho = jnp.maximum(rho, EPS)
+
+    ys = rho_s / rho[:, None]
+    nonphys = nonphys | (jnp.abs(ys.sum(1) - 1.0) > 0.1)
+
+    vel = u[:, lay.RHOVX:lay.RHOVX + lay.ndim] / rho[:, None]
+    sqvel = jnp.sum(vel * vel, axis=1)
+
+    rho_e = u[:, lay.RHOE]
+    if turb_ke is not None:
+        rho_e = rho_e - rho * turb_ke
+
+    rgas = cl.mixture_rgas(lib, ys)
+    c1 = (-rho_e + 0.5 * rho * sqvel) / (rho * rgas)
+    c2 = 1.0 / rgas
+
+    t, _ = solve_temperature(lib, c1, c2, ys, t_guess, p)
+
+    # avoid too-large variation (CLIPPING_TEMPRATURE, :505-506)
+    if p.clip_temp and not first_iter:
+        t = jnp.clip(t, 0.95 * t_guess, 1.05 * t_guess)
+
+    nonphys = nonphys | (t < p.tmin) | (t > p.tmax)
+    t = jnp.clip(t, p.tmin, p.tmax)
+
+    press = rho * rgas * t
+    nonphys = nonphys | (press < EPS)
+    press = jnp.maximum(press, EPS)
+
+    gamma, _ = cl.frozen_gamma_sound(lib, t, ys)
+    sound = jnp.sqrt(gamma * press / rho)
+    nonphys = nonphys | (sound < EPS)
+    sound = jnp.maximum(sound, EPS)
+
+    htot = (u[:, lay.RHOE] + press) / rho
+
+    v = jnp.zeros((n, lay.nprim), dtype=u.dtype)
+    v = v.at[:, lay.T].set(t)
+    v = v.at[:, lay.VX:lay.VX + lay.ndim].set(vel)
+    v = v.at[:, lay.P].set(press)
+    v = v.at[:, lay.PRHO].set(rho)
+    v = v.at[:, lay.H].set(htot)
+    v = v.at[:, lay.A].set(sound)
+    v = v.at[:, lay.YS:lay.YS + lay.ns].set(ys)
+
+    u_clipped = u.at[:, lay.RHOS:lay.RHOS + lay.ns].set(rho_s) \
+                 .at[:, lay.RHO].set(rho)
+    return u_clipped, v, nonphys
+
+
+def prim2cons(lib: ChemLib, lay: Layout, v: jax.Array) -> jax.Array:
+    """Prim2ConsVar (variable_direct_reactive.cpp:861-880)."""
+    n = v.shape[0]
+    rho = v[:, lay.PRHO]
+    u = jnp.zeros((n, lay.nvar), dtype=v.dtype)
+    u = u.at[:, lay.RHO].set(rho)
+    u = u.at[:, lay.RHOVX:lay.RHOVX + lay.ndim].set(
+        rho[:, None] * v[:, lay.VX:lay.VX + lay.ndim])
+    u = u.at[:, lay.RHOE].set(rho * v[:, lay.H] - v[:, lay.P])
+    u = u.at[:, lay.RHOS:lay.RHOS + lay.ns].set(
+        rho[:, None] * v[:, lay.YS:lay.YS + lay.ns])
+    return u
+
+
+def dtdu(lib: ChemLib, lay: Layout, v: jax.Array) -> jax.Array:
+    """dT/dU (CalcdTdU, variable_direct_reactive.cpp:786-816). (N, nVar)."""
+    t = v[:, lay.T]
+    rho = v[:, lay.PRHO]
+    ys = v[:, lay.YS:lay.YS + lay.ns]
+    vel = v[:, lay.VX:lay.VX + lay.ndim]
+    cp = cl.mixture_cp(lib, t, ys)
+    cv = cp - cl.mixture_rgas(lib, ys)
+    rho_cv = rho * cv
+    sqvel = jnp.sum(vel * vel, axis=1)
+    e_s = cl.species_energy(lib, t)         # dT/dY_s numerators
+
+    out = jnp.zeros((v.shape[0], lay.nvar), dtype=v.dtype)
+    out = out.at[:, lay.RHO].set(0.5 * sqvel / rho_cv)
+    out = out.at[:, lay.RHOVX:lay.RHOVX + lay.ndim].set(-vel / rho_cv[:, None])
+    out = out.at[:, lay.RHOE].set(1.0 / rho_cv)
+    out = out.at[:, lay.RHOS:lay.RHOS + lay.ns].set(-e_s / rho_cv[:, None])
+    return out
+
+
+def dpdu(lib: ChemLib, lay: Layout, v: jax.Array) -> jax.Array:
+    """dP/dU (CalcdPdU, variable_direct_reactive.cpp:822-849). (N, nVar)."""
+    t = v[:, lay.T]
+    ys = v[:, lay.YS:lay.YS + lay.ns]
+    vel = v[:, lay.VX:lay.VX + lay.ndim]
+    gamma, _ = cl.frozen_gamma_sound(lib, t, ys)
+    sqvel = jnp.sum(vel * vel, axis=1)
+    e_s = cl.species_energy(lib, t)
+
+    out = jnp.zeros((v.shape[0], lay.nvar), dtype=v.dtype)
+    out = out.at[:, lay.RHO].set((gamma - 1.0) * 0.5 * sqvel)
+    out = out.at[:, lay.RHOVX:lay.RHOVX + lay.ndim].set(
+        (1.0 - gamma)[:, None] * vel)
+    out = out.at[:, lay.RHOE].set(gamma - 1.0)
+    out = out.at[:, lay.RHOS:lay.RHOS + lay.ns].set(
+        cl_ri_t(lib, t) - (gamma - 1.0)[:, None] * e_s)
+    return out
+
+
+def cl_ri_t(lib: ChemLib, t: jax.Array) -> jax.Array:
+    return lib.ri * t[:, None]
