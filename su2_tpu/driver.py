@@ -69,7 +69,11 @@ class Simulation:
         self.lower, self.upper = es.clip_limits(self.lay, dtype)
 
         self.u0, self.t0 = self.freestream_solution()
-        self._explicit_step = jax.jit(self._make_explicit_step())
+        if cfg.implicit_flow:
+            self._step = jax.jit(self._make_implicit_step())
+        else:
+            self._step = jax.jit(self._make_explicit_step())
+        self._explicit_step = self._step  # back-compat alias
 
     # ------------------------------------------------------------------
     def freestream_primitives(self):
@@ -117,6 +121,26 @@ class Simulation:
 
         return step
 
+    def _make_implicit_step(self):
+        lib, lay, mesh, prm, bcs = self.lib, self.lay, self.mesh, self.params, self.bcs
+        tparams = self.tparams
+        lower, upper = self.lower, self.upper
+        cfg = self.cfg
+
+        def step(u, t_guess):
+            u, v, nonphys = st.cons2prim(lib, lay, u, t_guess, tparams)
+            dt, min_dt, max_dt = timestep.local_time_step(
+                mesh, lay, v, prm.cfl, prm.max_dt)
+            u_new, rms, rmax, iters = es.implicit_euler_update(
+                lib, lay, mesh, prm, bcs, u, v, dt, lower, upper,
+                relax=cfg.relaxation_factor_flow,
+                linear_solver=cfg.linear_solver,
+                linear_iter=cfg.linear_solver_iter,
+                linear_tol=cfg.linear_solver_error)
+            return u_new, v[:, lay.T], rms, rmax, nonphys.sum(), min_dt
+
+        return step
+
     # ------------------------------------------------------------------
     def run(self, niter: int | None = None, log_every: int = 1,
             u=None, t_guess=None, quiet=False):
@@ -127,7 +151,7 @@ class Simulation:
         start = time.time()
         rms0 = None
         for it in range(niter):
-            u, t_guess, rms, rmax, nerr, min_dt = self._explicit_step(u, t_guess)
+            u, t_guess, rms, rmax, nerr, min_dt = self._step(u, t_guess)
             log_rms = np.log10(np.maximum(np.asarray(rms), 1e-300))
             hist.append(log_rms)
             if rms0 is None:

@@ -1,0 +1,137 @@
+"""Matrix-free Krylov solvers: FGMRES, BCGSTAB, CG.
+
+TPU-native CSysSolve (reference: Common/src/linear_solvers_structure.cpp —
+CG :202, FGMRES :309, BCGSTAB :465).  Solvers are pure functions over
+(nP, v)-shaped vectors with a caller-supplied matvec and (right)
+preconditioner; iteration counts are static (the reference's
+LINEAR_SOLVER_ITER is small: 5 in the shipped cfgs), with converged
+components frozen by masking so behavior under jit is deterministic.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _dot(a, b):
+    return jnp.vdot(a, b)
+
+
+def _norm(a):
+    return jnp.sqrt(jnp.real(_dot(a, a)))
+
+
+def fgmres(matvec, precond, b, x0=None, max_iter: int = 5, tol: float = 1e-6):
+    """Flexible GMRES (right preconditioning), single cycle of `max_iter`
+    Krylov vectors (matches the reference usage: FGMRES with a small fixed
+    iteration budget, tolerance `tol` relative to ||b||).
+
+    Returns (x, final_relative_residual, iters_used).
+    """
+    x = jnp.zeros_like(b) if x0 is None else x0
+    r = b - matvec(x)
+    beta = _norm(r)
+    norm0 = jnp.maximum(_norm(b), 1e-300)
+    m = max_iter
+
+    # Arnoldi with modified Gram-Schmidt (unrolled: m is small & static)
+    vs = [r / jnp.maximum(beta, 1e-300)]
+    zs = []
+    h = jnp.zeros((m + 1, m), dtype=b.dtype)
+    active = beta / norm0 >= tol
+    iters = jnp.asarray(0, dtype=jnp.int32)
+    res_hist = beta
+    for j in range(m):
+        z = precond(vs[j])
+        w = matvec(z)
+        zs.append(z)
+        for i in range(j + 1):
+            hij = _dot(vs[i], w)
+            h = h.at[i, j].set(jnp.where(active, hij, (i == j) * 1.0))
+            w = w - jnp.where(active, hij, 0.0) * vs[i]
+        hj1 = _norm(w)
+        h = h.at[j + 1, j].set(jnp.where(active, hj1, 0.0))
+        vs.append(jnp.where(active, w / jnp.maximum(hj1, 1e-300), vs[j]))
+        iters = iters + active.astype(jnp.int32)
+        # current residual estimate via least squares on the small system
+        e1 = jnp.zeros(j + 2, dtype=b.dtype).at[0].set(beta)
+        y, res, _, _ = jnp.linalg.lstsq(h[:j + 2, :j + 1], e1)
+        cur = _norm(e1 - h[:j + 2, :j + 1] @ y)
+        res_hist = jnp.where(active, cur, res_hist)
+        active = active & (cur / norm0 >= tol)
+
+    e1 = jnp.zeros(m + 1, dtype=b.dtype).at[0].set(beta)
+    y, _, _, _ = jnp.linalg.lstsq(h, e1)
+    dx = sum(y[j] * zs[j] for j in range(m))
+    x = x + dx
+    return x, res_hist / norm0, iters
+
+
+def bcgstab(matvec, precond, b, x0=None, max_iter: int = 5, tol: float = 1e-6):
+    """Preconditioned BiCGSTAB (CSysSolve::BCGSTAB_LinSolver)."""
+    x = jnp.zeros_like(b) if x0 is None else x0
+    r = b - matvec(x)
+    r0 = r
+    norm0 = jnp.maximum(_norm(b), 1e-300)
+    rho = alpha = omega = jnp.asarray(1.0, dtype=b.dtype)
+    v = p = jnp.zeros_like(b)
+
+    def body(_, carry):
+        x, r, rho, alpha, omega, v, p, done = carry
+        rho_new = _dot(r0, r)
+        beta = (rho_new / jnp.where(rho == 0, 1.0, rho)) * \
+               (alpha / jnp.where(omega == 0, 1.0, omega))
+        p = r + beta * (p - omega * v)
+        ph = precond(p)
+        v = matvec(ph)
+        denom = _dot(r0, v)
+        alpha_n = rho_new / jnp.where(denom == 0, 1.0, denom)
+        s = r - alpha_n * v
+        sh = precond(s)
+        t = matvec(sh)
+        tt = _dot(t, t)
+        omega_n = _dot(t, s) / jnp.where(tt == 0, 1.0, tt)
+        x_new = x + alpha_n * ph + omega_n * sh
+        r_new = s - omega_n * t
+        conv = _norm(r_new) / norm0 < tol
+        keep = ~done
+        return (jnp.where(keep, x_new, x), jnp.where(keep, r_new, r),
+                rho_new, alpha_n, omega_n, v, p, done | conv)
+
+    x, r, *_ = jax.lax.fori_loop(
+        0, max_iter, body,
+        (x, r, rho, alpha, omega, v, p, jnp.asarray(False)))
+    return x, _norm(r) / norm0, jnp.asarray(max_iter, jnp.int32)
+
+
+def cg(matvec, precond, b, x0=None, max_iter: int = 5, tol: float = 1e-6):
+    """Preconditioned conjugate gradient (CSysSolve::CG_LinSolver) — for SPD
+    systems (not the flow Jacobian; provided for capability parity)."""
+    x = jnp.zeros_like(b) if x0 is None else x0
+    r = b - matvec(x)
+    z = precond(r)
+    p = z
+    rz = _dot(r, z)
+    norm0 = jnp.maximum(_norm(b), 1e-300)
+
+    def body(_, carry):
+        x, r, p, rz, done = carry
+        ap = matvec(p)
+        denom = _dot(p, ap)
+        alpha = rz / jnp.where(denom == 0, 1.0, denom)
+        x_new = x + alpha * p
+        r_new = r - alpha * ap
+        z_new = precond(r_new)
+        rz_new = _dot(r_new, z_new)
+        beta = rz_new / jnp.where(rz == 0, 1.0, rz)
+        p_new = z_new + beta * p
+        conv = _norm(r_new) / norm0 < tol
+        keep = ~done
+        return (jnp.where(keep, x_new, x), jnp.where(keep, r_new, r),
+                jnp.where(keep, p_new, p), jnp.where(keep, rz_new, rz),
+                done | conv)
+
+    x, r, *_ = jax.lax.fori_loop(0, max_iter, body,
+                                 (x, r, p, rz, jnp.asarray(False)))
+    return x, _norm(r) / norm0, jnp.asarray(max_iter, jnp.int32)

@@ -438,6 +438,183 @@ def total_residual(lib, lay, mesh, prm, bcs, v, omega_turb=None, turb_ke=None):
 
 
 # --------------------------------------------------------------------------
+# Implicit system assembly
+# --------------------------------------------------------------------------
+
+def _row_gamma_vel2(lay, vrow):
+    """gamma = a^2 rho / P and |v|^2 from a primitive row batch."""
+    gamma = vrow[:, lay.A] ** 2 * vrow[:, lay.PRHO] / vrow[:, lay.P]
+    vel = vrow[:, lay.VX:lay.VX + lay.ndim]
+    return gamma, jnp.sum(vel * vel, axis=1)
+
+
+def convective_system(lib, lay, mesh, prm, v, grad, lim, dpdu_full):
+    """Convective residual + edge Jacobian blocks (Upwind_Residual implicit
+    path, solver_direct_reactive.cpp:2687-2768)."""
+    from su2_tpu.linalg.blockcsr import BlockJacobian
+
+    i, j = mesh.edges[:, 0], mesh.edges[:, 1]
+    if prm.muscl:
+        v_i, v_j = muscl_reconstruct(lib, lay, mesh, prm, v, grad, lim)
+        g_i, vel2_i = _row_gamma_vel2(lay, v_i)
+        g_j, vel2_j = _row_gamma_vel2(lay, v_j)
+        s_i = ghost_dpdu(lib, lay, v_i, g_i, vel2_i)
+        s_j = ghost_dpdu(lib, lay, v_j, g_j, vel2_j)
+    else:
+        v_i, v_j = v[i], v[j]
+        s_i, s_j = dpdu_full[i], dpdu_full[j]
+    flux, jac_i, jac_j = ausm.ausm_flux(
+        lay, v_i, v_j, mesh.edge_normal, prm.m_infty, s_i, s_j)
+    res = mesh.scatter_edges(flux)
+    # diag: +jac_i at i, -jac_j at j; off-diagonals: (i,j)=+jac_j, (j,i)=-jac_i
+    diag = jnp.zeros((v.shape[0], lay.nvar, lay.nvar), dtype=v.dtype)
+    diag = diag.at[i].add(jac_i)
+    diag = diag.at[j].add(-jac_j)
+    return res, BlockJacobian(diag=diag, off_ij=jac_j, off_ji=-jac_i)
+
+
+def euler_wall_jacobian(lib, lay, bc, v, dpdu_full):
+    """d(pressure wall flux)/dU (BC_Euler_Wall implicit part, :2950-2974)."""
+    nodes = bc.nodes
+    area = jnp.linalg.norm(bc.normal, axis=1)
+    unit = -bc.normal / area[:, None]
+    jac = jnp.zeros((nodes.shape[0], lay.nvar, lay.nvar), dtype=v.dtype)
+    contrib = (unit * area[:, None])[:, :, None] * dpdu_full[nodes][:, None, :]
+    jac = jac.at[:, lay.RHOVX:lay.RHOVX + lay.ndim, :].set(contrib)
+    return jac
+
+
+def bc_system(lib, lay, mesh, prm, bcs, v, dpdu_full, turb_ke=None):
+    """Weak-BC residual + diagonal Jacobian contributions."""
+    n = v.shape[0]
+    res = jnp.zeros((n, lay.nvar), dtype=v.dtype)
+    diag = jnp.zeros((n, lay.nvar, lay.nvar), dtype=v.dtype)
+    dpdu_e = dpdu_full[:, lay.RHOE]
+    for bc in bcs:
+        if bc.kind in ("euler_wall", "isothermal_wall", "heatflux_wall"):
+            r = euler_wall_residual(lib, lay, bc, v, turb_ke)
+            res = res.at[bc.nodes].add(r)
+            diag = diag.at[bc.nodes].add(
+                euler_wall_jacobian(lib, lay, bc, v, dpdu_full))
+            continue
+        if bc.kind == "inlet":
+            v_ghost, gamma, vel2 = inlet_state(lib, lay, bc, v, dpdu_e, prm.tke_inf)
+        elif bc.kind == "outlet":
+            v_ghost, gamma, vel2, _ = outlet_state(lib, lay, bc, v, dpdu_e, prm.tke_inf)
+        elif bc.kind == "supersonic_inlet":
+            v_ghost, gamma, vel2 = supersonic_inlet_state(lib, lay, bc, v, prm.tke_inf)
+        elif bc.kind == "supersonic_outlet":
+            v_ghost = v[bc.nodes]
+            gamma = dpdu_e[bc.nodes] + 1.0
+            vel_d = v_ghost[:, lay.VX:lay.VX + lay.ndim]
+            vel2 = jnp.sum(vel_d * vel_d, axis=1)
+        else:
+            raise NotImplementedError(f"BC kind {bc.kind}")
+        s_ghost = ghost_dpdu(lib, lay, v_ghost, gamma, vel2)
+        flux, jac_i, _ = ausm.ausm_flux(
+            lay, v[bc.nodes], v_ghost, -bc.normal, prm.m_infty,
+            dpdu_full[bc.nodes], s_ghost)
+        res = res.at[bc.nodes].add(flux)
+        diag = diag.at[bc.nodes].add(jac_i)
+    return res, diag
+
+
+def chemistry_source_system(lib, lay, mesh, prm, v, dtdu_full, omega_turb=None):
+    """Source residual + diagonal Jacobian (CSourceReactive::ComputeChemistry
+    implicit part, numerics_direct_reactive.cpp:1826-1878)."""
+    t = v[:, lay.T]
+    rho = v[:, lay.PRHO]
+    ys = v[:, lay.YS:lay.YS + lay.ns]
+    rf, rb, kc = cl.reaction_rates(lib, t, rho, ys)
+    om = cl.omega_tensor(lib, rf, rb)
+    if prm.pasr and omega_turb is not None:
+        dfr = cl.dfr_drho(lib, rf, rb, rho, ys)
+        k = cl.pasr_constants(lib, dfr, omega_turb, prm.c_mu, prm.pasr_lb)
+        omega = cl.mass_production(lib, om, k)
+        sjac = cl.source_jacobian(lib, t, rho, ys, rf, rb, kc, k)
+    else:
+        omega = cl.mass_production(lib, om)
+        sjac = cl.source_jacobian(lib, t, rho, ys, rf, rb, kc)
+    vol = mesh.volume
+    res = jnp.zeros((v.shape[0], lay.nvar), dtype=v.dtype)
+    res = res.at[:, lay.RHOS:lay.RHOS + lay.ns].set(-omega * vol[:, None])
+    # rows: species only.  J[s, col] = -fixed_s * dTdU[col] * Vol
+    #                                  (- species-block for species cols)
+    diag = jnp.zeros((v.shape[0], lay.nvar, lay.nvar), dtype=v.dtype)
+    fixed = sjac[:, :, 0]                                    # d omega_s / dT
+    rows = -(fixed[:, :, None] * dtdu_full[:, None, :]) * vol[:, None, None]
+    diag = diag.at[:, lay.RHOS:lay.RHOS + lay.ns, :].add(rows)
+    diag = diag.at[:, lay.RHOS:lay.RHOS + lay.ns,
+                   lay.RHOS:lay.RHOS + lay.ns].add(
+        -sjac[:, :, 1:] * vol[:, None, None])
+    return res, diag
+
+
+def assemble_system(lib, lay, mesh, prm, bcs, v, dt, omega_turb=None,
+                    turb_ke=None):
+    """Full residual + block Jacobian + time diagonal; returns (res, jac)."""
+    from su2_tpu.linalg.blockcsr import BlockJacobian
+
+    q = gradient_vars(lay, v)
+    grad = compute_gradients(mesh, prm, q)
+    if prm.use_limiter:
+        if prm.limiter_kind == "BARTH_JESPERSEN":
+            lim = limiters.barth_jespersen(mesh, q, grad)
+        else:
+            lim = limiters.venkatakrishnan(
+                mesh, q, grad, prm.limiter_coeff, prm.ref_elem_length)
+    else:
+        lim = jnp.ones_like(q)
+    dpdu_full = st.dpdu(lib, lay, v)
+    res, jac = convective_system(lib, lay, mesh, prm, v, grad, lim, dpdu_full)
+    bres, bdiag = bc_system(lib, lay, mesh, prm, bcs, v, dpdu_full, turb_ke)
+    res = res + bres
+    diag = jac.diag + bdiag
+    if prm.reactive_sources:
+        dtdu_full = st.dtdu(lib, lay, v)
+        sres, sdiag = chemistry_source_system(
+            lib, lay, mesh, prm, v, dtdu_full, omega_turb)
+        res = res + sres
+        diag = diag + sdiag
+    # time term: Vol/dt on the diagonal; frozen rows where dt ~ 0
+    ok = dt > EPS
+    delta = jnp.where(ok, mesh.volume / jnp.where(ok, dt, 1.0), 0.0)
+    eye = jnp.eye(lay.nvar, dtype=v.dtype)
+    diag = diag + delta[:, None, None] * eye
+    diag = jnp.where(ok[:, None, None], diag, eye)
+    res = jnp.where(ok[:, None], res, 0.0)
+    return res, BlockJacobian(diag=diag, off_ij=jac.off_ij, off_ji=jac.off_ji)
+
+
+def implicit_euler_update(lib, lay, mesh, prm, bcs, u, v, dt, lower, upper,
+                          relax: float = 1.0, linear_solver: str = "FGMRES",
+                          linear_iter: int = 5, linear_tol: float = 1e-6,
+                          omega_turb=None, turb_ke=None):
+    """One implicit Euler step (ImplicitEuler_Iteration,
+    solver_direct_reactive.cpp:2336-2407): solve J dU = -R, clipped update."""
+    from su2_tpu.linalg import blockcsr, krylov
+
+    res, jac = assemble_system(lib, lay, mesh, prm, bcs, v, dt,
+                               omega_turb, turb_ke)
+    rhs = -res
+    dinv = blockcsr.block_jacobi_factor(jac)
+
+    def mv(x):
+        return blockcsr.matvec(mesh, jac, x)
+
+    def pc(r):
+        return blockcsr.block_jacobi_apply(dinv, r)
+
+    solver = krylov.bcgstab if linear_solver == "BCGSTAB" else krylov.fgmres
+    sol, rel_res, iters = solver(mv, pc, rhs, max_iter=linear_iter,
+                                 tol=linear_tol)
+    u_new = jnp.clip(u + relax * sol, lower, upper)
+    rms = jnp.sqrt(jnp.mean(rhs * rhs, axis=0))
+    rmax = jnp.abs(rhs).max(axis=0)
+    return u_new, rms, rmax, iters
+
+
+# --------------------------------------------------------------------------
 # Explicit update
 # --------------------------------------------------------------------------
 
