@@ -25,6 +25,7 @@ from su2_tpu.geometry.mesh_data import mesh_arrays
 from su2_tpu.io.mesh import read_su2_mesh
 from su2_tpu.ops import timestep
 from su2_tpu.solvers import euler as es
+from su2_tpu.solvers import ns
 from su2_tpu.state import Layout, TSolveParams
 
 
@@ -52,7 +53,7 @@ class Simulation:
             tmin=cfg.temperature_min, tmax=cfg.temperature_max,
             clip_temp=cfg.clipping_temprature)
 
-        self.params = es.EulerParams(
+        common = dict(
             lay=self.lay, tparams=self.tparams,
             m_infty=cfg.mach_number, cfl=cfg.cfl_number,
             max_dt=cfg.max_delta_time,
@@ -65,6 +66,12 @@ class Simulation:
             pasr=cfg.kind_turb_model == "SST",
             pasr_lb=cfg.pasr_lb,
         )
+        if cfg.viscous:
+            self.params = ns.NSParams(
+                prandtl_lam=cfg.prandtl_lam, prandtl_turb=cfg.prandtl_turb,
+                lewis_turb=float(cfg.extra.get("LEWIS_TURB", 1.2)), **common)
+        else:
+            self.params = es.EulerParams(**common)
         self.bcs = es.build_bc_markers(cfg, self.lib, self.mesh, self.lay, dtype)
         self.lower, self.upper = es.clip_limits(self.lay, dtype)
 
@@ -109,14 +116,27 @@ class Simulation:
         lib, lay, mesh, prm, bcs = self.lib, self.lay, self.mesh, self.params, self.bcs
         tparams = self.tparams
         lower, upper = self.lower, self.upper
+        viscous_mode = self.cfg.viscous
 
         def step(u, t_guess):
             u, v, nonphys = st.cons2prim(lib, lay, u, t_guess, tparams)
-            dt, min_dt, max_dt = timestep.local_time_step(
-                mesh, lay, v, prm.cfl, prm.max_dt)
-            res, _ = es.total_residual(lib, lay, mesh, prm, bcs, v)
+            if viscous_mode:
+                res, wall_mask, trans, _ = ns.ns_assemble(
+                    lib, lay, mesh, prm, bcs, v)
+                dpdu_full = st.dpdu(lib, lay, v)
+                lam_v = ns.viscous_lambda(
+                    lib, mesh, lay, prm, v, trans, dpdu_full, None)
+                dt, min_dt, _ = timestep.local_time_step(
+                    mesh, lay, v, prm.cfl, prm.max_dt, lam_visc=lam_v)
+                u = ns.enforce_wall_velocity(lay, u, wall_mask)
+            else:
+                dt, min_dt, _ = timestep.local_time_step(
+                    mesh, lay, v, prm.cfl, prm.max_dt)
+                res, _ = es.total_residual(lib, lay, mesh, prm, bcs, v)
             u_new, rms, rmax = es.explicit_euler_update(
                 lay, mesh, u, res, dt, lower, upper)
+            if viscous_mode:
+                u_new = ns.enforce_wall_velocity(lay, u_new, wall_mask)
             return u_new, v[:, lay.T], rms, rmax, nonphys.sum(), min_dt
 
         return step
@@ -126,17 +146,45 @@ class Simulation:
         tparams = self.tparams
         lower, upper = self.lower, self.upper
         cfg = self.cfg
+        viscous_mode = cfg.viscous
 
         def step(u, t_guess):
+            from su2_tpu.linalg import blockcsr, krylov
+
             u, v, nonphys = st.cons2prim(lib, lay, u, t_guess, tparams)
-            dt, min_dt, max_dt = timestep.local_time_step(
-                mesh, lay, v, prm.cfl, prm.max_dt)
-            u_new, rms, rmax, iters = es.implicit_euler_update(
-                lib, lay, mesh, prm, bcs, u, v, dt, lower, upper,
-                relax=cfg.relaxation_factor_flow,
-                linear_solver=cfg.linear_solver,
-                linear_iter=cfg.linear_solver_iter,
-                linear_tol=cfg.linear_solver_error)
+            if viscous_mode:
+                dpdu_full = st.dpdu(lib, lay, v)
+                trans0 = ns.viscous.node_transport(lib, lay, v)
+                lam_v = ns.viscous_lambda(
+                    lib, mesh, lay, prm, v, trans0, dpdu_full, None)
+                dt, min_dt, _ = timestep.local_time_step(
+                    mesh, lay, v, prm.cfl, prm.max_dt, lam_visc=lam_v)
+                res, wall_mask, trans, _, jac = ns.ns_assemble(
+                    lib, lay, mesh, prm, bcs, v, dt, implicit=True)
+                u = ns.enforce_wall_velocity(lay, u, wall_mask)
+                rhs = -res
+                dinv = blockcsr.block_jacobi_factor(jac)
+                solver = krylov.bcgstab if cfg.linear_solver == "BCGSTAB" \
+                    else krylov.fgmres
+                sol, _, iters = solver(
+                    lambda x: blockcsr.matvec(mesh, jac, x),
+                    lambda r: blockcsr.block_jacobi_apply(dinv, r),
+                    rhs, max_iter=cfg.linear_solver_iter,
+                    tol=cfg.linear_solver_error)
+                u_new = jnp.clip(u + cfg.relaxation_factor_flow * sol,
+                                 lower, upper)
+                u_new = ns.enforce_wall_velocity(lay, u_new, wall_mask)
+                rms = jnp.sqrt(jnp.mean(rhs * rhs, axis=0))
+                rmax = jnp.abs(rhs).max(axis=0)
+            else:
+                dt, min_dt, _ = timestep.local_time_step(
+                    mesh, lay, v, prm.cfl, prm.max_dt)
+                u_new, rms, rmax, iters = es.implicit_euler_update(
+                    lib, lay, mesh, prm, bcs, u, v, dt, lower, upper,
+                    relax=cfg.relaxation_factor_flow,
+                    linear_solver=cfg.linear_solver,
+                    linear_iter=cfg.linear_solver_iter,
+                    linear_tol=cfg.linear_solver_error)
             return u_new, v[:, lay.T], rms, rmax, nonphys.sum(), min_dt
 
         return step

@@ -41,6 +41,9 @@ class DualGrid:
     # Boundary data per marker tag:
     bnd_nodes: dict[str, np.ndarray] = field(default_factory=dict)    # (nV,) int32
     bnd_normal: dict[str, np.ndarray] = field(default_factory=dict)   # (nV, ndim)
+    bnd_nn: dict[str, np.ndarray] = field(default_factory=dict)       # (nV,) int32
+    # nearest interior neighbor along the wall normal (SU2's Normal_Neighbor,
+    # CPhysicalGeometry::FindNormal_Neighbor)
 
     @property
     def npoint(self) -> int:
@@ -223,9 +226,28 @@ def build_dual_grid(mesh: RawMesh, max_degree: int | None = None) -> DualGrid:
         bnd_nodes[tag] = nodes.astype(np.int64)
         bnd_normal[tag] = acc[nodes]
 
+    # normal neighbors: for each boundary node, the neighbor most aligned
+    # with the (inward) vertex normal (FindNormal_Neighbor equivalent)
+    bnd_nn: dict[str, np.ndarray] = {}
+    for tag in bnd_nodes:
+        nodes = bnd_nodes[tag]
+        nn = np.empty(len(nodes), dtype=np.int64)
+        for k, p in enumerate(nodes):
+            nrm = bnd_normal[tag][k]
+            best, best_cos = p, -np.inf
+            for q in node_nbrs[p]:
+                if q == p:
+                    continue
+                d = coords[q] - coords[p]
+                c = (d @ nrm) / (np.linalg.norm(d) + 1e-300)
+                if c > best_cos:
+                    best_cos, best = c, q
+            nn[k] = best
+        bnd_nn[tag] = nn
+
     return DualGrid(
         ndim=2, coords=coords, volume=volume,
         edges=edges.astype(np.int64), edge_normal=edge_normal,
         node_edges=node_edges, node_edge_sign=node_sign, node_nbrs=node_nbrs,
-        bnd_nodes=bnd_nodes, bnd_normal=bnd_normal,
+        bnd_nodes=bnd_nodes, bnd_normal=bnd_normal, bnd_nn=bnd_nn,
     )

@@ -36,6 +36,7 @@ class MeshArrays:
     n_neighbors: jax.Array   # (nP,) int32
     bnd_accum_normal: jax.Array  # (nP, d) sum of vertex normals over markers
     markers: dict            # tag -> (nodes (nV,) int32, normal (nV, d))
+    marker_nn: dict          # tag -> (nV,) int32 normal-neighbor node ids
 
     def scatter_edges(self, edge_vals: jax.Array) -> jax.Array:
         """Accumulate per-edge values to nodes with +/- orientation.
@@ -62,7 +63,7 @@ jax.tree_util.register_dataclass(
     MeshArrays,
     data_fields=["coords", "volume", "edges", "edge_normal", "edge_area",
                  "node_edges", "node_sign", "node_nbrs", "nbr_mask",
-                 "n_neighbors", "bnd_accum_normal", "markers"],
+                 "n_neighbors", "bnd_accum_normal", "markers", "marker_nn"],
     meta_fields=["ndim", "npoint", "nedge", "max_degree"],
 )
 
@@ -77,6 +78,7 @@ def mesh_arrays(grid: DualGrid, dtype=jnp.float64) -> MeshArrays:
 
     markers = {tag: (i(grid.bnd_nodes[tag]), f(grid.bnd_normal[tag]))
                for tag in grid.bnd_nodes}
+    marker_nn = {tag: i(grid.bnd_nn[tag]) for tag in grid.bnd_nn}
     area = np.linalg.norm(grid.edge_normal, axis=1)
     nnb = (grid.node_edges < grid.nedge).sum(axis=1)
 
@@ -89,5 +91,5 @@ def mesh_arrays(grid: DualGrid, dtype=jnp.float64) -> MeshArrays:
         node_nbrs=i(grid.node_nbrs),
         nbr_mask=f((grid.node_edges < grid.nedge).astype(np.float64)),
         n_neighbors=i(nnb),
-        bnd_accum_normal=f(bnd_accum), markers=markers,
+        bnd_accum_normal=f(bnd_accum), markers=markers, marker_nn=marker_nn,
     )

@@ -41,17 +41,18 @@ def max_lambda_inv(mesh: MeshArrays, lay: Layout, v: jnp.ndarray) -> jnp.ndarray
 
 def local_time_step(mesh: MeshArrays, lay: Layout, v: jnp.ndarray,
                     cfl: float, max_dt: float = 1e6,
-                    lam_extra: jnp.ndarray | None = None):
-    """Per-node dt = CFL*Vol/lambda with the reference's guards.
-
-    lam_extra: optional viscous spectral radius contribution added with the
-    NS weighting (caller pre-scales it).  Returns (dt, min_dt, max_dt_seen).
+                    lam_visc: jnp.ndarray | None = None, k_v: float = 0.25):
+    """Per-node dt = CFL*Vol/lambda_inv with the reference's guards; with a
+    viscous spectral radius, dt = min(dt_inv, CFL*K_v*Vol^2/lambda_visc)
+    (NS SetTime_Step, solver_direct_reactive.cpp:5216-5220).
+    Returns (dt, min_dt, max_dt_seen).
     """
     lam = max_lambda_inv(mesh, lay, v)
-    if lam_extra is not None:
-        lam = lam + lam_extra
     vol_ok = mesh.volume > EPS
     dt = jnp.where(vol_ok, cfl * mesh.volume / jnp.where(lam > 0, lam, 1.0), 0.0)
+    if lam_visc is not None:
+        dt_v = cfl * k_v * mesh.volume ** 2 / jnp.where(lam_visc > 0, lam_visc, 1.0)
+        dt = jnp.where(vol_ok, jnp.minimum(dt, dt_v), 0.0)
     dt_pos = jnp.where(vol_ok, dt, jnp.inf)
     min_dt = dt_pos.min()
     max_dt_seen = jnp.where(vol_ok, dt, 0.0).max()

@@ -1,0 +1,390 @@
+"""Viscous fluxes: avg-gradient + Stefan-Maxwell diffusion + SST closures.
+
+Batched re-implementation of CAvgGradReactive_Boundary / CAvgGradReactive_Flow
+(reference: SU2_CFD/src/numerics_direct_reactive.cpp:385-1684):
+
+  * face state = arithmetic mean primitives; harmonic-mean mu, kappa, Dij
+  * species diffusion flux Jd from the Stefan-Maxwell system
+    (Gamma + alpha y 1^T) Jd = -grad(X).N  — the reference runs Eigen BiCGSTAB
+    per face at tol 1e-11; here all faces solve at once via batched dense LU
+    (Ns <= O(10) so the direct solve is both faster and more accurate)
+  * interior faces ("Flow") correct the mean gradient with the edge-projected
+    difference; boundary faces ("Boundary") don't
+  * SST closure adds the Boussinesq Reynolds stress (incl. -2/3 rho k I),
+    turbulent species/enthalpy transport via mass-fraction gradients obtained
+    from the molar->mass operator, and the TKE transport term
+  * approximate Jacobians via dF/dV . dV/dU (thin-shear-layer style)
+
+Node-level transport properties mirror CReactiveNSVariable::SetPrimVar
+(variable_direct_reactive.cpp:1188-1229): Wilke mu/kappa, Fuller Dij evaluated
+at P in atm and converted cm^2/s -> m^2/s.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from su2_tpu.chemistry import library as cl
+from su2_tpu.chemistry.library import ChemLib
+from su2_tpu.geometry.mesh_data import MeshArrays
+from su2_tpu.state import Layout
+
+EPS = 1e-16
+TWO3 = 2.0 / 3.0
+
+
+@dataclass(frozen=True)
+class Transport:
+    mu: jax.Array      # (N,) laminar viscosity
+    kappa: jax.Array   # (N,) thermal conductivity
+    dij: jax.Array     # (N, S, S) binary diffusion [m^2/s]
+
+
+jax.tree_util.register_dataclass(
+    Transport, data_fields=["mu", "kappa", "dij"], meta_fields=[])
+
+
+@dataclass(frozen=True)
+class TurbFlowData:
+    """Per-node SST quantities the mean-flow viscous path consumes."""
+    tke: jax.Array       # (N,) turbulent kinetic energy (solution 0)
+    mu_t: jax.Array      # (N,) eddy viscosity
+    grad_tke: jax.Array  # (N, d)
+    sigma_k: jax.Array   # (N,) blended sigma_k from the SST variable
+
+
+jax.tree_util.register_dataclass(
+    TurbFlowData, data_fields=["tke", "mu_t", "grad_tke", "sigma_k"],
+    meta_fields=[])
+
+
+def node_transport(lib: ChemLib, lay: Layout, v: jax.Array) -> Transport:
+    t = v[:, lay.T]
+    p = v[:, lay.P]
+    ys = v[:, lay.YS:lay.YS + lay.ns]
+    mu = cl.mixture_viscosity(lib, t, ys)
+    kappa = cl.mixture_conductivity(lib, t, ys)
+    dij = cl.binary_diffusion(lib, t, p / 101325.0) / 1.0e4
+    return Transport(mu=mu, kappa=kappa, dij=dij)
+
+
+def ns_gradient_vars(lib: ChemLib, lay: Layout, v: jax.Array) -> jax.Array:
+    """[T, u, v, (w), P, X_1..X_Ns] — NS gradient set with MOLE fractions
+    (CReactiveNSSolver gradient routines, solver_direct_reactive.cpp:4784)."""
+    xs = cl.molar_from_mass(lib, v[:, lay.YS:lay.YS + lay.ns])
+    return jnp.concatenate([
+        v[:, lay.T:lay.T + 1], v[:, lay.VX:lay.VX + lay.ndim],
+        v[:, lay.P:lay.P + 1], xs], axis=1)
+
+
+def _harmonic(a, b):
+    return 2.0 / (1.0 / a + 1.0 / b)
+
+
+def _molar2mass_operator(lib: ChemLib, ys, xs):
+    """M_tilde (Get_Molar2MassGrad_Operator, numerics_direct_reactive.cpp
+    :855-880): maps mass-fraction gradients to molar-fraction gradients."""
+    s = lib.nspecies
+    sigma = xs.sum(-1)
+    mtot = lib.mm.sum()
+    eye = jnp.eye(s, dtype=ys.dtype)
+    diag = mtot / lib.mm * (ys - xs + sigma[..., None])          # (.., S)
+    off = mtot * (ys[..., :, None] / lib.mm[:, None]
+                  - xs[..., :, None] / lib.mm[None, :])          # (.., S, S)
+    return eye * diag[..., :, None] + (1.0 - eye) * off
+
+
+def _stefan_maxwell_jd(lib, rho, xs, ys, dij, grad_xs_norm):
+    """Solve (Gamma + alpha y 1^T) Jd = -grad_xs_norm (Solve_SM, :451-470)."""
+    gamma = cl.stefan_maxwell_gamma(lib, rho, xs, ys, dij)
+    alpha = 1.0 / (rho * dij.max(axis=(-2, -1)))
+    gt = gamma + (alpha[..., None] * ys)[..., :, None]
+    return jnp.linalg.solve(gt, -grad_xs_norm[..., None])[..., 0], alpha
+
+
+def _effective_ds(lib, xs, dij):
+    """Mean effective diffusion with the reference's NaN guard (:556-575)."""
+    eye = jnp.eye(lib.nspecies, dtype=xs.dtype)
+    denom = jnp.einsum("...ij,...j->...i", (1.0 - eye) / dij, xs)
+    ds = (1.0 - xs) / jnp.where(denom == 0.0, 1.0, denom)
+    return jnp.where((denom == 0.0) | ~jnp.isfinite(ds), 0.0, ds)
+
+
+def viscous_flux(lib: ChemLib, lay: Layout, v_i, v_j, grad_i, grad_j,
+                 normal, trans_i: dict, trans_j: dict,
+                 coord_i=None, coord_j=None, corrected=False,
+                 turb_i: dict | None = None, turb_j: dict | None = None,
+                 sigma_k=None, prandtl_turb: float = 0.9,
+                 lewis_turb: float = 1.2,
+                 s_i=None, s_j=None):
+    """Projected viscous flux over a batch of faces; optional Jacobians.
+
+    v_*: (nF, nPrim); grad_*: (nF, nG, d) gradients of the NS variable set
+    [T, u.., P, X..]; normal: (nF, d) area normal; trans_*: dicts with
+    mu/kappa/dij rows; turb_*: dicts with tke/mu_t/grad_tke rows (or None).
+    s_*: dT/dU rows (the viscous 'Secondary') — when given, approximate
+    Jacobians are returned.
+
+    Returns flux (nF, nVar) [, jac_i, jac_j].  The flux is the reference's
+    Proj_Flux_Tensor: the caller SUBTRACTS it at node i and ADDS it at j.
+    """
+    nd = lay.ndim
+    ns = lay.ns
+    nf = v_i.shape[0]
+    area = jnp.linalg.norm(normal, axis=-1)
+    unit = normal / area[:, None]
+
+    mu = _harmonic(trans_i["mu"], trans_j["mu"])
+    ktr = _harmonic(trans_i["kappa"], trans_j["kappa"])
+    dij = _harmonic(trans_i["dij"], trans_j["dij"])
+
+    vmean = 0.5 * (v_i + v_j)
+    rho = vmean[:, lay.PRHO]
+    tmean = vmean[:, lay.T]
+    ys = vmean[:, lay.YS:lay.YS + ns]
+    ysc = cl.clip_mass_fractions(ys)
+    xs = cl.molar_from_mass(lib, ys)
+
+    # mean gradient of the AVGGRAD set [T, u.., X..] (pressure row dropped)
+    sel = jnp.concatenate([
+        jnp.arange(0, 1 + nd), jnp.arange(2 + nd, 2 + nd + ns)])
+    gmean = 0.5 * (grad_i[:, sel, :] + grad_j[:, sel, :])    # (nF, 1+nd+ns, d)
+
+    if corrected:
+        # edge-projection correction (CAvgGradReactive_Flow, :1507-1527)
+        evec = coord_j - coord_i
+        dist2 = jnp.sum(evec * evec, axis=-1)
+        xs_i = cl.molar_from_mass(lib, v_i[:, lay.YS:lay.YS + ns])
+        xs_j = cl.molar_from_mass(lib, v_j[:, lay.YS:lay.YS + ns])
+        diff = jnp.concatenate([
+            (v_j[:, lay.T] - v_i[:, lay.T])[:, None],
+            v_j[:, lay.VX:lay.VX + nd] - v_i[:, lay.VX:lay.VX + nd],
+            xs_j - xs_i], axis=1)                            # (nF, 1+nd+ns)
+        proj = jnp.einsum("fgd,fd->fg", gmean, evec)
+        gmean = gmean - ((proj - diff) / dist2[:, None])[:, :, None] \
+            * evec[:, None, :]
+
+    g_t = gmean[:, 0, :]                                     # (nF, d)
+    g_vel = gmean[:, 1:1 + nd, :]                            # (nF, nd(comp), d)
+    g_xs = gmean[:, 1 + nd:, :]                              # (nF, ns, d)
+
+    # stress tensor tau
+    div_vel = jnp.einsum("fdd->f", g_vel)
+    tau = mu[:, None, None] * (g_vel + jnp.swapaxes(g_vel, 1, 2))
+    tau = tau - (TWO3 * mu * div_vel)[:, None, None] * jnp.eye(nd, dtype=v_i.dtype)
+
+    vel = vmean[:, lay.VX:lay.VX + nd]
+    h_s = cl.species_enthalpy(lib, tmean)                    # (nF, ns)
+
+    # Stefan-Maxwell diffusion flux from the normal-projected X gradient
+    grad_xs_norm = jnp.einsum("fsd,fd->fs", g_xs, normal)
+    jd, alpha = _stefan_maxwell_jd(lib, rho, xs, ysc, dij, grad_xs_norm)
+
+    flux = jnp.zeros((nf, lay.nvar), dtype=v_i.dtype)
+    flux = flux.at[:, lay.RHO].set(-jd.sum(-1))
+    flux = flux.at[:, lay.RHOS:lay.RHOS + ns].set(-jd)
+    e_heat = -jnp.einsum("fs,fs->f", h_s, jd)
+
+    # momentum + energy projections
+    mom = jnp.einsum("fij,fi->fj", tau, normal)  # tau[i][j]*Normal[i]
+    e_tau = jnp.einsum("fij,fj,fi->f", tau, vel, normal)
+    e_cond = ktr * jnp.einsum("fd,fd->f", g_t, normal)
+
+    turb_terms = None
+    if turb_i is not None:
+        mu_t = _harmonic(turb_i["mu_t"], turb_j["mu_t"])
+        tke = 0.5 * (turb_i["tke"] + turb_j["tke"])
+        g_k = 0.5 * (turb_i["grad_tke"] + turb_j["grad_tke"])
+        # Reynolds stress (Boussinesq + -2/3 rho k I)
+        tau_t = mu_t[:, None, None] * (g_vel + jnp.swapaxes(g_vel, 1, 2))
+        tau_t = tau_t - (TWO3 * (mu_t * div_vel + tke * rho))[:, None, None] \
+            * jnp.eye(nd, dtype=v_i.dtype)
+        mom = mom + jnp.einsum("fij,fi->fj", tau_t, normal)
+        e_tau = e_tau + jnp.einsum("fij,fj,fi->f", tau_t, vel, normal)
+        # mass-fraction gradients via the molar->mass operator
+        m_tilde = _molar2mass_operator(lib, ysc, xs)         # (nF, S, S)
+        gy = jnp.linalg.solve(m_tilde[:, None, :, :],
+                              jnp.swapaxes(g_xs, 1, 2)[..., None])[..., 0]
+        gy = jnp.swapaxes(gy, 1, 2)                           # (nF, S, d)
+        gy = jnp.where(jnp.abs(g_xs) < 1e-8, 0.0, gy)
+        cp_s = cl.species_cp(lib, tmean)
+        cmt = mu_t / (prandtl_turb * lewis_turb)
+        # turbulent species transport
+        flux = flux.at[:, lay.RHOS:lay.RHOS + ns].add(
+            cmt[:, None] * jnp.einsum("fsd,fd->fs", gy, normal))
+        # Fick's-law enthalpy closure + sensible-enthalpy closure
+        e_heat = e_heat + cmt * jnp.einsum(
+            "fs,fs,fsd,fd->f", h_s, ysc, gy, normal)
+        e_cond = e_cond + (mu_t / prandtl_turb) * jnp.einsum(
+            "fs,fs->f", cp_s, ysc) * jnp.einsum("fd,fd->f", g_t, normal)
+        # TKE transport (Wilcox closure with the fork's /sigma_k form)
+        sk = sigma_k if sigma_k is not None else jnp.ones_like(mu_t)
+        e_cond = e_cond + (mu + mu_t / sk) * jnp.einsum("fd,fd->f", g_k, normal)
+        turb_terms = dict(mu_t=mu_t, tke=tke, gy=gy, cp_s=cp_s, cmt=cmt)
+
+    flux = flux.at[:, lay.RHOVX:lay.RHOVX + nd].set(mom)
+    flux = flux.at[:, lay.RHOE].set(e_tau + e_cond + e_heat)
+
+    if s_i is None:
+        return flux
+
+    # -------------------------------------------------- approximate Jacobian
+    if not corrected:
+        dist2 = jnp.sum((coord_j - coord_i) ** 2, axis=-1)
+    dist = jnp.sqrt(dist2)
+    grad_xs_n_unit = grad_xs_norm / area[:, None]
+    xs_i_full = cl.molar_from_mass(lib, v_i[:, lay.YS:lay.YS + ns])
+    xs_j_full = cl.molar_from_mass(lib, v_j[:, lay.YS:lay.YS + ns])
+    ds_i = _effective_ds(lib, xs_i_full, trans_i["dij"])
+    ds_j = _effective_ds(lib, xs_j_full, trans_j["dij"])
+    ds = 0.5 * (ds_i + ds_j)
+
+    jac_i, jac_j = _viscous_jacobians(
+        lib, lay, v_i, v_j, vmean, mu, ktr, ds, xs, xs_i_full, xs_j_full,
+        grad_xs_n_unit, jd, dist, area, unit, s_i, s_j, flux,
+        turb_terms, ysc, h_s, prandtl_turb, lewis_turb, tmean)
+    return flux, jac_i, jac_j
+
+
+def _viscous_jacobians(lib, lay, v_i, v_j, vmean, mu, ktr, ds, xs,
+                       xs_i, xs_j, grad_xs_norm, jd, dist, area, unit,
+                       s_i, s_j, flux, turb_terms, ys, h_s,
+                       prandtl_turb, lewis_turb, tmean):
+    """dF/dV . dV/dU (SetLaminarViscousProjJacs, :1200-1409 and
+    SST_Reactive_JacobianClosure, :891-1097)."""
+    nd = lay.ndim
+    ns = lay.ns
+    nvar = lay.nvar
+    nf = v_i.shape[0]
+    dtype = v_i.dtype
+
+    cp_s = cl.species_cp(lib, tmean)
+    mm = lib.mm
+    tot_mass = jnp.einsum("s,fs->f", mm, xs)
+    tot_mass_i = jnp.einsum("s,fs->f", mm, xs_i)
+    tot_mass_j = jnp.einsum("s,fs->f", mm, xs_j)
+    sigma_i = xs_i.sum(-1)
+    sigma_j = xs_j.sum(-1)
+    rho = vmean[:, lay.PRHO]
+    rho_i = v_i[:, lay.PRHO]
+    rho_j = v_j[:, lay.PRHO]
+
+    # ---- dJ/dr species blocks dJdr[s][k] (reference :1260-1293) ------------
+    # side j uses the bracket with +, side i with -, and both add the same-
+    # signed grad-based diagonal extra.
+    def djdr(xs_side, tot_side, sigma_side, rho_side, sgn):
+        c = rho / (tot_mass * dist * sigma_side * rho_side)          # (nF,)
+        t1 = -(mm * ds) * xs_side * c[:, None]                       # (nF,S) row s
+        t2 = ys * ((mm * ds * xs_side).sum(-1) * c)[:, None]         # (nF,S) row s
+        ck = rho * tot_side * sigma_side / (dist * tot_mass * rho_side)
+        t3_col = ds * ck[:, None]                                    # (nF,S) col k
+        out = (t1 + t2)[:, :, None] + ys[:, :, None] * t3_col[:, None, :]
+        t4_diag = -ds * ck[:, None]                                  # (nF,S)
+        out = out + jnp.eye(ns, dtype=dtype) * t4_diag[:, :, None]
+        out = sgn * out
+        extra = (0.5 * rho / (tot_mass * rho_side)) * \
+            (mm * ds * grad_xs_norm).sum(-1)
+        out = out + jnp.eye(ns, dtype=dtype) * extra[:, None, None]
+        return out
+
+    djdr_j = djdr(xs_j, tot_mass_j, sigma_j, rho_j, 1.0)
+    djdr_i = djdr(xs_i, tot_mass_i, sigma_i, rho_i, -1.0)
+
+    # ---- dV/dU transformation ---------------------------------------------
+    def dvdu(vrow, srow):
+        m = jnp.zeros((nf, nvar, nvar), dtype=dtype)
+        m = m.at[:, lay.RHO, lay.RHO].set(1.0)
+        idx = jnp.arange(ns)
+        m = m.at[:, lay.RHOS + idx, lay.RHOS + idx].set(1.0)
+        rho_l = vrow[:, lay.PRHO]
+        for d in range(nd):
+            m = m.at[:, lay.RHOVX + d, lay.RHO].set(
+                -vrow[:, lay.VX + d] / rho_l)
+            m = m.at[:, lay.RHOVX + d, lay.RHOVX + d].set(1.0 / rho_l)
+        m = m.at[:, lay.RHOE, :].set(srow)
+        return m
+
+    dvdu_i = dvdu(v_i, s_i)
+    dvdu_j = dvdu(v_j, s_j)
+
+    # ---- dF/dV ------------------------------------------------------------
+    theta = jnp.sum(unit * unit, axis=-1)                      # == 1
+    thetad = theta[:, None] + unit * unit / 3.0                # (nF, d)
+    # eta for 2D: unit_x*unit_y/3
+    dfdv_j = jnp.zeros((nf, nvar, nvar), dtype=dtype)
+    coef = (mu / dist * area)
+    if nd == 2:
+        etaz = unit[:, 0] * unit[:, 1] / 3.0
+        pix = vmean[:, lay.VX] * thetad[:, 0] + vmean[:, lay.VX + 1] * etaz
+        piy = vmean[:, lay.VX] * etaz + vmean[:, lay.VX + 1] * thetad[:, 1]
+        dfdv_j = dfdv_j.at[:, lay.RHOVX, lay.RHOVX].set(coef * thetad[:, 0])
+        dfdv_j = dfdv_j.at[:, lay.RHOVX, lay.RHOVX + 1].set(coef * etaz)
+        dfdv_j = dfdv_j.at[:, lay.RHOVX + 1, lay.RHOVX].set(coef * etaz)
+        dfdv_j = dfdv_j.at[:, lay.RHOVX + 1, lay.RHOVX + 1].set(coef * thetad[:, 1])
+        dfdv_j = dfdv_j.at[:, lay.RHOE, lay.RHOVX].set(coef * pix)
+        dfdv_j = dfdv_j.at[:, lay.RHOE, lay.RHOVX + 1].set(coef * piy)
+    else:
+        raise NotImplementedError("3D viscous Jacobians land with 3D support")
+    dfdv_j = dfdv_j.at[:, lay.RHOE, lay.RHOE].set(ktr * theta / dist * area)
+    dfdv_i = -dfdv_j
+
+    # shared Cp-weighted Jd term on the energy diagonal
+    jd_cp = -0.5 * jnp.einsum("fs,fs->f", jd, cp_s)
+    dfdv_i = dfdv_i.at[:, lay.RHOE, lay.RHOE].add(jd_cp)
+    dfdv_j = dfdv_j.at[:, lay.RHOE, lay.RHOE].add(jd_cp)
+
+    # species / density / energy rows from dJ/dr (col 0 is zero in the ref)
+    a = area[:, None, None]
+    dfdv_j = dfdv_j.at[:, lay.RHOS:lay.RHOS + ns,
+                       lay.RHOS:lay.RHOS + ns].set(-djdr_j * a)
+    dfdv_i = dfdv_i.at[:, lay.RHOS:lay.RHOS + ns,
+                       lay.RHOS:lay.RHOS + ns].set(-djdr_i * a)
+    dfdv_j = dfdv_j.at[:, lay.RHO, lay.RHOS:lay.RHOS + ns].add(
+        (-djdr_j * a).sum(1))
+    dfdv_i = dfdv_i.at[:, lay.RHO, lay.RHOS:lay.RHOS + ns].add(
+        (-djdr_i * a).sum(1))
+    dfdv_j = dfdv_j.at[:, lay.RHOE, lay.RHOS:lay.RHOS + ns].add(
+        -jnp.einsum("fjs,fj->fs", djdr_j, h_s) * area[:, None])
+    dfdv_i = dfdv_i.at[:, lay.RHOE, lay.RHOS:lay.RHOS + ns].add(
+        -jnp.einsum("fjs,fj->fs", djdr_i, h_s) * area[:, None])
+
+    # ---- SST closure Jacobian (2D path, :911-983) --------------------------
+    if turb_terms is not None:
+        mu_t = turb_terms["mu_t"]
+        gy = turb_terms["gy"]
+        cmt = turb_terms["cmt"]
+        coef_t = mu_t / dist * area
+        if nd == 2:
+            add = jnp.zeros_like(dfdv_j)
+            add = add.at[:, lay.RHOVX, lay.RHOVX].set(coef_t * thetad[:, 0])
+            add = add.at[:, lay.RHOVX, lay.RHOVX + 1].set(coef_t * etaz)
+            add = add.at[:, lay.RHOVX + 1, lay.RHOVX].set(coef_t * etaz)
+            add = add.at[:, lay.RHOVX + 1, lay.RHOVX + 1].set(coef_t * thetad[:, 1])
+            add = add.at[:, lay.RHOE, lay.RHOVX].set(coef_t * pix)
+            add = add.at[:, lay.RHOE, lay.RHOVX + 1].set(coef_t * piy)
+            cpy = jnp.einsum("fs,fs->f", cp_s, ys)
+            add = add.at[:, lay.RHOE, lay.RHOE].add(
+                mu_t / prandtl_turb * cpy * theta / dist * area)
+            add = add.at[:, lay.RHOE, lay.RHOS:lay.RHOS + ns].add(
+                (cmt / dist * area)[:, None] * h_s * ys / rho_j[:, None] * theta[:, None])
+            dfdv_j = dfdv_j + add
+            sub = add.at[:, lay.RHOE, lay.RHOS:lay.RHOS + ns].set(
+                (cmt / dist * area)[:, None] * h_s * ys / rho_i[:, None] * theta[:, None])
+            dfdv_i = dfdv_i - sub
+        # common energy-diagonal term with mass gradients
+        aux = jnp.einsum("fsd,fd->fs", gy, unit)
+        com = jnp.einsum("f,fs,fs,fs->f", cmt, cp_s, ys, aux) * area
+        dfdv_i = dfdv_i.at[:, lay.RHOE, lay.RHOE].add(com)
+        dfdv_j = dfdv_j.at[:, lay.RHOE, lay.RHOE].add(com)
+
+    # common flux-dependent term on the energy/velocity entries
+    half_mom = 0.5 * flux[:, lay.RHOVX:lay.RHOVX + nd]
+    dfdv_i = dfdv_i.at[:, lay.RHOE, lay.RHOVX:lay.RHOVX + nd].add(half_mom)
+    dfdv_j = dfdv_j.at[:, lay.RHOE, lay.RHOVX:lay.RHOVX + nd].add(half_mom)
+
+    jac_i = jnp.einsum("fik,fkj->fij", dfdv_i, dvdu_i)
+    jac_j = jnp.einsum("fik,fkj->fij", dfdv_j, dvdu_j)
+    return jac_i, jac_j

@@ -44,10 +44,11 @@ class BCMarker:
     nodes: jax.Array          # (nV,) int32
     normal: jax.Array         # (nV, d) stored (inward) vertex normals
     params: dict              # kind-specific jnp arrays / scalars
+    nn: jax.Array | None = None  # (nV,) normal-neighbor node ids
 
 
 jax.tree_util.register_dataclass(
-    BCMarker, data_fields=["nodes", "normal", "params"],
+    BCMarker, data_fields=["nodes", "normal", "params", "nn"],
     meta_fields=["kind", "tag", "inlet_mode"])
 
 
@@ -56,44 +57,37 @@ def build_bc_markers(cfg: Config, lib: ChemLib, mesh: MeshArrays,
     out = []
     f = lambda x: jnp.asarray(x, dtype=dtype)
 
-    def marker_geom(tag):
+    def geom(tag):
         nodes, normal = mesh.markers[tag]
-        return nodes, normal
+        return dict(nodes=nodes, normal=normal, nn=mesh.marker_nn[tag])
 
     for tag in cfg.marker_euler:
-        nodes, normal = marker_geom(tag)
-        out.append(BCMarker("euler_wall", tag, "", nodes, normal, {}))
+        out.append(BCMarker("euler_wall", tag, "", params={}, **geom(tag)))
     for tag, temp in cfg.marker_isothermal.items():
-        nodes, normal = marker_geom(tag)
-        out.append(BCMarker("isothermal_wall", tag, "", nodes, normal,
-                            {"twall": f(temp)}))
+        out.append(BCMarker("isothermal_wall", tag, "",
+                            params={"twall": f(temp)}, **geom(tag)))
     for tag, flux in cfg.marker_heatflux.items():
-        nodes, normal = marker_geom(tag)
-        out.append(BCMarker("heatflux_wall", tag, "", nodes, normal,
-                            {"qwall": f(flux)}))
+        out.append(BCMarker("heatflux_wall", tag, "",
+                            params={"qwall": f(flux)}, **geom(tag)))
     for tag, (v1, v2, fdir) in cfg.marker_inlet.items():
-        nodes, normal = marker_geom(tag)
         ys = cfg.inlet_mass_frac.get(tag, cfg.freestream_mass_frac)
         out.append(BCMarker(
-            "inlet", tag, cfg.inlet_type, nodes, normal,
-            {"v1": f(v1), "v2": f(v2), "flow_dir": f(fdir[:lay.ndim]),
-             "ys": f(ys)}))
+            "inlet", tag, cfg.inlet_type,
+            params={"v1": f(v1), "v2": f(v2), "flow_dir": f(fdir[:lay.ndim]),
+                    "ys": f(ys)}, **geom(tag)))
     for tag, pback in cfg.marker_outlet.items():
-        nodes, normal = marker_geom(tag)
-        out.append(BCMarker("outlet", tag, "", nodes, normal,
-                            {"p_exit": f(pback)}))
+        out.append(BCMarker("outlet", tag, "",
+                            params={"p_exit": f(pback)}, **geom(tag)))
     for tag, (t, p, vel) in cfg.marker_supersonic_inlet.items():
-        nodes, normal = marker_geom(tag)
         ys = cfg.inlet_mass_frac.get(tag, cfg.freestream_mass_frac)
-        out.append(BCMarker("supersonic_inlet", tag, "", nodes, normal,
-                            {"t": f(t), "p": f(p), "vel": f(vel[:lay.ndim]),
-                             "ys": f(ys)}))
+        out.append(BCMarker("supersonic_inlet", tag, "",
+                            params={"t": f(t), "p": f(p),
+                                    "vel": f(vel[:lay.ndim]), "ys": f(ys)},
+                            **geom(tag)))
     for tag in cfg.marker_supersonic_outlet:
-        nodes, normal = marker_geom(tag)
-        out.append(BCMarker("supersonic_outlet", tag, "", nodes, normal, {}))
+        out.append(BCMarker("supersonic_outlet", tag, "", params={}, **geom(tag)))
     for tag in cfg.marker_far:
-        nodes, normal = marker_geom(tag)
-        out.append(BCMarker("far_field", tag, "", nodes, normal, {}))
+        out.append(BCMarker("far_field", tag, "", params={}, **geom(tag)))
     return tuple(out)
 
 

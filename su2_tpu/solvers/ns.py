@@ -1,0 +1,298 @@
+"""Reactive Navier-Stokes solver layer.
+
+Extends the Euler assembly with viscous edge fluxes, viscous BC
+contributions, strong no-slip wall conditions and the viscous time step
+(reference: CReactiveNSSolver, SU2_CFD/src/solver_direct_reactive.cpp:4131-6354).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+
+import jax
+import jax.numpy as jnp
+
+from su2_tpu.chemistry import library as cl
+from su2_tpu.chemistry.library import ChemLib
+from su2_tpu.geometry.mesh_data import MeshArrays
+from su2_tpu.linalg.blockcsr import BlockJacobian
+from su2_tpu.ops import gradients, limiters, viscous
+from su2_tpu.ops.viscous import Transport, TurbFlowData
+from su2_tpu.solvers import euler as es
+from su2_tpu import state as st
+from su2_tpu.state import Layout
+
+EPS = 1e-16
+K_V = 0.25   # viscous CFL coefficient (SU2 K_v)
+
+
+@dataclass(frozen=True)
+class NSParams(es.EulerParams):
+    prandtl_lam: float = 0.72
+    prandtl_turb: float = 0.90
+    lewis_turb: float = 1.2
+    viscous_limiter: bool = False
+
+
+def _trans_rows(trans: Transport, idx):
+    return {"mu": trans.mu[idx], "kappa": trans.kappa[idx],
+            "dij": trans.dij[idx]}
+
+
+def _turb_rows(turb: TurbFlowData | None, idx):
+    if turb is None:
+        return None
+    return {"mu_t": turb.mu_t[idx], "tke": turb.tke[idx],
+            "grad_tke": turb.grad_tke[idx]}
+
+
+def viscous_lambda(lib: ChemLib, mesh: MeshArrays, lay: Layout, prm: NSParams,
+                   v, trans, dpdu_full, turb: TurbFlowData | None):
+    """Accumulated viscous spectral radius (SetTime_Step NS branch,
+    solver_direct_reactive.cpp:5132-5152).
+
+    RANS: lam1 = 4/3 (mu + mu_t), lam2 = (1 + Pr_l/Pr_t mu_t/mu) gamma mu/Pr_l
+    laminar: lam1 = 4/3 mu, lam2 = kappa/Cv with Cv := Cp/gamma (the
+    reference's Mean_CV uses Cp/(dPdU[rhoE]+1)).
+    """
+    gamma = dpdu_full[:, lay.RHOE] + 1.0
+    cpg = cl.mixture_cp(lib, v[:, lay.T], v[:, lay.YS:lay.YS + lay.ns]) / gamma
+
+    def lam12(mu, kappa, mut, gam, cv):
+        if turb is not None:
+            lam1 = 4.0 / 3.0 * (mu + mut)
+            lam2 = (1.0 + (prm.prandtl_lam / prm.prandtl_turb) * (mut / mu)) \
+                * (gam * mu / prm.prandtl_lam)
+        else:
+            lam1 = 4.0 / 3.0 * mu
+            lam2 = kappa / cv
+        return lam1 + lam2
+
+    i, j = mesh.edges[:, 0], mesh.edges[:, 1]
+    mean_rho = 0.5 * (v[i, lay.PRHO] + v[j, lay.PRHO])
+    mean_mu = 0.5 * (trans.mu[i] + trans.mu[j])
+    mean_k = 0.5 * (trans.kappa[i] + trans.kappa[j])
+    mean_cv = 0.5 * (cpg[i] + cpg[j])
+    mean_mut = 0.5 * (turb.mu_t[i] + turb.mu_t[j]) if turb is not None else None
+    # the reference's RANS branch uses gamma at node i only (:5138)
+    lam_e = lam12(mean_mu, mean_k, mean_mut, gamma[i], mean_cv) \
+        * mesh.edge_area ** 2 / mean_rho
+    lam = mesh.sum_edges_abs(lam_e)
+
+    for tag, (nodes, normal) in mesh.markers.items():
+        a = jnp.linalg.norm(normal, axis=1)
+        mut_b = turb.mu_t[nodes] if turb is not None else None
+        lam_b = lam12(trans.mu[nodes], trans.kappa[nodes], mut_b,
+                      gamma[nodes], cpg[nodes]) * a * a / v[nodes, lay.PRHO]
+        lam = lam.at[nodes].add(lam_b)
+    return lam
+
+
+def ns_assemble(lib: ChemLib, lay: Layout, mesh: MeshArrays, prm: NSParams,
+                bcs, v, dt=None, implicit=False,
+                turb: TurbFlowData | None = None, omega_turb=None,
+                sigma_k_edge=None):
+    """Full NS residual (and Jacobian when implicit): convective + viscous +
+    BC + chemistry source + strong wall treatment."""
+    n = v.shape[0]
+    nd, ns_ = lay.ndim, lay.ns
+
+    # gradients of the NS variable set [T, u.., P, X..]
+    q = viscous.ns_gradient_vars(lib, lay, v)
+    grad = es.compute_gradients(mesh, prm, q)
+    if prm.use_limiter:
+        qlim = es.gradient_vars(lay, v)
+        glim = grad[:, :2 + nd, :]
+        if prm.limiter_kind == "BARTH_JESPERSEN":
+            lim = limiters.barth_jespersen(mesh, qlim, glim)
+        else:
+            lim = limiters.venkatakrishnan(
+                mesh, qlim, glim, prm.limiter_coeff, prm.ref_elem_length)
+    else:
+        lim = jnp.ones((n, 2 + nd), dtype=v.dtype)
+
+    dpdu_full = st.dpdu(lib, lay, v)
+    dtdu_full = st.dtdu(lib, lay, v)
+    trans = viscous.node_transport(lib, lay, v)
+    turb_ke = turb.tke if turb is not None else None
+
+    # --- convective part (+ Jacobian) ---
+    grad_euler = grad[:, :2 + nd, :]
+    if implicit:
+        cres, jac = es.convective_system(
+            lib, lay, mesh, prm, v, grad_euler, lim, dpdu_full)
+        diag, off_ij, off_ji = jac.diag, jac.off_ij, jac.off_ji
+    else:
+        cres = es.convective_residual(lib, lay, mesh, prm, v, grad_euler, lim)
+        diag = off_ij = off_ji = None
+    res = cres
+
+    # --- viscous edges ---
+    i, j = mesh.edges[:, 0], mesh.edges[:, 1]
+    vf_args = dict(
+        coord_i=mesh.coords[i], coord_j=mesh.coords[j], corrected=True,
+        turb_i=_turb_rows(turb, i), turb_j=_turb_rows(turb, j),
+        sigma_k=sigma_k_edge, prandtl_turb=prm.prandtl_turb,
+        lewis_turb=prm.lewis_turb)
+    if implicit:
+        vflux, vjac_i, vjac_j = viscous.viscous_flux(
+            lib, lay, v[i], v[j], grad[i], grad[j], mesh.edge_normal,
+            _trans_rows(trans, i), _trans_rows(trans, j),
+            s_i=dtdu_full[i], s_j=dtdu_full[j], **vf_args)
+        diag = diag.at[i].add(-vjac_i)
+        diag = diag.at[j].add(vjac_j)
+        off_ij = off_ij - vjac_j
+        off_ji = off_ji + vjac_i
+    else:
+        vflux = viscous.viscous_flux(
+            lib, lay, v[i], v[j], grad[i], grad[j], mesh.edge_normal,
+            _trans_rows(trans, i), _trans_rows(trans, j), **vf_args)
+    res = res - mesh.scatter_edges(vflux)
+
+    # --- flux BCs: convective + viscous contributions ---
+    dpdu_e = dpdu_full[:, lay.RHOE]
+    for bc in bcs:
+        if bc.kind in ("euler_wall", "isothermal_wall", "heatflux_wall"):
+            continue
+        if bc.kind == "inlet":
+            v_ghost, gamma, vel2 = es.inlet_state(lib, lay, bc, v, dpdu_e, prm.tke_inf)
+        elif bc.kind == "outlet":
+            v_ghost, gamma, vel2, _ = es.outlet_state(lib, lay, bc, v, dpdu_e, prm.tke_inf)
+        elif bc.kind == "supersonic_inlet":
+            v_ghost, gamma, vel2 = es.supersonic_inlet_state(lib, lay, bc, v, prm.tke_inf)
+        elif bc.kind == "supersonic_outlet":
+            v_ghost = v[bc.nodes]
+            gamma = dpdu_e[bc.nodes] + 1.0
+            vel_d = v_ghost[:, lay.VX:lay.VX + nd]
+            vel2 = jnp.sum(vel_d * vel_d, axis=1)
+        else:
+            raise NotImplementedError(bc.kind)
+        s_ghost = es.ghost_dpdu(lib, lay, v_ghost, gamma, vel2)
+        nodes = bc.nodes
+        if implicit:
+            cf, cj_i, _ = es.ausm.ausm_flux(
+                lay, v[nodes], v_ghost, -bc.normal, prm.m_infty,
+                dpdu_full[nodes], s_ghost)
+            diag = diag.at[nodes].add(cj_i)
+        else:
+            cf = es.ausm.ausm_flux(lay, v[nodes], v_ghost, -bc.normal, prm.m_infty)
+        res = res.at[nodes].add(cf)
+        # viscous contribution: domain/ghost states, node-i gradients both
+        # sides, boundary (uncorrected) variant, subtracted
+        bargs = dict(
+            coord_i=mesh.coords[nodes], coord_j=mesh.coords[bc.nn],
+            corrected=False,
+            turb_i=_turb_rows(turb, nodes), turb_j=_turb_rows(turb, nodes),
+            sigma_k=(turb.sigma_k[nodes] if turb is not None else None),
+            prandtl_turb=prm.prandtl_turb, lewis_turb=prm.lewis_turb)
+        if implicit:
+            vf, vj_i, _ = viscous.viscous_flux(
+                lib, lay, v[nodes], v_ghost, grad[nodes], grad[nodes],
+                -bc.normal, _trans_rows(trans, nodes), _trans_rows(trans, nodes),
+                s_i=dtdu_full[nodes], s_j=dtdu_full[nodes], **bargs)
+            diag = diag.at[nodes].add(-vj_i)
+        else:
+            vf = viscous.viscous_flux(
+                lib, lay, v[nodes], v_ghost, grad[nodes], grad[nodes],
+                -bc.normal, _trans_rows(trans, nodes), _trans_rows(trans, nodes),
+                **bargs)
+        res = res.at[nodes].add(-vf)
+
+    # --- euler (slip) walls ---
+    for bc in bcs:
+        if bc.kind == "euler_wall":
+            r = es.euler_wall_residual(lib, lay, bc, v, turb_ke)
+            res = res.at[bc.nodes].add(r)
+            if implicit:
+                diag = diag.at[bc.nodes].add(
+                    es.euler_wall_jacobian(lib, lay, bc, v, dpdu_full))
+
+    # --- chemistry source ---
+    if prm.reactive_sources:
+        if implicit:
+            sres, sdiag = es.chemistry_source_system(
+                lib, lay, mesh, prm, v, dtdu_full, omega_turb)
+            diag = diag + sdiag
+        else:
+            sres = es.chemistry_source_residual(lib, lay, mesh, prm, v, omega_turb)
+        res = res + sres
+
+    # --- strong no-slip walls (isothermal / heatflux) ---
+    wall_mask = jnp.zeros(n, dtype=bool)
+    for bc in bcs:
+        if bc.kind not in ("isothermal_wall", "heatflux_wall"):
+            continue
+        nodes = bc.nodes
+        area = jnp.linalg.norm(bc.normal, axis=1)
+        wall_mask = wall_mask.at[nodes].set(True)
+        if bc.kind == "isothermal_wall":
+            twall = bc.params["twall"]
+            tj = v[bc.nn, lay.T]
+            dij = jnp.linalg.norm(
+                mesh.coords[bc.nn] - mesh.coords[nodes], axis=1)
+            ktr = trans.kappa[nodes]
+            dtdn = (twall - tj) / dij
+            evisc = ktr * dtdn * area
+            turb_ktr = jnp.zeros_like(evisc)
+            if turb is not None:
+                # ALTERNATIVE closure in the reference (:5516-5541):
+                # sum_s mu_t/Pr_t Cp_s rho_s (Twall - Tj)/dij
+                cp_s = cl.species_cp(lib, jnp.full_like(area, twall))
+                rho_s = v[nodes, lay.PRHO, None] * v[nodes, lay.YS:lay.YS + ns_]
+                coef = (turb.mu_t[nodes] / prm.prandtl_turb)[:, None] * cp_s * rho_s
+                evisc = evisc + coef.sum(-1) * dtdn * area
+                turb_ktr = coef.sum(-1)
+            res = res.at[nodes, lay.RHOE].add(-evisc)
+            if implicit:
+                # Jacobian energy row (SubtractBlock of -ktr*dTdU/dij*Area)
+                dtdu_nn = dtdu_full[bc.nn]
+                jrow = jnp.zeros((nodes.shape[0], lay.nvar), dtype=v.dtype)
+                c = (ktr / dij * area)
+                jrow = jrow.at[:, lay.RHO].set(c * dtdu_nn[:, lay.RHO])
+                jrow = jrow.at[:, lay.RHOE].set(
+                    c * dtdu_nn[:, lay.RHOE]
+                    + turb_ktr / dij * area * dtdu_nn[:, lay.RHOE])
+                sl = jnp.arange(ns_)
+                jrow = jrow.at[:, lay.RHOS + sl].set(
+                    c[:, None] * dtdu_nn[:, lay.RHOS + sl])
+                diag = diag.at[nodes, lay.RHOE, :].add(jrow)
+        else:
+            qwall = bc.params["qwall"]
+            res = res.at[nodes, lay.RHOE].add(-qwall * area)
+
+    # zero momentum residual rows at strong walls
+    res = jnp.where(wall_mask[:, None],
+                    res.at[:, lay.RHOVX:lay.RHOVX + nd].set(0.0), res)
+
+    if not implicit:
+        return res, wall_mask, trans, grad
+
+    # momentum rows of wall nodes -> identity (DeleteValsRowi)
+    mom_rows = jnp.zeros(lay.nvar, dtype=bool).at[
+        lay.RHOVX:lay.RHOVX + nd].set(True)
+    row_is_wall_mom = wall_mask[:, None] & mom_rows[None, :]      # (nP, nvar)
+    eye = jnp.eye(lay.nvar, dtype=v.dtype)
+    diag = jnp.where(row_is_wall_mom[:, :, None], eye[None], diag)
+    # off-diagonal blocks: zero wall momentum rows
+    iw = wall_mask[mesh.edges[:, 0]]
+    jw = wall_mask[mesh.edges[:, 1]]
+    off_ij = jnp.where((iw[:, None] & mom_rows[None, :])[:, :, None],
+                       0.0, off_ij)
+    off_ji = jnp.where((jw[:, None] & mom_rows[None, :])[:, :, None],
+                       0.0, off_ji)
+
+    # time diagonal
+    ok = dt > EPS
+    delta = jnp.where(ok, mesh.volume / jnp.where(ok, dt, 1.0), 0.0)
+    diag = diag + delta[:, None, None] * eye
+    diag = jnp.where(ok[:, None, None], diag, eye[None])
+    res = jnp.where(ok[:, None], res, 0.0)
+    jac = BlockJacobian(diag=diag, off_ij=off_ij, off_ji=off_ji)
+    return res, wall_mask, trans, grad, jac
+
+
+def enforce_wall_velocity(lay: Layout, u, wall_mask):
+    """Strong no-slip: zero momentum at wall nodes (SetVelocity_Old(0))."""
+    mom = u[:, lay.RHOVX:lay.RHOVX + lay.ndim]
+    return u.at[:, lay.RHOVX:lay.RHOVX + lay.ndim].set(
+        jnp.where(wall_mask[:, None], 0.0, mom))
