@@ -23,9 +23,12 @@ from su2_tpu.config import Config
 from su2_tpu.geometry.dual_grid import build_dual_grid
 from su2_tpu.geometry.mesh_data import mesh_arrays
 from su2_tpu.io.mesh import read_su2_mesh
+from dataclasses import replace as dataclasses_replace
+
 from su2_tpu.ops import timestep
 from su2_tpu.solvers import euler as es
 from su2_tpu.solvers import ns
+from su2_tpu.turbulence import sst
 from su2_tpu.state import Layout, TSolveParams
 
 
@@ -75,8 +78,35 @@ class Simulation:
         self.bcs = es.build_bc_markers(cfg, self.lib, self.mesh, self.lay, dtype)
         self.lower, self.upper = es.clip_limits(self.lay, dtype)
 
+        self.turbulent = cfg.turbulent
+        if self.turbulent:
+            # wall distance to no-slip walls + freestream turbulence state
+            wall_pts = []
+            for tag in list(cfg.marker_isothermal) + list(cfg.marker_heatflux):
+                wall_pts.append(self.grid.coords[self.grid.bnd_nodes[tag]])
+            wall_pts = np.concatenate(wall_pts, axis=0) if wall_pts \
+                else np.zeros((0, self.grid.ndim))
+            self.wall_dist = jnp.asarray(
+                sst.wall_distance(self.grid.coords, wall_pts), dtype=dtype)
+            ys, t_inf, p_inf, rho_inf, vel_inf, _ = self.freestream_primitives()
+            mu_inf = float(cl.mixture_viscosity(
+                self.lib, jnp.asarray([t_inf], dtype=dtype), ys[None])[0])
+            self.kine_inf, self.omega_inf, self.mut_inf = sst.freestream(
+                cfg, rho_inf, vel_inf, mu_inf)
+            self.params = dataclasses_replace(self.params,
+                                              tke_inf=self.kine_inf)
+            self.scfg = sst.SSTConfig(
+                grad_method=cfg.num_method_grad,
+                cfl_red=cfg.cfl_reduction_turb,
+                relax=cfg.relaxation_factor_turb,
+                linear_solver=cfg.linear_solver,
+                linear_iter=cfg.linear_solver_iter,
+                linear_tol=cfg.linear_solver_error)
+
         self.u0, self.t0 = self.freestream_solution()
-        if cfg.implicit_flow:
+        if self.turbulent:
+            self._step = jax.jit(self._make_rans_step())
+        elif cfg.implicit_flow:
             self._step = jax.jit(self._make_implicit_step())
         else:
             self._step = jax.jit(self._make_explicit_step())
@@ -189,32 +219,130 @@ class Simulation:
 
         return step
 
+    def _make_rans_step(self):
+        """Segregated REACTIVE_RANS outer iteration: flow system (with SST
+        closures) then SST system on the updated flow state
+        (iteration_structure.cpp:531-550)."""
+        from su2_tpu.linalg import blockcsr, krylov
+        from su2_tpu.ops import viscous as vis
+
+        lib, lay, mesh, prm, bcs = self.lib, self.lay, self.mesh, self.params, self.bcs
+        tparams = self.tparams
+        lower, upper = self.lower, self.upper
+        cfg = self.cfg
+        scfg = self.scfg
+        dist = self.wall_dist
+        implicit_flow = cfg.implicit_flow
+
+        def step(u, t_guess, q, mu_t, grad_k, sigma_k):
+            # ---------- flow system ----------
+            tke = q[:, 0]
+            omega_t = q[:, 1]
+            u, v, nonphys = st.cons2prim(lib, lay, u, t_guess, tparams,
+                                         turb_ke=tke)
+            turb = vis.TurbFlowData(tke=tke, mu_t=mu_t, grad_tke=grad_k,
+                                    sigma_k=sigma_k)
+            sigma_k_edge = sigma_k[mesh.edges[:, 0]]
+            dpdu_full = st.dpdu(lib, lay, v)
+            trans0 = vis.node_transport(lib, lay, v)
+            lam_v = ns.viscous_lambda(lib, mesh, lay, prm, v, trans0,
+                                      dpdu_full, turb)
+            dt, min_dt, _ = timestep.local_time_step(
+                mesh, lay, v, prm.cfl, prm.max_dt, lam_visc=lam_v)
+            if implicit_flow:
+                res, wall_mask, trans, grad, jac = ns.ns_assemble(
+                    lib, lay, mesh, prm, bcs, v, dt, implicit=True,
+                    turb=turb, omega_turb=omega_t, sigma_k_edge=sigma_k_edge)
+                u = ns.enforce_wall_velocity(lay, u, wall_mask)
+                rhs = -res
+                dinv = blockcsr.block_jacobi_factor(jac)
+                solver = krylov.bcgstab if cfg.linear_solver == "BCGSTAB" \
+                    else krylov.fgmres
+                sol, _, _ = solver(
+                    lambda x: blockcsr.matvec(mesh, jac, x),
+                    lambda r: blockcsr.block_jacobi_apply(dinv, r),
+                    rhs, max_iter=cfg.linear_solver_iter,
+                    tol=cfg.linear_solver_error)
+                u_new = jnp.clip(u + cfg.relaxation_factor_flow * sol,
+                                 lower, upper)
+                rms = jnp.sqrt(jnp.mean(rhs * rhs, axis=0))
+                rmax = jnp.abs(rhs).max(axis=0)
+            else:
+                res, wall_mask, trans, grad = ns.ns_assemble(
+                    lib, lay, mesh, prm, bcs, v, turb=turb,
+                    omega_turb=omega_t, sigma_k_edge=sigma_k_edge)
+                u = ns.enforce_wall_velocity(lay, u, wall_mask)
+                u_new, rms, rmax = es.explicit_euler_update(
+                    lay, mesh, u, res, dt, lower, upper)
+            u_new = ns.enforce_wall_velocity(lay, u_new, wall_mask)
+
+            # ---------- turbulence system on the updated flow ----------
+            rho_old = v[:, lay.PRHO]
+            u_new, v_new, nonphys2 = st.cons2prim(
+                lib, lay, u_new, v[:, lay.T], tparams, turb_ke=tke)
+            qgrad = vis.ns_gradient_vars(lib, lay, v_new)
+            grad_new = es.compute_gradients(mesh, prm, qgrad)
+            strain, _ = sst.strain_and_vorticity(lay, grad_new)
+            trans_new = vis.node_transport(lib, lay, v_new)
+            q_new, turb_rms, outs = sst.sst_step(
+                lay, mesh, scfg, bcs, q, v_new, grad_new,
+                trans_new.mu, mu_t, strain, dist, rho_old, dt,
+                self.kine_inf, self.omega_inf)
+            return (u_new, v_new[:, lay.T], q_new, outs["mu_t"],
+                    outs["grad_k"], outs["sigma_k"], rms, rmax, turb_rms,
+                    nonphys.sum() + nonphys2.sum(), min_dt)
+
+        return step
+
+    def initial_turb_state(self):
+        n = self.mesh.npoint
+        q0 = jnp.tile(jnp.asarray([[self.kine_inf, self.omega_inf]],
+                                  dtype=self.dtype), (n, 1))
+        mu_t0 = jnp.full((n,), min(self.mut_inf, 1.0), dtype=self.dtype)
+        grad_k0 = jnp.zeros((n, self.lay.ndim), dtype=self.dtype)
+        sigma_k0 = jnp.full((n,), sst.SIGMA_K1, dtype=self.dtype)
+        return q0, mu_t0, grad_k0, sigma_k0
+
     # ------------------------------------------------------------------
     def run(self, niter: int | None = None, log_every: int = 1,
-            u=None, t_guess=None, quiet=False):
+            u=None, t_guess=None, turb_state=None, quiet=False):
         niter = niter if niter is not None else self.cfg.ext_iter
         u = self.u0 if u is None else u
         t_guess = self.t0 if t_guess is None else t_guess
+        if self.turbulent:
+            q, mu_t, grad_k, sigma_k = (turb_state if turb_state is not None
+                                        else self.initial_turb_state())
         hist = []
         start = time.time()
         rms0 = None
+        turb_rms = None
         for it in range(niter):
-            u, t_guess, rms, rmax, nerr, min_dt = self._step(u, t_guess)
+            if self.turbulent:
+                (u, t_guess, q, mu_t, grad_k, sigma_k, rms, rmax, turb_rms,
+                 nerr, min_dt) = self._step(u, t_guess, q, mu_t, grad_k, sigma_k)
+            else:
+                u, t_guess, rms, rmax, nerr, min_dt = self._step(u, t_guess)
             log_rms = np.log10(np.maximum(np.asarray(rms), 1e-300))
             hist.append(log_rms)
             if rms0 is None:
                 rms0 = log_rms.copy()
             if not quiet and it % log_every == 0:
-                print(f"{it:6d}  Res[Rho]: {log_rms[self.lay.RHO]: .6f}  "
-                      f"Res[RhoE]: {log_rms[self.lay.RHOE]: .6f}  "
-                      f"dt_min: {float(min_dt):.3e}  nonphys: {int(nerr)}  "
-                      f"({time.time()-start:.1f}s)")
+                msg = (f"{it:6d}  Res[Rho]: {log_rms[self.lay.RHO]: .6f}  "
+                       f"Res[RhoE]: {log_rms[self.lay.RHOE]: .6f}  ")
+                if turb_rms is not None:
+                    tr = np.log10(np.maximum(np.asarray(turb_rms), 1e-300))
+                    msg += f"Res[k]: {tr[0]: .4f}  Res[w]: {tr[1]: .4f}  "
+                msg += (f"dt_min: {float(min_dt):.3e}  nonphys: {int(nerr)}  "
+                        f"({time.time()-start:.1f}s)")
+                print(msg)
             # convergence: residual order reduction / min value
             if self.cfg.conv_criteria == "RESIDUAL" and it > self.cfg.startconv_iter:
                 if (log_rms[self.lay.RHO] < self.cfg.residual_minval or
                         rms0[self.lay.RHO] - log_rms[self.lay.RHO]
                         > self.cfg.residual_reduction):
                     break
+        if self.turbulent:
+            return u, t_guess, np.array(hist), (q, mu_t, grad_k, sigma_k)
         return u, t_guess, np.array(hist)
 
 

@@ -1,0 +1,275 @@
+"""Menter SST k-omega turbulence model.
+
+Batched re-implementation of CTurbSSTSolver / CTurbSSTVariable and the SST
+numerics (reference: SU2_CFD/src/solver_direct_turbulent.cpp:2700-3454,
+numerics_direct_turbulent.cpp:865-1006 and :1183-1257,
+variable_direct_turbulent.cpp:178-204), including the MANGOTURB coupling
+conventions: density is read from the reactive primitive layout, mu/mu_t come
+from the flow solver, and the blended sigma_k is exported to the mean-flow
+viscous closure.
+
+State: q = (k, omega) PRIMITIVE per node (the update is conservative:
+k_new = (rho_old k_old + d(rho k))/rho_new, AddConservativeSolution).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from su2_tpu.geometry.mesh_data import MeshArrays
+from su2_tpu.linalg import blockcsr, krylov
+from su2_tpu.linalg.blockcsr import BlockJacobian
+from su2_tpu.ops import gradients
+from su2_tpu.state import Layout
+
+EPS = 1e-16
+
+# constants[0..9] (solver_direct_turbulent.cpp:2716-2725)
+SIGMA_K1 = 0.85
+SIGMA_K2 = 1.0
+SIGMA_OM1 = 0.5
+SIGMA_OM2 = 0.856
+BETA_1 = 0.075
+BETA_2 = 0.0828
+BETA_STAR = 0.09
+A1 = 0.31
+ALFA_1 = BETA_1 / BETA_STAR - SIGMA_OM1 * 0.41 ** 2 / np.sqrt(BETA_STAR)
+ALFA_2 = BETA_2 / BETA_STAR - SIGMA_OM2 * 0.41 ** 2 / np.sqrt(BETA_STAR)
+
+LOWER = np.array([1.0e-10, 1.0e-4])
+UPPER = np.array([1.0e10, 1.0e15])
+
+
+def freestream(cfg, rho_inf, vel_inf, mu_inf):
+    """kine/omega/muT freestream (:2751-2755)."""
+    vel_mag2 = float(np.dot(vel_inf, vel_inf))
+    intensity = cfg.freestream_turbulenceintensity
+    visc_ratio = cfg.freestream_turb2lamviscratio
+    kine = 1.5 * vel_mag2 * intensity ** 2
+    omega = rho_inf * kine / (mu_inf * visc_ratio)
+    mu_t = rho_inf * kine / omega
+    return kine, omega, mu_t
+
+
+def strain_and_vorticity(lay: Layout, grad: jnp.ndarray):
+    """StrainMag and vorticity magnitude from the velocity gradient rows of
+    the NS gradient set (rows 1..nd) (SetStrainMag/SetVorticity,
+    variable_direct_reactive.cpp:1038-1095)."""
+    nd = lay.ndim
+    g = grad[:, 1:1 + nd, :]                 # (N, comp, dim)
+    div = jnp.einsum("ndd->n", g)
+    diag = sum((g[:, d, d] - div / 3.0) ** 2 for d in range(nd))
+    off = 2.0 * (0.5 * (g[:, 0, 1] + g[:, 1, 0])) ** 2
+    strain = jnp.sqrt(2.0 * (diag + off))
+    vort = g[:, 1, 0] - g[:, 0, 1]
+    return strain, jnp.abs(vort)
+
+
+def blending(k, w, grad_k, grad_w, mu, rho, dist):
+    """F1, F2, CDkw (SetBlendingFunc, variable_direct_turbulent.cpp:178-204)."""
+    cdkw = 2.0 * rho * SIGMA_OM2 / w * jnp.einsum("nd,nd->n", grad_k, grad_w)
+    cdkw = jnp.maximum(cdkw, 1e-20)
+    arg2a = jnp.sqrt(jnp.maximum(k, 0.0)) / (BETA_STAR * w * dist + EPS * EPS)
+    arg2b = 500.0 * mu / (rho * dist * dist * w + EPS * EPS)
+    arg2 = jnp.maximum(arg2a, arg2b)
+    arg1 = jnp.minimum(arg2, 4.0 * rho * SIGMA_OM2 * k
+                       / (cdkw * dist * dist + EPS * EPS))
+    f1 = jnp.tanh(arg1 ** 4)
+    f2 = jnp.tanh(jnp.maximum(2.0 * arg2a, arg2b) ** 2)
+    return f1, f2, cdkw
+
+
+def eddy_viscosity(rho, k, w, strain_mag, f2):
+    """muT (Postprocessing, solver_direct_turbulent.cpp:2994-3000).
+    NOTE: the fork clips muT to [0, 1] (dimensional) — reproduced."""
+    zeta = jnp.minimum(1.0 / w, A1 / (strain_mag * f2 + EPS))
+    return jnp.clip(rho * k * zeta, 0.0, 1.0)
+
+
+@dataclass(frozen=True)
+class SSTConfig:
+    grad_method: str
+    cfl_red: float = 1.0
+    relax: float = 1.0
+    linear_solver: str = "FGMRES"
+    linear_iter: int = 5
+    linear_tol: float = 1e-6
+
+
+def sst_step(lay: Layout, mesh: MeshArrays, scfg: SSTConfig, bcs,
+             q, v, flow_grad, mu, mu_t_node, strain_mag, dist,
+             rho_old, dt, kine_inf, omega_inf):
+    """One implicit Euler iteration of the SST system.
+
+    q: (N, 2) primitive (k, omega); v: flow primitives; flow_grad: NS
+    gradient set; mu: laminar viscosity; mu_t_node: current eddy viscosity;
+    rho_old: density used in the conservative update.  Returns
+    (q_new, rms, turb outputs dict).
+    """
+    n = q.shape[0]
+    dtype = q.dtype
+    rho = v[:, lay.PRHO]
+    vel = v[:, lay.VX:lay.VX + lay.ndim]
+
+    # gradients of (k, omega)
+    if scfg.grad_method == "GREEN_GAUSS":
+        gq = gradients.green_gauss(mesh, q)
+    else:
+        gq = gradients.weighted_least_squares(mesh, q)
+    grad_k = gq[:, 0, :]
+    grad_w = gq[:, 1, :]
+
+    f1, f2, cdkw = blending(q[:, 0], q[:, 1], grad_k, grad_w, mu, rho, dist)
+    sigma_k_blend = f1 * SIGMA_K1 + (1.0 - f1) * SIGMA_K2
+    sigma_w_blend = f1 * SIGMA_OM1 + (1.0 - f1) * SIGMA_OM2
+
+    # ---- convective upwind edges (CUpwSca_TurbSST) ----
+    i, j = mesh.edges[:, 0], mesh.edges[:, 1]
+    qij = 0.5 * jnp.einsum("ed,ed->e", vel[i] + vel[j], mesh.edge_normal)
+    a0 = 0.5 * (qij + jnp.abs(qij))
+    a1c = 0.5 * (qij - jnp.abs(qij))
+    flux = a0[:, None] * rho[i, None] * q[i] + a1c[:, None] * rho[j, None] * q[j]
+    res = mesh.scatter_edges(flux)
+    eye2 = jnp.eye(2, dtype=dtype)
+    jac_ci = a0[:, None, None] * eye2
+    jac_cj = a1c[:, None, None] * eye2
+    diag = jnp.zeros((n, 2, 2), dtype=dtype)
+    diag = diag.at[i].add(jac_ci)
+    diag = diag.at[j].add(-jac_cj)
+    off_ij = jac_cj
+    off_ji = -jac_ci
+
+    # ---- viscous edges (CAvgGrad_TurbSST, uncorrected variant) ----
+    diff_k = mu + sigma_k_blend * mu_t_node
+    diff_w = mu + sigma_w_blend * mu_t_node
+    dk = 0.5 * (diff_k[i] + diff_k[j])
+    dw = 0.5 * (diff_w[i] + diff_w[j])
+    gmean = 0.5 * (gq[i] + gq[j])                                # (nE, 2, d)
+    proj = jnp.einsum("egd,ed->eg", gmean, mesh.edge_normal)
+    vflux = jnp.stack([dk * proj[:, 0], dw * proj[:, 1]], axis=1)
+    res = res - mesh.scatter_edges(vflux)
+    evec = mesh.coords[j] - mesh.coords[i]
+    dist2 = jnp.sum(evec * evec, axis=1)
+    pvec = jnp.einsum("ed,ed->e", evec, mesh.edge_normal) / \
+        jnp.where(dist2 == 0.0, 1.0, dist2)
+    dvi = jnp.stack([dk * pvec / rho[i], dw * pvec / rho[i]], axis=1)
+    dvj = jnp.stack([dk * pvec / rho[j], dw * pvec / rho[j]], axis=1)
+    # viscous jacobians: J_i = -diag(dvi), J_j = +diag(dvj); residual is
+    # subtracted, so diag gets +diag(dvi) at i etc.
+    vji = dvi[:, :, None] * eye2
+    vjj = dvj[:, :, None] * eye2
+    diag = diag.at[i].add(vji)
+    diag = diag.at[j].add(vjj)
+    off_ij = off_ij - vjj
+    off_ji = off_ji - vji
+
+    # ---- source (CSourcePieceWise_TurbSST) ----
+    gvel = flow_grad[:, 1:1 + lay.ndim, :]
+    diverg = jnp.einsum("ndd->n", gvel)
+    k_, w_ = q[:, 0], q[:, 1]
+    alfa_b = f1 * ALFA_1 + (1.0 - f1) * ALFA_2
+    beta_b = f1 * BETA_1 + (1.0 - f1) * BETA_2
+    pk = mu_t_node * strain_mag ** 2 - 2.0 / 3.0 * rho * k_ * diverg
+    pk = jnp.clip(pk, 0.0, 20.0 * BETA_STAR * rho * w_ * k_)
+    zeta = jnp.maximum(w_, strain_mag * f2 / A1)
+    pw = jnp.maximum(strain_mag ** 2 - 2.0 / 3.0 * zeta * diverg, 0.0)
+    active = dist > 1e-10
+    src_k = jnp.where(active, pk - BETA_STAR * rho * w_ * k_, 0.0)
+    src_w = jnp.where(active,
+                      alfa_b * rho * pw - beta_b * rho * w_ * w_
+                      + (1.0 - f1) * cdkw, 0.0)
+    vol = mesh.volume
+    res = res - jnp.stack([src_k * vol, src_w * vol], axis=1)
+    sj00 = jnp.where(active, -BETA_STAR * w_ * vol, 0.0)
+    sj11 = jnp.where(active, -2.0 * beta_b * w_ * vol, 0.0)
+    diag = diag.at[:, 0, 0].add(-sj00)
+    diag = diag.at[:, 1, 1].add(-sj11)
+
+    # ---- boundary conditions ----
+    # walls (strong): k=0, w = 60 mu/(rho beta1 d^2) at nearest neighbor dist
+    wall_mask = jnp.zeros(n, dtype=bool)
+    q_wall = jnp.zeros((n, 2), dtype=dtype)
+    for bc in bcs:
+        nodes = bc.nodes
+        if bc.kind in ("isothermal_wall", "heatflux_wall"):
+            dnn = jnp.linalg.norm(mesh.coords[bc.nn] - mesh.coords[nodes], axis=1)
+            w_wall = 60.0 * mu[bc.nn] / (rho[bc.nn] * BETA_1 * dnn * dnn)
+            wall_mask = wall_mask.at[nodes].set(True)
+            q_wall = q_wall.at[nodes, 1].set(w_wall)
+        elif bc.kind in ("inlet", "supersonic_inlet"):
+            # upwind flux with freestream turb state (BC_Inlet, :3264)
+            area_n = -bc.normal
+            qb = 0.5 * jnp.einsum("ed,ed->e", 2.0 * vel[nodes], area_n)
+            a0b = 0.5 * (qb + jnp.abs(qb))
+            a1b = 0.5 * (qb - jnp.abs(qb))
+            qin = jnp.stack([jnp.full_like(qb, kine_inf),
+                             jnp.full_like(qb, omega_inf)], axis=1)
+            bflux = a0b[:, None] * rho[nodes, None] * q[nodes] \
+                + a1b[:, None] * rho[nodes, None] * qin
+            res = res.at[nodes].add(bflux)
+            diag = diag.at[nodes].add(a0b[:, None, None] * eye2)
+        elif bc.kind in ("outlet", "supersonic_outlet", "far_field"):
+            area_n = -bc.normal
+            qb = jnp.einsum("ed,ed->e", vel[nodes], area_n)
+            a0b = 0.5 * (qb + jnp.abs(qb))
+            a1b = 0.5 * (qb - jnp.abs(qb))
+            bflux = (a0b + a1b)[:, None] * rho[nodes, None] * q[nodes]
+            res = res.at[nodes].add(bflux)
+            diag = diag.at[nodes].add((a0b + a1b)[:, None, None] * eye2)
+
+    # strong wall rows
+    res = jnp.where(wall_mask[:, None], 0.0, res)
+    diag = jnp.where(wall_mask[:, None, None], jnp.eye(2, dtype=dtype)[None],
+                     diag)
+    iw = wall_mask[mesh.edges[:, 0]]
+    jw = wall_mask[mesh.edges[:, 1]]
+    off_ij = jnp.where(iw[:, None, None], 0.0, off_ij)
+    off_ji = jnp.where(jw[:, None, None], 0.0, off_ji)
+
+    # ---- implicit solve ----
+    ok = dt > EPS
+    delta = jnp.where(ok, mesh.volume / (scfg.cfl_red * jnp.where(ok, dt, 1.0)),
+                      0.0)
+    diag = diag + delta[:, None, None] * eye2
+    jac = BlockJacobian(diag=diag, off_ij=off_ij, off_ji=off_ji)
+    rhs = -res
+    dinv = blockcsr.block_jacobi_factor(jac)
+    solver = krylov.bcgstab if scfg.linear_solver == "BCGSTAB" else krylov.fgmres
+    sol, _, _ = solver(
+        lambda x: blockcsr.matvec(mesh, jac, x),
+        lambda r: blockcsr.block_jacobi_apply(dinv, r),
+        rhs, max_iter=scfg.linear_iter, tol=scfg.linear_tol)
+
+    # conservative update: q_new = (rho_old q_old + relax*d(rho q))/rho_new
+    lower = jnp.asarray(LOWER, dtype=dtype)
+    upper = jnp.asarray(UPPER, dtype=dtype)
+    q_new = (rho_old[:, None] * q + scfg.relax * sol) / rho[:, None]
+    q_new = jnp.clip(q_new, lower, upper)
+    # enforce wall values strongly
+    q_new = jnp.where(wall_mask[:, None], q_wall, q_new)
+    q_new = q_new.at[:, 0].set(
+        jnp.where(wall_mask, 0.0, q_new[:, 0]))
+
+    rms = jnp.sqrt(jnp.mean(rhs * rhs, axis=0))
+
+    # outputs for the mean-flow coupling
+    f1n, f2n, cdkwn = blending(q_new[:, 0], q_new[:, 1], grad_k, grad_w,
+                               mu, rho, dist)
+    mu_t_new = eddy_viscosity(rho, q_new[:, 0], q_new[:, 1], strain_mag, f2n)
+    outs = dict(f1=f1n, f2=f2n, cdkw=cdkwn, mu_t=mu_t_new,
+                sigma_k=f1n * SIGMA_K1 + (1.0 - f1n) * SIGMA_K2,
+                grad_k=grad_k, grad_w=grad_w)
+    return q_new, rms, outs
+
+
+def wall_distance(coords: np.ndarray, wall_points: np.ndarray) -> np.ndarray:
+    """Distance of every node to the nearest no-slip wall vertex
+    (SU2 ComputeWall_Distance equivalent, point-based)."""
+    if wall_points.shape[0] == 0:
+        return np.full(coords.shape[0], 1e10)
+    d2 = ((coords[:, None, :] - wall_points[None, :, :]) ** 2).sum(-1)
+    return np.sqrt(d2.min(axis=1))

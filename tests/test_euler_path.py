@@ -178,7 +178,7 @@ def test_simulation_explicit_steps(combustion_dir):
     combustion case (freestream init), residuals finite."""
     cfg = Config(os.path.join(combustion_dir, "my_combustion_second_chem_PaSR.cfg"))
     sim = Simulation(cfg)
-    u, t, hist = sim.run(niter=3, quiet=True)
+    u, t, hist, turb = sim.run(niter=3, quiet=True)
     assert np.isfinite(np.asarray(u)).all()
     assert np.isfinite(hist).all()
     # density stays positive

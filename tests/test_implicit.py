@@ -13,7 +13,7 @@ def test_implicit_combustion_smoke(combustion_dir):
         os.path.join(combustion_dir, "my_combustion_second_chem_PaSR.cfg"),
         overrides={"TIME_DISCRE_FLOW": "EULER_IMPLICIT", "CFL_NUMBER": "1.0"})
     sim = Simulation(cfg)
-    u, t, hist = sim.run(niter=5, quiet=True)
+    u, t, hist, turb = sim.run(niter=5, quiet=True)
     assert np.isfinite(np.asarray(u)).all()
     assert np.isfinite(hist).all()
     assert (np.asarray(u)[:, sim.lay.RHO] > 0).all()

@@ -98,7 +98,7 @@ def test_flatplate_implicit_steps(flatplate_dir):
     residual decreases."""
     cfg = Config(os.path.join(flatplate_dir, "my_turbulent_flatplate_air.cfg"))
     sim = Simulation(cfg)
-    u, t, hist = sim.run(niter=5, quiet=True)
+    u, t, hist, turb = sim.run(niter=5, quiet=True)
     assert np.isfinite(np.asarray(u)).all()
     assert hist[-1][sim.lay.RHO] < hist[0][sim.lay.RHO]
     # strong no-slip: wall momentum exactly zero
