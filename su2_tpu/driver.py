@@ -35,9 +35,11 @@ from su2_tpu.state import Layout, TSolveParams
 class Simulation:
     """One flow zone: reactive Euler/NS (+SST) on a single device."""
 
-    def __init__(self, cfg: Config, dtype=jnp.float64):
+    def __init__(self, cfg: Config, dtype=jnp.float64, ndevices: int | None = None,
+                 devices=None, raw_mesh=None):
         self.cfg = cfg
         self.dtype = dtype
+        self.ndevices = ndevices
         if not cfg.reactive:
             raise NotImplementedError(
                 "standard (non-reactive) solvers land in a later milestone")
@@ -47,9 +49,20 @@ class Simulation:
         assert self.lib.nspecies == cfg.nspecies, \
             f"mixture has {self.lib.nspecies} species, cfg lists {cfg.nspecies}"
 
-        raw = read_su2_mesh(cfg.resolve(cfg.mesh_filename))
-        self.grid = build_dual_grid(raw)
-        self.mesh = mesh_arrays(self.grid, dtype)
+        raw = raw_mesh if raw_mesh is not None \
+            else read_su2_mesh(cfg.resolve(cfg.mesh_filename))
+        if ndevices is not None and ndevices > 1:
+            # RCB reorder for contiguous per-device blocks + pad to multiples
+            from su2_tpu.parallel import sharding as shd
+            raw, self.perm = shd.reorder_and_pad(raw, ndevices)
+            self.grid = shd.pad_grid(build_dual_grid(raw), ndevices)
+            self.dmesh = shd.cells_mesh(devices, ndevices)
+            self.mesh = shd.shard_mesh_arrays(
+                mesh_arrays(self.grid, dtype), self.dmesh)
+        else:
+            self.grid = build_dual_grid(raw)
+            self.dmesh = None
+            self.mesh = mesh_arrays(self.grid, dtype)
         self.lay = Layout(self.grid.ndim, cfg.nspecies)
 
         self.tparams = TSolveParams(
@@ -88,6 +101,9 @@ class Simulation:
                 else np.zeros((0, self.grid.ndim))
             self.wall_dist = jnp.asarray(
                 sst.wall_distance(self.grid.coords, wall_pts), dtype=dtype)
+            if self.dmesh is not None:
+                from su2_tpu.parallel import sharding as shd
+                (self.wall_dist,) = shd.shard_state(self.dmesh, self.wall_dist)
             ys, t_inf, p_inf, rho_inf, vel_inf, _ = self.freestream_primitives()
             mu_inf = float(cl.mixture_viscosity(
                 self.lib, jnp.asarray([t_inf], dtype=dtype), ys[None])[0])
@@ -104,6 +120,9 @@ class Simulation:
                 linear_tol=cfg.linear_solver_error)
 
         self.u0, self.t0 = self.freestream_solution()
+        if self.dmesh is not None:
+            from su2_tpu.parallel import sharding as shd
+            self.u0, self.t0 = shd.shard_state(self.dmesh, self.u0, self.t0)
         if self.turbulent:
             self._step = jax.jit(self._make_rans_step())
         elif cfg.implicit_flow:
@@ -301,6 +320,9 @@ class Simulation:
         mu_t0 = jnp.full((n,), min(self.mut_inf, 1.0), dtype=self.dtype)
         grad_k0 = jnp.zeros((n, self.lay.ndim), dtype=self.dtype)
         sigma_k0 = jnp.full((n,), sst.SIGMA_K1, dtype=self.dtype)
+        if self.dmesh is not None:
+            from su2_tpu.parallel import sharding as shd
+            return shd.shard_state(self.dmesh, q0, mu_t0, grad_k0, sigma_k0)
         return q0, mu_t0, grad_k0, sigma_k0
 
     # ------------------------------------------------------------------

@@ -1,0 +1,119 @@
+"""Multi-chip sharding of the solver state over a device mesh.
+
+TPU-native replacement for the reference's MPI domain decomposition + halo
+exchange (SURVEY §2.3): nodes are RCB-reordered so each device owns a
+contiguous spatial block, node- and edge-indexed arrays are sharded over the
+leading axis of a 1-D ``jax.sharding.Mesh`` ("cells" axis — the only
+parallel axis this physics has), and the jitted step runs as one SPMD
+program.  Cross-shard edge gathers at partition frontiers become XLA
+collectives over ICI (the GSPMD partitioner inserts them from the sharding
+annotations); psum-style reductions (min dt, RMS) fall out of the same
+propagation.
+
+Explicit neighbor halo exchange via shard_map + ppermute is provided in
+:mod:`su2_tpu.parallel.halo` and is the planned optimization for the
+frontier gathers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from su2_tpu.geometry.dual_grid import DualGrid
+from su2_tpu.geometry.mesh_data import MeshArrays, mesh_arrays
+from su2_tpu.parallel.partition import rcb_order, permute_raw_mesh
+
+
+def pad_grid(grid: DualGrid, d: int) -> DualGrid:
+    """Pad nodes/edges to multiples of d with isolated dummy entities.
+
+    Dummy nodes have unit volume and no incident real edges; dummy edges
+    connect dummy nodes with a tiny (1e-16) normal so downstream unit-normal
+    divisions stay finite.  Real rows are unchanged, so residuals on real
+    nodes match the unpadded mesh exactly.
+    """
+    np_, ne = grid.npoint, grid.nedge
+    ne_pad = (-ne) % d
+    extra_nodes = (-np_) % d
+    if extra_nodes == 0 and ne_pad == 0:
+        return grid
+    # dummy edges need two dummy endpoints
+    if ne_pad > 0 and extra_nodes < 2:
+        extra_nodes += d
+    n_new = np_ + extra_nodes
+    ne_new = ne + ne_pad
+
+    coords = np.vstack([grid.coords,
+                        np.zeros((extra_nodes, grid.ndim))])
+    volume = np.concatenate([grid.volume, np.ones(extra_nodes)])
+    da, db = (np_, np_ + 1) if extra_nodes >= 2 else (0, 0)
+    pad_edges = np.tile(np.array([[da, db]]), (ne_new - ne, 1))
+    edges = np.vstack([grid.edges, pad_edges]).astype(np.int64)
+    edge_normal = np.vstack([grid.edge_normal,
+                             np.full((ne_new - ne, grid.ndim), 1e-16)])
+    maxdeg = grid.node_edges.shape[1]
+    node_edges = np.vstack([
+        np.where(grid.node_edges >= ne, ne_new, grid.node_edges),
+        np.full((extra_nodes, maxdeg), ne_new, dtype=np.int64)])
+    node_sign = np.vstack([grid.node_edge_sign,
+                           np.zeros((extra_nodes, maxdeg))])
+    node_nbrs = np.vstack([
+        grid.node_nbrs,
+        np.tile(np.arange(np_, n_new, dtype=np.int64)[:, None], (1, maxdeg))])
+    return DualGrid(
+        ndim=grid.ndim, coords=coords, volume=volume, edges=edges,
+        edge_normal=edge_normal, node_edges=node_edges,
+        node_edge_sign=node_sign, node_nbrs=node_nbrs,
+        bnd_nodes=grid.bnd_nodes, bnd_normal=grid.bnd_normal,
+        bnd_nn=grid.bnd_nn)
+
+
+def cells_mesh(devices=None, n: int | None = None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    if n is not None:
+        devices = devices[:n]
+    return Mesh(np.array(devices), axis_names=("cells",))
+
+
+def shard_mesh_arrays(mesh: MeshArrays, dmesh: Mesh) -> MeshArrays:
+    """Place node/edge-indexed arrays sharded over the cells axis; small
+    boundary data replicated."""
+    row = NamedSharding(dmesh, P("cells"))
+    rep = NamedSharding(dmesh, P())
+
+    def put_row(x):
+        return jax.device_put(x, row)
+
+    def put_rep(x):
+        return jax.device_put(x, rep)
+
+    markers = {tag: (put_rep(n_), put_rep(nm))
+               for tag, (n_, nm) in mesh.markers.items()}
+    marker_nn = {tag: put_rep(x) for tag, x in mesh.marker_nn.items()}
+    return MeshArrays(
+        ndim=mesh.ndim, npoint=mesh.npoint, nedge=mesh.nedge,
+        max_degree=mesh.max_degree,
+        coords=put_row(mesh.coords), volume=put_row(mesh.volume),
+        edges=put_row(mesh.edges), edge_normal=put_row(mesh.edge_normal),
+        edge_area=put_row(mesh.edge_area),
+        node_edges=put_row(mesh.node_edges), node_sign=put_row(mesh.node_sign),
+        node_nbrs=put_row(mesh.node_nbrs), nbr_mask=put_row(mesh.nbr_mask),
+        n_neighbors=put_row(mesh.n_neighbors),
+        bnd_accum_normal=put_row(mesh.bnd_accum_normal),
+        markers=markers, marker_nn=marker_nn)
+
+
+def shard_state(dmesh: Mesh, *arrays):
+    row = NamedSharding(dmesh, P("cells"))
+    return tuple(jax.device_put(a, row) for a in arrays)
+
+
+def reorder_and_pad(raw_mesh, ndevices: int):
+    """RCB-reorder the raw mesh for a power-of-two device count and return
+    (permuted raw mesh, builder that pads the DualGrid)."""
+    perm = rcb_order(raw_mesh.coords, ndevices)
+    permuted = permute_raw_mesh(raw_mesh, perm)
+    return permuted, perm
