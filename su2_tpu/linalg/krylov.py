@@ -22,6 +22,20 @@ def _norm(a):
     return jnp.sqrt(jnp.real(_dot(a, a)))
 
 
+def _lstsq_small(h, e1):
+    """min ||e1 - h y|| for a tiny static (r, c) Hessenberg block via normal
+    equations (jnp.linalg.lstsq lowers to SVD — slow on TPU)."""
+    from su2_tpu.linalg.smallsolve import gauss_solve
+
+    hth = h.T @ h
+    # tiny ridge to survive Arnoldi breakdown (lstsq handled rank deficiency)
+    ridge = 1e-14 * jnp.trace(hth) / h.shape[1] + 1e-300
+    hth = hth + ridge * jnp.eye(h.shape[1], dtype=h.dtype)
+    rhs = (h.T @ e1)[:, None]
+    y = gauss_solve(hth, rhs)[:, 0]
+    return y
+
+
 def fgmres(matvec, precond, b, x0=None, max_iter: int = 5, tol: float = 1e-6):
     """Flexible GMRES (right preconditioning), single cycle of `max_iter`
     Krylov vectors (matches the reference usage: FGMRES with a small fixed
@@ -56,13 +70,13 @@ def fgmres(matvec, precond, b, x0=None, max_iter: int = 5, tol: float = 1e-6):
         iters = iters + active.astype(jnp.int32)
         # current residual estimate via least squares on the small system
         e1 = jnp.zeros(j + 2, dtype=b.dtype).at[0].set(beta)
-        y, res, _, _ = jnp.linalg.lstsq(h[:j + 2, :j + 1], e1)
+        y = _lstsq_small(h[:j + 2, :j + 1], e1)
         cur = _norm(e1 - h[:j + 2, :j + 1] @ y)
         res_hist = jnp.where(active, cur, res_hist)
         active = active & (cur / norm0 >= tol)
 
     e1 = jnp.zeros(m + 1, dtype=b.dtype).at[0].set(beta)
-    y, _, _, _ = jnp.linalg.lstsq(h, e1)
+    y = _lstsq_small(h, e1)
     dx = sum(y[j] * zs[j] for j in range(m))
     x = x + dx
     return x, res_hist / norm0, iters

@@ -98,11 +98,18 @@ def _molar2mass_operator(lib: ChemLib, ys, xs):
 
 
 def _stefan_maxwell_jd(lib, rho, xs, ys, dij, grad_xs_norm):
-    """Solve (Gamma + alpha y 1^T) Jd = -grad_xs_norm (Solve_SM, :451-470)."""
+    """Solve (Gamma + alpha y 1^T) Jd = -grad_xs_norm (Solve_SM, :451-470).
+
+    Batched Gauss-Jordan (see linalg.smallsolve) — orders of magnitude faster
+    than per-face LU on TPU, and more accurate than the reference's per-face
+    BiCGSTAB at tol 1e-11.
+    """
+    from su2_tpu.linalg.smallsolve import gauss_solve
+
     gamma = cl.stefan_maxwell_gamma(lib, rho, xs, ys, dij)
     alpha = 1.0 / (rho * dij.max(axis=(-2, -1)))
     gt = gamma + (alpha[..., None] * ys)[..., :, None]
-    return jnp.linalg.solve(gt, -grad_xs_norm[..., None])[..., 0], alpha
+    return gauss_solve(gt, -grad_xs_norm[..., None])[..., 0], alpha
 
 
 def _effective_ds(lib, xs, dij):
@@ -205,10 +212,9 @@ def viscous_flux(lib: ChemLib, lay: Layout, v_i, v_j, grad_i, grad_j,
         mom = mom + jnp.einsum("fij,fi->fj", tau_t, normal)
         e_tau = e_tau + jnp.einsum("fij,fj,fi->f", tau_t, vel, normal)
         # mass-fraction gradients via the molar->mass operator
+        from su2_tpu.linalg.smallsolve import gauss_solve
         m_tilde = _molar2mass_operator(lib, ysc, xs)         # (nF, S, S)
-        gy = jnp.linalg.solve(m_tilde[:, None, :, :],
-                              jnp.swapaxes(g_xs, 1, 2)[..., None])[..., 0]
-        gy = jnp.swapaxes(gy, 1, 2)                           # (nF, S, d)
+        gy = gauss_solve(m_tilde, g_xs)                      # (nF, S, d)
         gy = jnp.where(jnp.abs(g_xs) < 1e-8, 0.0, gy)
         cp_s = cl.species_cp(lib, tmean)
         cmt = mu_t / (prandtl_turb * lewis_turb)
