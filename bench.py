@@ -32,9 +32,11 @@ def main():
     jax.block_until_ready(out)
 
     # steady-state stepping: feed outputs back in (realistic data flow)
+    ignite = args[-1]
+
     def advance(state):
         o = jfn(*state)
-        return (o[0], o[1], o[2], o[3], o[4], o[5])
+        return (o[0], o[1], o[2], o[3], o[4], o[5], ignite)
 
     state = args
     state = advance(state)          # second compile-free call, warm caches

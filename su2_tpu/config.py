@@ -372,10 +372,21 @@ class Config:
 
     # -- path helpers -------------------------------------------------------
     def resolve(self, filename: str) -> str:
-        """Resolve a cfg-relative filename (mesh, chemistry manifest, ...)."""
+        """Resolve a relative filename (mesh, chemistry manifest, restart...).
+
+        The reference resolves against the working directory; for convenience
+        we fall back to the cfg file's directory when the file only exists
+        there (lets the shipped read-only Test_Cases run from anywhere).
+        """
         if os.path.isabs(filename):
             return filename
-        return os.path.join(self.base_dir, filename)
+        cwd_path = os.path.join(os.getcwd(), filename)
+        if os.path.exists(cwd_path):
+            return cwd_path
+        cfg_path = os.path.join(self.base_dir, filename)
+        if os.path.exists(cfg_path):
+            return cfg_path
+        return cwd_path
 
     def __repr__(self) -> str:  # pragma: no cover
         return f"Config({self.cfg_path!r}, solver_kind={self.solver_kind})"

@@ -51,6 +51,7 @@ class Simulation:
 
         raw = raw_mesh if raw_mesh is not None \
             else read_su2_mesh(cfg.resolve(cfg.mesh_filename))
+        self.raw = raw
         if ndevices is not None and ndevices > 1:
             # RCB reorder for contiguous per-device blocks + pad to multiples
             from su2_tpu.parallel import sharding as shd
@@ -119,7 +120,16 @@ class Simulation:
                 linear_iter=cfg.linear_solver_iter,
                 linear_tol=cfg.linear_solver_error)
 
+        self.history = None
+        self.writer_state = None
         self.u0, self.t0 = self.freestream_solution()
+        if cfg.restart_sol:
+            try:
+                self.u0, self.turb_restart = self.load_restart_state()
+            except FileNotFoundError:
+                print(f"There is no flow restart file!! "
+                      f"{cfg.resolve(cfg.solution_flow_filename)}.")
+                raise
         if self.dmesh is not None:
             from su2_tpu.parallel import sharding as shd
             self.u0, self.t0 = shd.shard_state(self.dmesh, self.u0, self.t0)
@@ -253,12 +263,25 @@ class Simulation:
         dist = self.wall_dist
         implicit_flow = cfg.implicit_flow
 
-        def step(u, t_guess, q, mu_t, grad_k, sigma_k):
+        ignition = cfg.ignition
+        t_ign = cfg.ignition_temperature
+        fuel_i = lay.YS + cfg.fuel_index
+        ox_i = lay.YS + cfg.oxidizer_index
+
+        def step(u, t_guess, q, mu_t, grad_k, sigma_k, ignite):
             # ---------- flow system ----------
             tke = q[:, 0]
             omega_t = q[:, 1]
             u, v, nonphys = st.cons2prim(lib, lay, u, t_guess, tparams,
                                          turb_ke=tke)
+            if ignition:
+                # force T -> T_ign in fuel-rich cells during the ignition
+                # window (SetPrimitive_Variables, solver_direct_reactive.cpp
+                # :1013-1024; only the primitive T is overridden, like the
+                # reference's SetTemperature)
+                cond = ignite & (v[:, fuel_i] > 0.4) & (v[:, ox_i] > 0.2) \
+                    & (v[:, lay.T] < t_ign)
+                v = v.at[:, lay.T].set(jnp.where(cond, t_ign, v[:, lay.T]))
             turb = vis.TurbFlowData(tke=tke, mu_t=mu_t, grad_tke=grad_k,
                                     sigma_k=sigma_k)
             sigma_k_edge = sigma_k[mesh.edges[:, 0]]
@@ -313,10 +336,80 @@ class Simulation:
 
         return step
 
+    # ------------------------------------------------------------------
+    def load_restart_state(self):
+        """RESTART_SOL=YES: read the SU2-format restart (Load_Restart,
+        solver_direct_reactive.cpp:566; SST columns
+        solver_direct_turbulent.cpp:2839)."""
+        from su2_tpu.io import restart as rio
+        path = self.cfg.resolve(self.cfg.solution_flow_filename)
+        nturb = 2 if self.cfg.turbulent else 0
+        u, turb = rio.read_restart(path, self.lay.ndim, self.lay.nvar, nturb)
+        if hasattr(self, "perm") and self.ndevices:
+            u = u[self.perm]
+            turb = turb[self.perm] if turb is not None else None
+        n = self.mesh.npoint
+        if u.shape[0] < n:      # padded multi-device mesh
+            pad = np.asarray(self.u0[u.shape[0]:n])
+            u = np.vstack([u, pad])
+        return jnp.asarray(u, dtype=self.dtype), turb
+
+    def enable_output(self, out_dir: str | None = None):
+        """Turn on history/restart/volume/surface writing (COutput role)."""
+        import os as _os
+        from su2_tpu.io.output import HistoryWriter
+        base = out_dir or _os.getcwd()
+        self.out_dir = base
+        nturb = 2 if self.turbulent else 0
+        self.history = HistoryWriter(
+            _os.path.join(base, self.cfg.conv_filename + ".dat"),
+            self.lay.nvar, nturb, cfl=self.cfg.cfl_number)
+        self.writer_state = True
+
+    def write_solution(self, u, t_guess, turb=None, suffix=""):
+        import os as _os
+        from su2_tpu.io import output as out, restart as rio
+        from su2_tpu import state as st_
+
+        base = getattr(self, "out_dir", _os.getcwd())
+        u2, v, _ = st_.cons2prim(
+            self.lib, self.lay, u, t_guess, self.tparams,
+            turb_ke=turb[0][:, 0] if turb is not None else None)
+        n_real = self.raw.npoint
+        coords = self.raw.coords
+        un = np.asarray(u2)[:n_real]
+        turb_np = np.asarray(turb[0])[:n_real] if turb is not None else None
+        rio.write_restart(
+            _os.path.join(base, self.cfg.restart_flow_filename),
+            coords, un, turb_np)
+        fields = out._volume_fields(self, u2, v,
+                                    turb[0] if turb is not None else None,
+                                    turb[1] if turb is not None else None)
+        fields = {k: np.asarray(c)[:n_real] for k, c in fields.items()}
+        if self.cfg.output_format == "PARAVIEW":
+            out.write_paraview_volume(
+                _os.path.join(base, self.cfg.volume_flow_filename + ".vtk"),
+                self.raw, fields)
+        else:
+            out.write_tecplot_volume(
+                _os.path.join(base, self.cfg.volume_flow_filename + ".dat"),
+                self.raw, fields)
+        plot_markers = self.cfg.marker_plotting or list(self.raw.markers)
+        nodes = np.unique(np.concatenate(
+            [np.asarray(self.mesh.markers[t][0]) for t in plot_markers
+             if t in self.mesh.markers])) if plot_markers else np.array([], int)
+        if len(nodes):
+            out.write_surface_csv(
+                _os.path.join(base, self.cfg.surface_flow_filename + ".dat"),
+                self.raw, fields, nodes)
+
     def initial_turb_state(self):
         n = self.mesh.npoint
         q0 = jnp.tile(jnp.asarray([[self.kine_inf, self.omega_inf]],
                                   dtype=self.dtype), (n, 1))
+        if getattr(self, "turb_restart", None) is not None:
+            qr = np.asarray(self.turb_restart)
+            q0 = q0.at[:qr.shape[0]].set(jnp.asarray(qr, dtype=self.dtype))
         mu_t0 = jnp.full((n,), min(self.mut_inf, 1.0), dtype=self.dtype)
         grad_k0 = jnp.zeros((n, self.lay.ndim), dtype=self.dtype)
         sigma_k0 = jnp.full((n,), sst.SIGMA_K1, dtype=self.dtype)
@@ -340,12 +433,24 @@ class Simulation:
         turb_rms = None
         for it in range(niter):
             if self.turbulent:
+                ignite = jnp.asarray(
+                    self.cfg.ignition and it < self.cfg.ignition_iter)
                 (u, t_guess, q, mu_t, grad_k, sigma_k, rms, rmax, turb_rms,
-                 nerr, min_dt) = self._step(u, t_guess, q, mu_t, grad_k, sigma_k)
+                 nerr, min_dt) = self._step(u, t_guess, q, mu_t, grad_k,
+                                            sigma_k, ignite)
             else:
                 u, t_guess, rms, rmax, nerr, min_dt = self._step(u, t_guess)
             log_rms = np.log10(np.maximum(np.asarray(rms), 1e-300))
             hist.append(log_rms)
+            if self.history is not None and it % self.cfg.wrt_con_freq == 0:
+                tr = (np.log10(np.maximum(np.asarray(turb_rms), 1e-300))
+                      if turb_rms is not None else None)
+                self.history.write(it, log_rms, tr,
+                                   lin_iters=self.cfg.linear_solver_iter)
+            if self.writer_state is not None and it > 0 \
+                    and it % self.cfg.wrt_sol_freq == 0:
+                self.write_solution(u, t_guess,
+                                    (q, mu_t) if self.turbulent else None)
             if rms0 is None:
                 rms0 = log_rms.copy()
             if not quiet and it % log_every == 0:
@@ -376,7 +481,14 @@ def main(argv=None):
     cfg = Config(argv[0])
     niter = int(argv[1]) if len(argv) > 1 else None
     sim = Simulation(cfg)
-    sim.run(niter)
+    sim.enable_output()
+    out = sim.run(niter)
+    if sim.turbulent:
+        u, t_guess, hist, turb_state = out
+        sim.write_solution(u, t_guess, (turb_state[0], turb_state[1]))
+    else:
+        u, t_guess, hist = out
+        sim.write_solution(u, t_guess)
     return 0
 
 

@@ -1,0 +1,159 @@
+"""Solution output: history file, Tecplot/ParaView volume files, surface
+files (COutput equivalent, reference: SU2_CFD/src/output_structure.cpp and
+output_{tecplot,paraview}.cpp; SU2_SOL merge path is a library function here
+since there is no distributed-restart merging to do).
+
+Variable naming follows the reference restart/vis conventions, but species
+columns are labeled with the actual species names from the mixture instead of
+the reference's hardcoded 9-species list (output_structure.cpp:10575-10579 —
+a wart SURVEY.md flags to fix, not copy).
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+
+HISTORY_HEADER = (
+    'TITLE = "SU2 Simulation"\n'
+    'VARIABLES = "Iteration","CLift","CDrag","CSideForce","CMx","CMy","CMz",'
+    '"CFx","CFy","CFz","CL/CD","HeatFlux_Total","HeatFlux_Maximum",'
+    '{res_names},"Linear_Solver_Iterations","CFL_Number","Time(min)"\n'
+    'ZONE T= "Convergence history"\n')
+
+
+class HistoryWriter:
+    """Tecplot-style convergence history (SetConvHistory_Body equivalent)."""
+
+    def __init__(self, path: str, nvar_flow: int, nvar_turb: int = 0,
+                 cfl: float = 1.0):
+        self.path = path
+        # the reference prints exactly five flow residual columns
+        # (output_structure.cpp:4241) regardless of nVar
+        self.nflow = min(nvar_flow, 5)
+        self.nturb = nvar_turb
+        self.cfl = cfl
+        self.t0 = time.time()
+        res = [f'"Res_Flow[{k}]"' for k in range(self.nflow)]
+        res += [f'"Res_Turb[{k}]"' for k in range(nvar_turb)]
+        with open(path, "w") as f:
+            f.write(HISTORY_HEADER.format(res_names=",".join(res)))
+
+    def write(self, iteration: int, log_res_flow, log_res_turb=None,
+              forces=None, lin_iters: int = 0):
+        forces = forces or {}
+        cl = forces.get("CL", 0.0)
+        cd = forces.get("CD", 0.0)
+        vals = [float(iteration), cl, cd, 0.0,
+                forces.get("CMx", 0.0), forces.get("CMy", 0.0),
+                forces.get("CMz", 0.0),
+                forces.get("CFx", 0.0), forces.get("CFy", 0.0),
+                forces.get("CFz", 0.0),
+                cl / cd if cd != 0 else 0.0,
+                forces.get("HF_total", 0.0), forces.get("HF_max", 0.0)]
+        vals += [float(x) for x in log_res_flow[:self.nflow]]
+        if log_res_turb is not None:
+            vals += [float(x) for x in log_res_turb[:self.nturb]]
+        vals += [float(lin_iters), self.cfl, (time.time() - self.t0) / 60.0]
+        with open(self.path, "a") as f:
+            f.write(", ".join(f"{v:.10g}" for v in vals) + "\n")
+
+
+def _volume_fields(sim, u, v, turb_q=None, mu_t=None):
+    """Assemble named output fields (reactive set)."""
+    import jax.numpy as jnp
+    from su2_tpu.chemistry import library as cl
+
+    lay = sim.lay
+    un = np.asarray(u)
+    vn = np.asarray(v)
+    fields = {}
+    for k in range(lay.nvar):
+        fields[f"Conservative_{k+1}"] = un[:, k]
+    fields["Pressure"] = vn[:, lay.P]
+    fields["Temperature"] = vn[:, lay.T]
+    vel = vn[:, lay.VX:lay.VX + lay.ndim]
+    fields["Mach"] = np.linalg.norm(vel, axis=1) / vn[:, lay.A]
+    for s, name in enumerate(sim.lib.species):
+        fields[f"Y_{name}"] = vn[:, lay.YS + s]
+    if sim.cfg.viscous:
+        from su2_tpu.ops import viscous as vis
+        trans = vis.node_transport(sim.lib, lay, v)
+        fields["Laminar_Viscosity"] = np.asarray(trans.mu)
+    if turb_q is not None:
+        fields["Turb_Kin_Energy"] = np.asarray(turb_q)[:, 0]
+        fields["Omega"] = np.asarray(turb_q)[:, 1]
+        fields["Eddy_Viscosity"] = np.asarray(mu_t)
+    return fields
+
+
+def write_tecplot_volume(path: str, raw_mesh, fields: dict) -> None:
+    """ASCII Tecplot FE volume file (output_tecplot.cpp equivalent)."""
+    coords = raw_mesh.coords
+    n = coords.shape[0]
+    names = ['"x"', '"y"'] + [f'"{k}"' for k in fields]
+    elems = raw_mesh.elem_nodes
+    # triangles written as degenerate quads, like the reference
+    with open(path, "w") as f:
+        f.write('TITLE = "Visualization of the volume solution"\n')
+        f.write("VARIABLES = " + ",".join(names) + "\n")
+        f.write(f'ZONE NODES= {n}, ELEMENTS= {elems.shape[0]}, '
+                f'DATAPACKING=POINT, ZONETYPE=FEQUADRILATERAL\n')
+        cols = [coords[:, 0], coords[:, 1]] + list(fields.values())
+        data = np.column_stack(cols)
+        for i in range(n):
+            f.write("\t".join(f"{x:.6e}" for x in data[i]) + "\n")
+        for row, t in zip(elems, raw_mesh.elem_types):
+            nn = row[row >= 0] + 1
+            if len(nn) == 3:
+                nn = np.array([nn[0], nn[1], nn[2], nn[2]])
+            f.write("\t".join(str(x) for x in nn) + "\n")
+
+
+def write_paraview_volume(path: str, raw_mesh, fields: dict) -> None:
+    """Legacy VTK ASCII file (output_paraview.cpp equivalent)."""
+    coords = raw_mesh.coords
+    n = coords.shape[0]
+    elems = raw_mesh.elem_nodes
+    with open(path, "w") as f:
+        f.write("# vtk DataFile Version 3.0\n")
+        f.write("SU2-TPU volume solution\nASCII\nDATASET UNSTRUCTURED_GRID\n")
+        f.write(f"POINTS {n} double\n")
+        for i in range(n):
+            z = coords[i, 2] if coords.shape[1] > 2 else 0.0
+            f.write(f"{coords[i,0]:.6e} {coords[i,1]:.6e} {z:.6e}\n")
+        counts = (elems >= 0).sum(axis=1)
+        total = int((counts + 1).sum())
+        f.write(f"CELLS {elems.shape[0]} {total}\n")
+        for row, c in zip(elems, counts):
+            f.write(str(c) + " " + " ".join(str(x) for x in row[:c]) + "\n")
+        f.write(f"CELL_TYPES {elems.shape[0]}\n")
+        for t in raw_mesh.elem_types:
+            f.write("9\n" if t == 9 else "5\n")
+        f.write(f"POINT_DATA {n}\n")
+        for name, col in fields.items():
+            safe = name.replace(" ", "_")
+            f.write(f"SCALARS {safe} double 1\nLOOKUP_TABLE default\n")
+            for x in col:
+                f.write(f"{x:.6e}\n")
+
+
+def write_surface_csv(path: str, raw_mesh, fields: dict, marker_nodes,
+                      tecplot_header: bool = True) -> None:
+    """Surface solution on plotting markers (surface_flow equivalent)."""
+    nodes = np.asarray(marker_nodes)
+    coords = raw_mesh.coords[nodes]
+    names = ['"x"', '"y"'] + [f'"{k}"' for k in fields]
+    with open(path, "w") as f:
+        if tecplot_header:
+            f.write('TITLE = "Visualization of the surface solution"\n')
+            f.write("VARIABLES = " + "".join(names) + "\n")
+            f.write(f'ZONE NODES= {len(nodes)}, ELEMENTS= 0, '
+                    'DATAPACKING=POINT, ZONETYPE=FELINESEG\n')
+        cols = [coords[:, 0], coords[:, 1]] + \
+            [np.asarray(c)[nodes] for c in fields.values()]
+        data = np.column_stack(cols)
+        for i in range(len(nodes)):
+            f.write("\t".join(f"{x:.6e}" for x in data[i]) + "\n")
