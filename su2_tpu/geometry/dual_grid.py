@@ -88,6 +88,69 @@ def _element_cg(mesh: RawMesh) -> np.ndarray:
     return cg
 
 
+def _boundary_data(mesh: RawMesh, edges: np.ndarray, node_nbrs: np.ndarray):
+    """Boundary vertex normals (geometry_structure.cpp:9645 for 2D) and
+    normal neighbors (FindNormal_Neighbor equivalent)."""
+    coords = mesh.coords
+    npoint = mesh.npoint
+    bnd_nodes: dict[str, np.ndarray] = {}
+    bnd_normal: dict[str, np.ndarray] = {}
+    for tag, melems in mesh.markers.items():
+        lines = melems[:, :2]
+        # Both endpoints receive rot_cw((n0 - n1)/2); see module docstring.
+        acc = np.zeros((npoint, 2))
+        d = (coords[lines[:, 0]] - coords[lines[:, 1]]) * 0.5
+        rot = np.stack([d[:, 1], -d[:, 0]], axis=1)
+        for side in (0, 1):
+            np.add.at(acc, lines[:, side], rot)
+        nodes = np.unique(lines)
+        bnd_nodes[tag] = nodes.astype(np.int64)
+        bnd_normal[tag] = acc[nodes]
+
+    bnd_nn: dict[str, np.ndarray] = {}
+    for tag in bnd_nodes:
+        nodes = bnd_nodes[tag]
+        nn = np.empty(len(nodes), dtype=np.int64)
+        for k, p in enumerate(nodes):
+            nrm = bnd_normal[tag][k]
+            best, best_cos = p, -np.inf
+            for q in node_nbrs[p]:
+                if q == p:
+                    continue
+                d = coords[q] - coords[p]
+                c = (d @ nrm) / (np.linalg.norm(d) + 1e-300)
+                if c > best_cos:
+                    best_cos, best = c, q
+            nn[k] = best
+        bnd_nn[tag] = nn
+    return bnd_nodes, bnd_normal, bnd_nn
+
+
+def _try_native(mesh: RawMesh, max_degree: int | None) -> DualGrid | None:
+    """Use the C++ geometry core (native/geometry_core.cpp) when built; the
+    boundary vertex data stays in Python (small)."""
+    from su2_tpu.geometry import native
+
+    out = native.build_dual_2d(mesh.coords, mesh.elem_types, mesh.elem_nodes)
+    if out is None:
+        return None
+    edges, edge_normal, volume = out
+    npoint = mesh.npoint
+    deg = np.bincount(edges.ravel(), minlength=npoint)
+    maxdeg = int(deg.max()) if max_degree is None else max_degree
+    adj = native.adjacency(npoint, edges, maxdeg)
+    if adj is None:
+        return None
+    node_edges, node_sign, node_nbrs = adj
+    bnd_nodes, bnd_normal, bnd_nn = _boundary_data(
+        mesh, edges, node_nbrs)
+    return DualGrid(
+        ndim=2, coords=mesh.coords, volume=volume, edges=edges,
+        edge_normal=edge_normal, node_edges=node_edges,
+        node_edge_sign=node_sign, node_nbrs=node_nbrs,
+        bnd_nodes=bnd_nodes, bnd_normal=bnd_normal, bnd_nn=bnd_nn)
+
+
 def _fix_orientation_2d(mesh: RawMesh) -> RawMesh:
     """Reorient elements the way the reference does before building CVs.
 
@@ -145,12 +208,18 @@ def _fix_orientation_2d(mesh: RawMesh) -> RawMesh:
                    markers, mesh.marker_types)
 
 
-def build_dual_grid(mesh: RawMesh, max_degree: int | None = None) -> DualGrid:
+def build_dual_grid(mesh: RawMesh, max_degree: int | None = None,
+                    use_native: bool = True) -> DualGrid:
     if mesh.ndim != 2:
         raise NotImplementedError("3D dual-grid construction lands with the 3D solver")
     mesh = _fix_orientation_2d(mesh)
     coords = mesh.coords
     npoint = mesh.npoint
+
+    if use_native:
+        native_out = _try_native(mesh, max_degree)
+        if native_out is not None:
+            return native_out
 
     faces, owner = _collect_faces_2d(mesh)           # winding order preserved
     elem_cg = _element_cg(mesh)
@@ -211,39 +280,7 @@ def build_dual_grid(mesh: RawMesh, max_degree: int | None = None) -> DualGrid:
         node_nbrs[n_sorted, dest_slot] = edges[idx_sort, 1 - side]
         np.add.at(slot, n_sorted, 1)
 
-    # --- boundary vertex normals (geometry_structure.cpp:9645 for 2D) ---
-    bnd_nodes: dict[str, np.ndarray] = {}
-    bnd_normal: dict[str, np.ndarray] = {}
-    for tag, melems in mesh.markers.items():
-        lines = melems[:, :2]
-        # Both endpoints receive rot_cw((n0 - n1)/2); see module docstring.
-        acc = np.zeros((npoint, 2))
-        d = (coords[lines[:, 0]] - coords[lines[:, 1]]) * 0.5
-        rot = np.stack([d[:, 1], -d[:, 0]], axis=1)
-        for side in (0, 1):
-            np.add.at(acc, lines[:, side], rot)
-        nodes = np.unique(lines)
-        bnd_nodes[tag] = nodes.astype(np.int64)
-        bnd_normal[tag] = acc[nodes]
-
-    # normal neighbors: for each boundary node, the neighbor most aligned
-    # with the (inward) vertex normal (FindNormal_Neighbor equivalent)
-    bnd_nn: dict[str, np.ndarray] = {}
-    for tag in bnd_nodes:
-        nodes = bnd_nodes[tag]
-        nn = np.empty(len(nodes), dtype=np.int64)
-        for k, p in enumerate(nodes):
-            nrm = bnd_normal[tag][k]
-            best, best_cos = p, -np.inf
-            for q in node_nbrs[p]:
-                if q == p:
-                    continue
-                d = coords[q] - coords[p]
-                c = (d @ nrm) / (np.linalg.norm(d) + 1e-300)
-                if c > best_cos:
-                    best_cos, best = c, q
-            nn[k] = best
-        bnd_nn[tag] = nn
+    bnd_nodes, bnd_normal, bnd_nn = _boundary_data(mesh, edges, node_nbrs)
 
     return DualGrid(
         ndim=2, coords=coords, volume=volume,
