@@ -91,6 +91,37 @@ def load_library(manifest_path: str, lib_path: str | None = None,
     return build_library(files, dtype)
 
 
+def ideal_gas_library(gamma: float = 1.4, r_gas: float = 287.058,
+                      mu_ref: float = 1.716e-5, t_ref_mu: float = 273.15,
+                      s_mu: float = 110.4, prandtl: float = 0.72,
+                      dtype=jnp.float64) -> ChemLib:
+    """Single-species calorically-perfect gas as a ChemLib.
+
+    Lets the reactive machinery run the STANDARD solvers (EULER /
+    NAVIER_STOKES / RANS — CEulerSolver/CNSSolver capability in the
+    reference) with constant cp, Sutherland viscosity and constant-Prandtl
+    conductivity (fluid_model_pig.cpp / transport_model.cpp equivalents).
+    """
+    from su2_tpu.io.tables import (LibraryFiles, MixtureData, SpeciesTable)
+
+    mm = R_UNGAS / r_gas * 1e-3          # g/mol so that R_UNGAS/mm = r_gas...
+    # NOTE: library convention keeps molar masses in g/mol and
+    # Ri = R_UNGAS / mm, so mm must satisfy R_UNGAS/mm == r_gas:
+    mm = R_UNGAS / r_gas
+    t = np.arange(50.0, 6005.0, 5.0)
+    cp_mass = gamma / (gamma - 1.0) * r_gas
+    cp_molar = cp_mass * mm
+    h_molar = cp_molar * t
+    s_molar = cp_molar * np.log(t)
+    mu = mu_ref * (t / t_ref_mu) ** 1.5 * (t_ref_mu + s_mu) / (t + s_mu)
+    kappa = mu * cp_mass / prandtl
+    mix = MixtureData(["AIR"], np.array([mm]), np.array([0.0]), np.array([19.7]))
+    thermo = [SpeciesTable("AIR", t, {"cp": cp_molar * np.ones_like(t),
+                                      "h": h_molar, "s": s_molar})]
+    transp = [SpeciesTable("AIR", t, {"mu": mu, "kappa": kappa})]
+    return build_library(LibraryFiles(mix, None, transp, thermo), dtype)
+
+
 def build_library(files: LibraryFiles, dtype=jnp.float64) -> ChemLib:
     mix = files.mixture
     ns = mix.nspecies

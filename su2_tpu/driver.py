@@ -40,14 +40,20 @@ class Simulation:
         self.cfg = cfg
         self.dtype = dtype
         self.ndevices = ndevices
-        if not cfg.reactive:
-            raise NotImplementedError(
-                "standard (non-reactive) solvers land in a later milestone")
-
-        manifest = cfg.resolve(cfg.config_lib_file)
-        self.lib = cl.load_library(manifest, cfg.library_path or None, dtype)
-        assert self.lib.nspecies == cfg.nspecies, \
-            f"mixture has {self.lib.nspecies} species, cfg lists {cfg.nspecies}"
+        if cfg.reactive:
+            manifest = cfg.resolve(cfg.config_lib_file)
+            self.lib = cl.load_library(manifest, cfg.library_path or None, dtype)
+            assert self.lib.nspecies == cfg.nspecies, \
+                f"mixture has {self.lib.nspecies} species, cfg lists {cfg.nspecies}"
+        else:
+            # standard solvers run on a single-species calorically perfect gas
+            self.lib = cl.ideal_gas_library(
+                gamma=cfg.gamma_value, r_gas=cfg.gas_constant,
+                prandtl=cfg.prandtl_lam, dtype=dtype)
+            cfg.species_order = ["AIR"]
+            cfg.nspecies = 1
+            if not cfg.freestream_mass_frac:
+                cfg.freestream_mass_frac = [1.0]
 
         raw = raw_mesh if raw_mesh is not None \
             else read_su2_mesh(cfg.resolve(cfg.mesh_filename))
