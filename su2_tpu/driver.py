@@ -85,6 +85,7 @@ class Simulation:
             limiter_coeff=cfg.limiter_coeff,
             ref_elem_length=cfg.ref_elem_length,
             grad_method=cfg.num_method_grad,
+            conv_method="ROE" if cfg.conv_num_method_flow == "ROE" else "AUSM",
             reactive_sources=self.lib.nreactions > 0,
             pasr=cfg.kind_turb_model == "SST",
             pasr_lb=cfg.pasr_lb,

@@ -86,8 +86,14 @@ def build_bc_markers(cfg: Config, lib: ChemLib, mesh: MeshArrays,
                             **geom(tag)))
     for tag in cfg.marker_supersonic_outlet:
         out.append(BCMarker("supersonic_outlet", tag, "", params={}, **geom(tag)))
-    for tag in cfg.marker_far:
-        out.append(BCMarker("far_field", tag, "", params={}, **geom(tag)))
+    if cfg.marker_far:
+        ys_inf = jnp.asarray(cfg.freestream_mass_frac, dtype=dtype)
+        rgas = float(cl.mixture_rgas(lib, ys_inf[None])[0])
+        rho_inf = cfg.freestream_pressure / (rgas * cfg.freestream_temperature)
+        ff = {"p_inf": f(cfg.freestream_pressure), "rho_inf": f(rho_inf),
+              "vel_inf": f(cfg.freestream_velocity[:lay.ndim]), "ys": ys_inf}
+        for tag in cfg.marker_far:
+            out.append(BCMarker("far_field", tag, "", params=ff, **geom(tag)))
     return tuple(out)
 
 
@@ -264,6 +270,71 @@ def supersonic_inlet_state(lib, lay, bc: BCMarker, v, tke_inf):
     return _prim_row(lay, t, vel, p, rho, h, a, ys), gamma, vel2
 
 
+def far_field_state(lib, lay, bc: BCMarker, v, dpdu_e):
+    """Characteristic far-field ghost state (standard-solver capability; the
+    reference's REACTIVE BC_Far_Field raises NotImplemented,
+    solver_direct_reactive.cpp:3215 — implemented here as a superset using
+    the classic Riemann-invariant construction of CEulerSolver::BC_Far_Field).
+    """
+    nodes = bc.nodes
+    nd = lay.ndim
+    area = jnp.linalg.norm(bc.normal, axis=1)
+    unit = -bc.normal / area[:, None]                 # outward
+    vd = v[nodes]
+    gamma = dpdu_e[nodes] + 1.0
+    gm1 = gamma - 1.0
+
+    rho_d = vd[:, lay.PRHO]
+    p_d = vd[:, lay.P]
+    a_d = vd[:, lay.A]
+    vel_d = vd[:, lay.VX:lay.VX + nd]
+    un_d = jnp.sum(vel_d * unit, axis=1)
+
+    p_inf = bc.params["p_inf"]
+    rho_inf = bc.params["rho_inf"]
+    vel_inf = jnp.broadcast_to(bc.params["vel_inf"], (nodes.shape[0], nd))
+    ys_inf = jnp.broadcast_to(bc.params["ys"], (nodes.shape[0], lay.ns))
+    a_inf = jnp.sqrt(gamma * p_inf / rho_inf)
+    un_inf = jnp.sum(vel_inf * unit, axis=1)
+
+    r_plus = un_d + 2.0 * a_d / gm1                   # from inside
+    r_minus = un_inf - 2.0 * a_inf / gm1              # from outside
+    un_b = 0.5 * (r_plus + r_minus)
+    a_b = 0.25 * gm1 * (r_plus - r_minus)
+
+    inflow = un_b < 0.0
+    sup_in = un_d < -a_d
+    sup_out = un_d > a_d
+
+    # upwind side for entropy / tangential velocity / composition
+    vel_up = jnp.where(inflow[:, None], vel_inf, vel_d)
+    un_up = jnp.where(inflow, un_inf, un_d)
+    rho_up = jnp.where(inflow, rho_inf, rho_d)
+    p_up = jnp.where(inflow, p_inf, p_d)
+    ys_up = jnp.where(inflow[:, None], ys_inf,
+                      vd[:, lay.YS:lay.YS + lay.ns])
+
+    entropy = p_up / rho_up ** gamma
+    rho_b = (a_b * a_b / (gamma * entropy)) ** (1.0 / gm1)
+    p_b = rho_b * a_b * a_b / gamma
+    vel_b = vel_up + (un_b - un_up)[:, None] * unit
+
+    # supersonic overrides
+    rho_b = jnp.where(sup_in, rho_inf, jnp.where(sup_out, rho_d, rho_b))
+    p_b = jnp.where(sup_in, p_inf, jnp.where(sup_out, p_d, p_b))
+    vel_b = jnp.where(sup_in[:, None], vel_inf,
+                      jnp.where(sup_out[:, None], vel_d, vel_b))
+    ys_b = jnp.where(sup_out[:, None], vd[:, lay.YS:lay.YS + lay.ns], ys_up)
+
+    rgas = cl.mixture_rgas(lib, ys_b)
+    t_b = p_b / (rho_b * rgas)
+    vel2 = jnp.sum(vel_b * vel_b, axis=1)
+    h_b = cl.mixture_enthalpy(lib, t_b, ys_b) + 0.5 * vel2
+    gam_b, _ = cl.frozen_gamma_sound(lib, t_b, ys_b)
+    a_out = jnp.sqrt(gam_b * p_b / rho_b)
+    return _prim_row(lay, t_b, vel_b, p_b, rho_b, h_b, a_out, ys_b), gam_b, vel2
+
+
 def ghost_dpdu(lib, lay, v_ghost, gamma, vel2):
     """dP/dU of a ghost state with known gamma (the BC 'Secondary')."""
     t = v_ghost[:, lay.T]
@@ -298,6 +369,7 @@ class EulerParams:
     reactive_sources: bool
     pasr: bool
     pasr_lb: float
+    conv_method: str = "AUSM"  # AUSM | ROE (Roe uses AUSM Jacobians implicitly)
     c_mu: float = 0.09
     tke_inf: float = 0.0
 
@@ -352,7 +424,11 @@ def convective_residual(lib, lay, mesh, prm, v, grad, lim):
         v_i, v_j = muscl_reconstruct(lib, lay, mesh, prm, v, grad, lim)
     else:
         v_i, v_j = v[i], v[j]
-    flux = ausm.ausm_flux(lay, v_i, v_j, mesh.edge_normal, prm.m_infty)
+    if prm.conv_method == "ROE":
+        from su2_tpu.ops import roe
+        flux = roe.roe_flux(lay, v_i, v_j, mesh.edge_normal)
+    else:
+        flux = ausm.ausm_flux(lay, v_i, v_j, mesh.edge_normal, prm.m_infty)
     return mesh.scatter_edges(flux)
 
 
@@ -402,11 +478,10 @@ def bc_residuals(lib, lay, mesh, prm, bcs, v, dpdu_full, turb_ke=None):
             gamma = dpdu_e[bc.nodes] + 1.0
             vel_d = v_ghost[:, lay.VX:lay.VX + lay.ndim]
             vel2 = jnp.sum(vel_d * vel_d, axis=1)
+        elif bc.kind == "far_field":
+            v_ghost, gamma, vel2 = far_field_state(lib, lay, bc, v, dpdu_e)
         else:
-            raise NotImplementedError(
-                f"BC kind {bc.kind} not implemented (far-field raises "
-                "NotImplemented in the reference too, "
-                "solver_direct_reactive.cpp:3215-3222)")
+            raise NotImplementedError(f"BC kind {bc.kind}")
         flux = ausm.ausm_flux(lay, v[bc.nodes], v_ghost, -bc.normal, prm.m_infty)
         res = res.at[bc.nodes].add(flux)
     return res
@@ -459,6 +534,11 @@ def convective_system(lib, lay, mesh, prm, v, grad, lim, dpdu_full):
         s_i, s_j = dpdu_full[i], dpdu_full[j]
     flux, jac_i, jac_j = ausm.ausm_flux(
         lay, v_i, v_j, mesh.edge_normal, prm.m_infty, s_i, s_j)
+    if prm.conv_method == "ROE":
+        # Roe residual with the AUSM approximate linearization (defect
+        # correction: the outer Newton converges to the Roe solution)
+        from su2_tpu.ops import roe
+        flux = roe.roe_flux(lay, v_i, v_j, mesh.edge_normal)
     res = mesh.scatter_edges(flux)
     # diag: +jac_i at i, -jac_j at j; off-diagonals: (i,j)=+jac_j, (j,i)=-jac_i
     diag = jnp.zeros((v.shape[0], lay.nvar, lay.nvar), dtype=v.dtype)
@@ -502,6 +582,8 @@ def bc_system(lib, lay, mesh, prm, bcs, v, dpdu_full, turb_ke=None):
             gamma = dpdu_e[bc.nodes] + 1.0
             vel_d = v_ghost[:, lay.VX:lay.VX + lay.ndim]
             vel2 = jnp.sum(vel_d * vel_d, axis=1)
+        elif bc.kind == "far_field":
+            v_ghost, gamma, vel2 = far_field_state(lib, lay, bc, v, dpdu_e)
         else:
             raise NotImplementedError(f"BC kind {bc.kind}")
         s_ghost = ghost_dpdu(lib, lay, v_ghost, gamma, vel2)

@@ -165,6 +165,8 @@ def ns_assemble(lib: ChemLib, lay: Layout, mesh: MeshArrays, prm: NSParams,
             gamma = dpdu_e[bc.nodes] + 1.0
             vel_d = v_ghost[:, lay.VX:lay.VX + nd]
             vel2 = jnp.sum(vel_d * vel_d, axis=1)
+        elif bc.kind == "far_field":
+            v_ghost, gamma, vel2 = es.far_field_state(lib, lay, bc, v, dpdu_e)
         else:
             raise NotImplementedError(bc.kind)
         s_ghost = es.ghost_dpdu(lib, lay, v_ghost, gamma, vel2)

@@ -176,7 +176,8 @@ def test_venkatakrishnan_limiter_bounds(combustion_mesh):
 def test_simulation_explicit_steps(combustion_dir):
     """End-to-end: 3 explicit steps of the full reactive path on the
     combustion case (freestream init), residuals finite."""
-    cfg = Config(os.path.join(combustion_dir, "my_combustion_second_chem_PaSR.cfg"))
+    cfg = Config(os.path.join(combustion_dir, "my_combustion_second_chem_PaSR.cfg"),
+                 overrides={"RESTART_SOL": "NO"})
     sim = Simulation(cfg)
     u, t, hist, turb = sim.run(niter=3, quiet=True)
     assert np.isfinite(np.asarray(u)).all()

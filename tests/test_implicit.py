@@ -11,7 +11,8 @@ def test_implicit_combustion_smoke(combustion_dir):
     runs stably with finite residuals and positive density."""
     cfg = Config(
         os.path.join(combustion_dir, "my_combustion_second_chem_PaSR.cfg"),
-        overrides={"TIME_DISCRE_FLOW": "EULER_IMPLICIT", "CFL_NUMBER": "1.0"})
+        overrides={"TIME_DISCRE_FLOW": "EULER_IMPLICIT", "CFL_NUMBER": "1.0",
+                   "RESTART_SOL": "NO"})
     sim = Simulation(cfg)
     u, t, hist, turb = sim.run(niter=5, quiet=True)
     assert np.isfinite(np.asarray(u)).all()

@@ -21,12 +21,12 @@ def test_multichip_matches_single_device():
 
     sim1 = g._flagship_sim(jnp.float64, tiny=True)
     q0 = sim1.initial_turb_state()
-    out1 = sim1._step(sim1.u0, sim1.t0, *q0)
+    out1 = sim1._step(sim1.u0, sim1.t0, *q0, jnp.asarray(False))
     u1 = np.asarray(out1[0])
 
     sim8 = g._flagship_sim(jnp.float64, ndevices=8, tiny=True)
     q8 = sim8.initial_turb_state()
-    out8 = sim8._step(sim8.u0, sim8.t0, *q8)
+    out8 = sim8._step(sim8.u0, sim8.t0, *q8, jnp.asarray(False))
     u8 = np.asarray(out8[0])
 
     n_real = u1.shape[0]
