@@ -60,3 +60,15 @@ def local_time_step(mesh: MeshArrays, lay: Layout, v: jnp.ndarray,
     # CVs with a single neighbor take the global min dt (:2120-2123)
     dt = jnp.where(mesh.n_neighbors == 1, min_dt, dt)
     return dt, min_dt, max_dt_seen
+
+
+def apply_time_marching(dt, min_dt, mode: str, unst_dt: float = 0.0,
+                        unst_cfl: float = 0.0):
+    """TIME_STEPPING: one global dt everywhere — the fixed UNST_TIMESTEP when
+    the unsteady CFL is zero, else the global minimum local step
+    (solver_direct_reactive.cpp:2125-2143)."""
+    if mode != "TIME_STEPPING":
+        return dt
+    if unst_cfl <= 0.0 and unst_dt > 0.0:
+        return jnp.full_like(dt, unst_dt)
+    return jnp.full_like(dt, min_dt)
