@@ -112,51 +112,61 @@ def solve_temperature(lib: ChemLib, c1: jax.Array, c2: jax.Array, ys: jax.Array,
     def f_of(t):
         return t - c1 - c2 * cl.mixture_enthalpy(lib, t, ys)
 
-    # --- fixed-iteration masked secant ---
-    t = t_init
-    t_old = t_init + 1.0
-    done = jnp.zeros_like(t, dtype=bool)
+    # --- masked secant with early exit (while_loop: typically 2-4 rounds
+    #     from the previous-step temperature, so the average cost is far
+    #     below the reference's fixed 7-iteration budget) ---
+    t0 = t_init
+    t_old0 = t_init + 1.0
+    done0 = jnp.zeros_like(t0, dtype=bool)
 
-    def secant_body(_, carry):
-        t, t_old, done = carry
-        f = f_of(t)
-        f_old = f_of(t_old)
+    def secant_cond(carry):
+        it, t, t_old, h_old, done = carry
+        return (it < p.secant_iters) & ~jnp.all(done)
+
+    def secant_body(carry):
+        it, t, t_old, h_old, done = carry
+        f = t - c1 - c2 * cl.mixture_enthalpy(lib, t, ys)
+        f_old = t_old - c1 - c2 * h_old
         df = f - f_old
         safe_df = jnp.where(df == 0.0, 1.0, df)
         t_new = t - f * (t - t_old) / safe_df
         t_new = jnp.where(df == 0.0, t, t_new)
         converged = jnp.abs(t_new - t) < p.secant_tol
         new_done = done | converged
-        t_next = jnp.where(done, t, jnp.where(converged, t, t_new))
+        t_next = jnp.where(done | converged, t, t_new)
         t_old_next = jnp.where(done, t_old, t)
-        return t_next, t_old_next, new_done
+        h_next = jnp.where(done, h_old, (t - c1 - f) / c2)  # h at t
+        return it + 1, t_next, t_old_next, h_next, new_done
 
-    t, t_old, done = jax.lax.fori_loop(
-        0, p.secant_iters, secant_body, (t, t_old, done))
-    # one extra convergence check mirroring the reference: after maxNIter
-    # secant steps without |dT|<tol the cell falls to bisection
+    h_old0 = cl.mixture_enthalpy(lib, t_old0, ys)
+    _, t, t_old, _, done = jax.lax.while_loop(
+        secant_cond, secant_body, (0, t0, t_old0, h_old0, done0))
     secant_ok = done
 
-    # --- masked bisection fallback on [Tmin, Tmax] ---
-    ta = jnp.full_like(t, p.tmin)
-    tb = jnp.full_like(t, p.tmax)
-    tbis = 0.5 * (ta + tb)
-    bis_done = jnp.zeros_like(t, dtype=bool)
+    # --- bisection fallback on [Tmin, Tmax], skipped entirely when every
+    #     cell converged by secant (lax.cond executes one branch) ---
+    def run_bisection(_):
+        ta0 = jnp.full_like(t, p.tmin)
+        tb0 = jnp.full_like(t, p.tmax)
 
-    def bisect_body(_, carry):
-        ta, tb, tbis, bis_done = carry
-        tm = 0.5 * (ta + tb)
-        f = f_of(tm)
-        converged = jnp.abs(f) < p.bisect_tol
-        go_low = f > 0.0
-        ta_n = jnp.where(bis_done | converged, ta, jnp.where(go_low, tm, ta))
-        tb_n = jnp.where(bis_done | converged, tb, jnp.where(go_low, tb, tm))
-        tbis_n = jnp.where(bis_done, tbis, tm)
-        return ta_n, tb_n, tbis_n, bis_done | converged
+        def bisect_body(_, carry):
+            ta, tb, tbis, bis_done = carry
+            tm = 0.5 * (ta + tb)
+            f = f_of(tm)
+            converged = jnp.abs(f) < p.bisect_tol
+            go_low = f > 0.0
+            ta_n = jnp.where(bis_done | converged, ta, jnp.where(go_low, tm, ta))
+            tb_n = jnp.where(bis_done | converged, tb, jnp.where(go_low, tb, tm))
+            tbis_n = jnp.where(bis_done, tbis, tm)
+            return ta_n, tb_n, tbis_n, bis_done | converged
 
-    ta, tb, tbis, bis_done = jax.lax.fori_loop(
-        0, p.bisect_iters, bisect_body, (ta, tb, tbis, bis_done))
+        _, _, tbis, _ = jax.lax.fori_loop(
+            0, p.bisect_iters, bisect_body,
+            (ta0, tb0, 0.5 * (ta0 + tb0), jnp.zeros_like(t, dtype=bool)))
+        return tbis
 
+    tbis = jax.lax.cond(jnp.all(secant_ok), lambda _: t, run_bisection,
+                        operand=None)
     t_final = jnp.where(secant_ok, t, tbis)
     return t_final, secant_ok
 
