@@ -117,6 +117,11 @@ class Simulation:
                 self.lib, jnp.asarray([t_inf], dtype=dtype), ys[None])[0])
             self.kine_inf, self.omega_inf, self.mut_inf = sst.freestream(
                 cfg, rho_inf, vel_inf, mu_inf)
+            if cfg.kind_turb_model == "SA":
+                from su2_tpu.turbulence import sa
+                self.nu_tilde_inf, self.mut_inf = sa.freestream(
+                    cfg, rho_inf, mu_inf)
+                self.kine_inf = 0.0
             self.params = dataclasses_replace(self.params,
                                               tke_inf=self.kine_inf)
             self.scfg = sst.SSTConfig(
@@ -275,9 +280,11 @@ class Simulation:
         fuel_i = lay.YS + cfg.fuel_index
         ox_i = lay.YS + cfg.oxidizer_index
 
+        is_sst = cfg.kind_turb_model == "SST"
+
         def step(u, t_guess, q, mu_t, grad_k, sigma_k, ignite):
             # ---------- flow system ----------
-            tke = q[:, 0]
+            tke = q[:, 0] if is_sst else jnp.zeros_like(q[:, 0])
             omega_t = q[:, 1]
             u, v, nonphys = st.cons2prim(lib, lay, u, t_guess, tparams,
                                          turb_ke=tke)
@@ -331,8 +338,18 @@ class Simulation:
                 lib, lay, u_new, v[:, lay.T], tparams, turb_ke=tke)
             qgrad = vis.ns_gradient_vars(lib, lay, v_new)
             grad_new = es.compute_gradients(mesh, prm, qgrad)
-            strain, _ = sst.strain_and_vorticity(lay, grad_new)
+            strain, vort = sst.strain_and_vorticity(lay, grad_new)
             trans_new = vis.node_transport(lib, lay, v_new)
+            if cfg.kind_turb_model == "SA":
+                from su2_tpu.turbulence import sa
+                nu_new, turb_rms, mu_t_new = sa.sa_step(
+                    lay, mesh, scfg, bcs, q[:, 0], v_new, grad_new,
+                    trans_new.mu, vort, dist, dt, self.nu_tilde_inf)
+                q_new = jnp.stack([nu_new, jnp.zeros_like(nu_new)], axis=1)
+                turb_rms = jnp.concatenate([turb_rms, turb_rms])
+                return (u_new, v_new[:, lay.T], q_new, mu_t_new,
+                        grad_k, sigma_k, rms, rmax, turb_rms,
+                        nonphys.sum() + nonphys2.sum(), min_dt)
             q_new, turb_rms, outs = sst.sst_step(
                 lay, mesh, scfg, bcs, q, v_new, grad_new,
                 trans_new.mu, mu_t, strain, dist, rho_old, dt,
@@ -410,10 +427,37 @@ class Simulation:
                 _os.path.join(base, self.cfg.surface_flow_filename + ".dat"),
                 self.raw, fields, nodes)
 
+    def monitor_forces(self, u, t_guess, turb=None):
+        """Force coefficients over MARKER_MONITORING (COutput monitoring)."""
+        from su2_tpu.ops import viscous as vis
+        from su2_tpu.solvers import forces as ff
+
+        u2, v, _ = st.cons2prim(
+            self.lib, self.lay, u, t_guess, self.tparams,
+            turb_ke=turb[0][:, 0] if turb is not None else None)
+        grad = es.compute_gradients(
+            self.mesh, self.params, vis.ns_gradient_vars(self.lib, self.lay, v))
+        trans = vis.node_transport(self.lib, self.lay, v)
+        markers = {}
+        for tag in self.cfg.marker_monitoring:
+            if tag in self.mesh.markers:
+                nodes, normal = self.mesh.markers[tag]
+                markers[tag] = (nodes, normal, self.mesh.marker_nn[tag])
+        ys, t_inf, p_inf, rho_inf, vel_inf, _ = self.freestream_primitives()
+        ref_area = self.cfg.ref_area if self.cfg.ref_area > 0 else 1.0
+        return ff.surface_forces(
+            self.lib, self.lay, self.mesh, v, grad, trans, markers,
+            p_inf, rho_inf, vel_inf, ref_area, viscous=self.cfg.viscous,
+            mu_t=turb[1] if turb is not None else None)
+
     def initial_turb_state(self):
         n = self.mesh.npoint
-        q0 = jnp.tile(jnp.asarray([[self.kine_inf, self.omega_inf]],
-                                  dtype=self.dtype), (n, 1))
+        if self.cfg.kind_turb_model == "SA":
+            q0 = jnp.tile(jnp.asarray([[self.nu_tilde_inf, 0.0]],
+                                      dtype=self.dtype), (n, 1))
+        else:
+            q0 = jnp.tile(jnp.asarray([[self.kine_inf, self.omega_inf]],
+                                      dtype=self.dtype), (n, 1))
         if getattr(self, "turb_restart", None) is not None:
             qr = np.asarray(self.turb_restart)
             q0 = q0.at[:qr.shape[0]].set(jnp.asarray(qr, dtype=self.dtype))
@@ -452,7 +496,12 @@ class Simulation:
             if self.history is not None and it % self.cfg.wrt_con_freq == 0:
                 tr = (np.log10(np.maximum(np.asarray(turb_rms), 1e-300))
                       if turb_rms is not None else None)
-                self.history.write(it, log_rms, tr,
+                forces = None
+                if self.cfg.marker_monitoring:
+                    forces = self.monitor_forces(
+                        u, t_guess,
+                        (q, mu_t) if self.turbulent else None)
+                self.history.write(it, log_rms, tr, forces=forces,
                                    lin_iters=self.cfg.linear_solver_iter)
             if self.writer_state is not None and it > 0 \
                     and it % self.cfg.wrt_sol_freq == 0:
