@@ -350,10 +350,12 @@ class Simulation:
                 return (u_new, v_new[:, lay.T], q_new, mu_t_new,
                         grad_k, sigma_k, rms, rmax, turb_rms,
                         nonphys.sum() + nonphys2.sum(), min_dt)
+            dpdu_new = st.dpdu(lib, lay, v_new)
             q_new, turb_rms, outs = sst.sst_step(
                 lay, mesh, scfg, bcs, q, v_new, grad_new,
                 trans_new.mu, mu_t, strain, dist, rho_old, dt,
-                self.kine_inf, self.omega_inf)
+                self.kine_inf, self.omega_inf,
+                lib=lib, dpdu_e=dpdu_new[:, lay.RHOE], tke_inf=prm.tke_inf)
             return (u_new, v_new[:, lay.T], q_new, outs["mu_t"],
                     outs["grad_k"], outs["sigma_k"], rms, rmax, turb_rms,
                     nonphys.sum() + nonphys2.sum(), min_dt)

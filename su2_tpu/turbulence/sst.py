@@ -102,7 +102,8 @@ class SSTConfig:
 
 def sst_step(lay: Layout, mesh: MeshArrays, scfg: SSTConfig, bcs,
              q, v, flow_grad, mu, mu_t_node, strain_mag, dist,
-             rho_old, dt, kine_inf, omega_inf):
+             rho_old, dt, kine_inf, omega_inf,
+             lib=None, dpdu_e=None, tke_inf: float = 0.0):
     """One implicit Euler iteration of the SST system.
 
     q: (N, 2) primitive (k, omega); v: flow primitives; flow_grad: NS
@@ -200,26 +201,41 @@ def sst_step(lay: Layout, mesh: MeshArrays, scfg: SSTConfig, bcs,
             w_wall = 60.0 * mu[bc.nn] / (rho[bc.nn] * BETA_1 * dnn * dnn)
             wall_mask = wall_mask.at[nodes].set(True)
             q_wall = q_wall.at[nodes, 1].set(w_wall)
-        elif bc.kind in ("inlet", "supersonic_inlet"):
-            # upwind flux with freestream turb state (BC_Inlet, :3264)
+        elif bc.kind in ("inlet", "supersonic_inlet", "outlet",
+                         "supersonic_outlet", "far_field"):
+            # upwind flux between the domain state and the FLOW ghost state
+            # (the reference's turb BCs consume GetCharacPrimVar: BC_Inlet
+            # :3264, BC_Outlet :3360); inlets impose (kine_Inf, omega_Inf)
+            # on the incoming characteristic, outlets extrapolate.
+            from su2_tpu.solvers import euler as es
             area_n = -bc.normal
-            qb = 0.5 * jnp.einsum("ed,ed->e", 2.0 * vel[nodes], area_n)
+            if lib is not None and bc.kind == "inlet":
+                v_ghost, _, _ = es.inlet_state(lib, lay, bc, v, dpdu_e, tke_inf)
+                vel_g = v_ghost[:, lay.VX:lay.VX + lay.ndim]
+                rho_g = v_ghost[:, lay.PRHO]
+            elif lib is not None and bc.kind == "outlet":
+                v_ghost, _, _, _ = es.outlet_state(lib, lay, bc, v, dpdu_e, tke_inf)
+                vel_g = v_ghost[:, lay.VX:lay.VX + lay.ndim]
+                rho_g = v_ghost[:, lay.PRHO]
+            elif lib is not None and bc.kind == "supersonic_inlet":
+                v_ghost, _, _ = es.supersonic_inlet_state(lib, lay, bc, v, tke_inf)
+                vel_g = v_ghost[:, lay.VX:lay.VX + lay.ndim]
+                rho_g = v_ghost[:, lay.PRHO]
+            else:
+                vel_g = vel[nodes]
+                rho_g = rho[nodes]
+            qb = 0.5 * jnp.einsum("ed,ed->e", vel[nodes] + vel_g, area_n)
             a0b = 0.5 * (qb + jnp.abs(qb))
             a1b = 0.5 * (qb - jnp.abs(qb))
-            qin = jnp.stack([jnp.full_like(qb, kine_inf),
-                             jnp.full_like(qb, omega_inf)], axis=1)
+            if bc.kind in ("inlet", "supersonic_inlet", "far_field"):
+                qin = jnp.stack([jnp.full_like(qb, kine_inf),
+                                 jnp.full_like(qb, omega_inf)], axis=1)
+            else:
+                qin = q[nodes]
             bflux = a0b[:, None] * rho[nodes, None] * q[nodes] \
-                + a1b[:, None] * rho[nodes, None] * qin
+                + a1b[:, None] * rho_g[:, None] * qin
             res = res.at[nodes].add(bflux)
             diag = diag.at[nodes].add(a0b[:, None, None] * eye2)
-        elif bc.kind in ("outlet", "supersonic_outlet", "far_field"):
-            area_n = -bc.normal
-            qb = jnp.einsum("ed,ed->e", vel[nodes], area_n)
-            a0b = 0.5 * (qb + jnp.abs(qb))
-            a1b = 0.5 * (qb - jnp.abs(qb))
-            bflux = (a0b + a1b)[:, None] * rho[nodes, None] * q[nodes]
-            res = res.at[nodes].add(bflux)
-            diag = diag.at[nodes].add((a0b + a1b)[:, None, None] * eye2)
 
     # strong wall rows
     res = jnp.where(wall_mask[:, None], 0.0, res)
