@@ -211,7 +211,25 @@ def mixture_cp(lib: ChemLib, t: jax.Array, ys: jax.Array) -> jax.Array:
     return jnp.einsum("...s,...s->...", clip_mass_fractions(ys), species_cp(lib, t))
 
 
+# Fast-path selector for the hot mixture-enthalpy evaluation (the secant
+# T-solve's inner op): "gather" = exact spline gathers (default, used for
+# f64 validation), "onehot" = one-hot MXU matmul, "pallas" = fused TPU kernel
+# (su2_tpu/pallas/thermo.py).  All paths agree to f32 rounding.
+_ENTHALPY_MODE = "gather"
+
+
+def set_enthalpy_mode(mode: str) -> None:
+    global _ENTHALPY_MODE
+    assert mode in ("gather", "onehot", "pallas")
+    _ENTHALPY_MODE = mode
+
+
 def mixture_enthalpy(lib: ChemLib, t: jax.Array, ys: jax.Array) -> jax.Array:
+    if _ENTHALPY_MODE != "gather" and t.ndim == 1 and ys.ndim == 2:
+        from su2_tpu.pallas import thermo as _pth
+        if _ENTHALPY_MODE == "pallas":
+            return _pth.mixture_enthalpy_pallas(lib, t, clip_mass_fractions(ys))
+        return _pth.mixture_enthalpy_onehot(lib, t, clip_mass_fractions(ys))
     return jnp.einsum("...s,...s->...", clip_mass_fractions(ys), species_enthalpy(lib, t))
 
 

@@ -40,6 +40,9 @@ class Simulation:
         self.cfg = cfg
         self.dtype = dtype
         self.ndevices = ndevices
+        if (dtype == jnp.float32 and ndevices is None
+                and jax.devices()[0].platform == "tpu"):
+            cl.set_enthalpy_mode("pallas")
         if cfg.reactive:
             manifest = cfg.resolve(cfg.config_lib_file)
             self.lib = cl.load_library(manifest, cfg.library_path or None, dtype)
