@@ -284,8 +284,14 @@ class Simulation:
         ox_i = lay.YS + cfg.oxidizer_index
 
         is_sst = cfg.kind_turb_model == "SST"
+        dual_order = {"DUAL_TIME_STEPPING-1ST_ORDER": 1,
+                      "DT_STEPPING_1ST": 1,
+                      "DUAL_TIME_STEPPING-2ND_ORDER": 2,
+                      "DT_STEPPING_2ND": 2}.get(cfg.unsteady_simulation, 0)
+        dt_phys = cfg.unst_timestep
 
-        def step(u, t_guess, q, mu_t, grad_k, sigma_k, ignite):
+        def step(u, t_guess, q, mu_t, grad_k, sigma_k, ignite,
+                 u_n=None, u_nm1=None):
             # ---------- flow system ----------
             tke = q[:, 0] if is_sst else jnp.zeros_like(q[:, 0])
             omega_t = q[:, 1]
@@ -308,10 +314,17 @@ class Simulation:
                                       dpdu_full, turb)
             dt, min_dt, _ = timestep.local_time_step(
                 mesh, lay, v, prm.cfl, prm.max_dt, lam_visc=lam_v)
+            if dual_order and not implicit_flow:
+                # pseudo time step bounded by the physical step
+                # (SetTime_Step dual-time branch, :2160-2166)
+                dt = jnp.minimum(dt, 2.0 / 3.0 * dt_phys)
             if implicit_flow:
                 res, wall_mask, trans, grad, jac = ns.ns_assemble(
                     lib, lay, mesh, prm, bcs, v, dt, implicit=True,
                     turb=turb, omega_turb=omega_t, sigma_k_edge=sigma_k_edge)
+                if dual_order:
+                    res, jac = ns.add_dual_time(
+                        lay, mesh, res, jac, u, u_n, u_nm1, dt_phys, dual_order)
                 u = ns.enforce_wall_velocity(lay, u, wall_mask)
                 rhs = -res
                 dinv = blockcsr.block_jacobi_factor(jac)
@@ -330,6 +343,9 @@ class Simulation:
                 res, wall_mask, trans, grad = ns.ns_assemble(
                     lib, lay, mesh, prm, bcs, v, turb=turb,
                     omega_turb=omega_t, sigma_k_edge=sigma_k_edge)
+                if dual_order:
+                    res, _ = ns.add_dual_time(
+                        lay, mesh, res, None, u, u_n, u_nm1, dt_phys, dual_order)
                 u = ns.enforce_wall_velocity(lay, u, wall_mask)
                 u_new, rms, rmax = es.explicit_euler_update(
                     lay, mesh, u, res, dt, lower, upper)
@@ -432,6 +448,36 @@ class Simulation:
                 _os.path.join(base, self.cfg.surface_flow_filename + ".dat"),
                 self.raw, fields, nodes)
 
+    def run_unsteady(self, n_steps: int | None = None, quiet=False):
+        """Dual-time-stepping outer loop (DT_STEPPING_1ST/2ND): for each
+        physical step, UNST_INT_ITER pseudo-time inner iterations
+        (CDriver unsteady loop + SetResidual_DualTime)."""
+        assert self.turbulent, "unsteady loop currently drives the RANS step"
+        cfg = self.cfg
+        dt_phys = cfg.unst_timestep
+        if n_steps is None:
+            n_steps = max(1, int(cfg.unst_time / dt_phys))
+        u = self.u0
+        t_guess = self.t0
+        q, mu_t, grad_k, sigma_k = self.initial_turb_state()
+        u_n = u
+        u_nm1 = u
+        hist = []
+        for step_i in range(n_steps):
+            for inner in range(cfg.unst_int_iter):
+                ignite = jnp.asarray(False)
+                (u, t_guess, q, mu_t, grad_k, sigma_k, rms, rmax, trms,
+                 nerr, min_dt) = self._step(u, t_guess, q, mu_t, grad_k,
+                                            sigma_k, ignite, u_n, u_nm1)
+            log_rms = np.log10(np.maximum(np.asarray(rms), 1e-300))
+            hist.append(log_rms)
+            if not quiet:
+                print(f"phys step {step_i:5d} t={dt_phys*(step_i+1):.4e}  "
+                      f"Res[Rho]: {log_rms[self.lay.RHO]: .6f}")
+            u_nm1 = u_n
+            u_n = u
+        return u, t_guess, np.array(hist), (q, mu_t, grad_k, sigma_k)
+
     def monitor_forces(self, u, t_guess, turb=None):
         """Force coefficients over MARKER_MONITORING (COutput monitoring)."""
         from su2_tpu.ops import viscous as vis
@@ -469,6 +515,26 @@ class Simulation:
         mu_t0 = jnp.full((n,), min(self.mut_inf, 1.0), dtype=self.dtype)
         grad_k0 = jnp.zeros((n, self.lay.ndim), dtype=self.dtype)
         sigma_k0 = jnp.full((n,), sst.SIGMA_K1, dtype=self.dtype)
+        if getattr(self, "turb_restart", None) is not None \
+                and self.cfg.kind_turb_model == "SST":
+            # recompute mu_t / blending / grad k from the restarted state
+            # (the reference's turb LoadRestart ends in Postprocessing)
+            from su2_tpu.ops import viscous as vis
+            lay = self.lay
+            u2, v, _ = st.cons2prim(self.lib, lay, self.u0, self.t0,
+                                    self.tparams, turb_ke=q0[:, 0])
+            grad = es.compute_gradients(
+                self.mesh, self.params, vis.ns_gradient_vars(self.lib, lay, v))
+            strain, _ = sst.strain_and_vorticity(lay, grad)
+            gq = es.compute_gradients(self.mesh, self.params, q0)
+            trans = vis.node_transport(self.lib, lay, v)
+            f1, f2, _ = sst.blending(q0[:, 0], q0[:, 1], gq[:, 0, :],
+                                     gq[:, 1, :], trans.mu, v[:, lay.PRHO],
+                                     self.wall_dist)
+            mu_t0 = sst.eddy_viscosity(v[:, lay.PRHO], q0[:, 0], q0[:, 1],
+                                       strain, f2)
+            grad_k0 = gq[:, 0, :]
+            sigma_k0 = f1 * sst.SIGMA_K1 + (1.0 - f1) * sst.SIGMA_K2
         if self.dmesh is not None:
             from su2_tpu.parallel import sharding as shd
             return shd.shard_state(self.dmesh, q0, mu_t0, grad_k0, sigma_k0)

@@ -37,13 +37,24 @@ def write_restart(path: str, coords: np.ndarray, u: np.ndarray,
         for i in range(n):
             f.write(str(i) + "\t"
                     + "\t".join(f"{x:.15g}" for x in data[i]) + "\n")
+        # metadata block (Read_SU2_Restart_Metadata compatibility)
+        f.write("AOA= 0.0\nSIDESLIP_ANGLE= 0.0\n")
 
 
 def read_restart(path: str, ndim: int, nvar: int, nturb: int = 0):
-    """Returns (u (N, nvar), turb (N, nturb) or None)."""
+    """Returns (u (N, nvar), turb (N, nturb) or None).
+
+    Trailing metadata lines (AOA=, EXT_ITER=, ... —
+    Read_SU2_Restart_Metadata) are skipped.
+    """
     with open(path) as f:
         header = f.readline()
-        rows = [ln.split() for ln in f if ln.strip()]
+        rows = []
+        for ln in f:
+            toks = ln.split()
+            if not toks or not toks[0].lstrip("-").isdigit():
+                continue
+            rows.append(toks)
     data = np.array([[float(tok) for tok in row] for row in rows])
     ids = data[:, 0].astype(np.int64)
     order = np.argsort(ids)

@@ -293,6 +293,27 @@ def ns_assemble(lib: ChemLib, lay: Layout, mesh: MeshArrays, prm: NSParams,
     return res, wall_mask, trans, grad, jac
 
 
+def add_dual_time(lay: Layout, mesh: MeshArrays, res, jac, u, u_n, u_nm1,
+                  dt_phys: float, order: int):
+    """Dual-time source (SetResidual_DualTime, solver_direct_reactive.cpp
+    :2172): BDF1/BDF2 physical-time derivative added to the pseudo-steady
+    residual, plus the matching diagonal for the implicit solve."""
+    vol = mesh.volume[:, None]
+    if order == 1:
+        src = vol * (u - u_n) / dt_phys
+        diag_coef = mesh.volume / dt_phys
+    else:
+        src = vol * (3.0 * u - 4.0 * u_n + u_nm1) / (2.0 * dt_phys)
+        diag_coef = 1.5 * mesh.volume / dt_phys
+    res = res + src
+    if jac is not None:
+        eye = jnp.eye(lay.nvar, dtype=u.dtype)
+        jac = BlockJacobian(
+            diag=jac.diag + diag_coef[:, None, None] * eye,
+            off_ij=jac.off_ij, off_ji=jac.off_ji)
+    return res, jac
+
+
 def enforce_wall_velocity(lay: Layout, u, wall_mask):
     """Strong no-slip: zero momentum at wall nodes (SetVelocity_Old(0))."""
     mom = u[:, lay.RHOVX:lay.RHOVX + lay.ndim]
