@@ -54,3 +54,46 @@ def test_residual_history_matches_reference(combustion_dir):
     # implicit SST path: looser (block-Jacobi vs LU-SGS)
     np.testing.assert_allclose(rows[0, 2], REF[0, 2], atol=5e-3)
     np.testing.assert_allclose(rows[0, 3], REF[0, 3], atol=5e-3)
+
+
+# Reference PaSR combustion history (restart-chained from the no-chem state
+# that tests/fixtures/ref_restart_nochem.npz captures; reference iterations
+# 51-53):
+REF_PASR = np.array([
+    [-3.296143, 2.165257],
+    [-3.298203, 2.166898],
+    [-3.300228, 2.168535],
+])
+
+
+@pytest.mark.slow
+def test_pasr_residual_history_matches_reference(combustion_dir, tmp_path):
+    """Full 9-species PaSR reactive path matches the reference trajectory to
+    ~1e-4 in log10-RMS when started from the reference's own restart."""
+    import jax.numpy as jnp
+    from su2_tpu.io import restart as rio
+
+    fix = np.load(os.path.join(os.path.dirname(__file__), "fixtures",
+                               "ref_restart_nochem.npz"))
+    # write it as a restart file the cfg's RESTART_SOL machinery reads
+    coords = np.zeros((fix["u"].shape[0], 2))
+    import os as _os
+    cwd = _os.getcwd()
+    _os.chdir(tmp_path)
+    try:
+        rio.write_restart("restart_flow.dat", coords, fix["u"], fix["turb"])
+        cfg = Config(os.path.join(combustion_dir,
+                                  "my_combustion_second_chem_PaSR.cfg"))
+        sim = Simulation(cfg)
+        q = sim.initial_turb_state()
+        state = (sim.u0, sim.t0) + q
+        rows = []
+        for it in range(3):
+            out = sim._step(*state, jnp.asarray(False))
+            state = tuple(out[:6])
+            rms = np.log10(np.maximum(np.asarray(out[6]), 1e-300))
+            rows.append([rms[sim.lay.RHO], rms[sim.lay.RHOE]])
+        rows = np.array(rows)
+        np.testing.assert_allclose(rows, REF_PASR, atol=5e-4)
+    finally:
+        _os.chdir(cwd)
