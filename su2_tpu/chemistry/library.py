@@ -271,11 +271,18 @@ def species_conductivity(lib: ChemLib, t: jax.Array) -> jax.Array:
 
 
 def _wilke_phi_term(lib: ChemLib, mu_s: jax.Array) -> jax.Array:
-    """(.., i, j) pair term: (1+sqrt(mu_i/mu_j)(M_j/M_i)^(1/4))^2 / sqrt(8(1+M_i/M_j))."""
-    m_i_over_j = lib.mm[:, None] / lib.mm[None, :]
-    num = 1.0 + jnp.sqrt(mu_s[..., :, None] / mu_s[..., None, :]) * \
-        (lib.mm[None, :] / lib.mm[:, None]) ** 0.25
-    return num * num / jnp.sqrt(8.0 * (1.0 + m_i_over_j))
+    """(.., i, j) pair term: (1+sqrt(mu_i/mu_j)(M_j/M_i)^(1/4))^2 / sqrt(8(1+M_i/M_j)).
+
+    The molar-mass factors are static; only sqrt(mu) is per-state (computed
+    once per species, not per pair) — the naive form costs O(N S^2)
+    transcendentals, this one O(N S).
+    """
+    c_mass = (lib.mm[None, :] / lib.mm[:, None]) ** 0.25      # static (S, S)
+    c_den = 1.0 / jnp.sqrt(8.0 * (1.0 + lib.mm[:, None] / lib.mm[None, :]))
+    r = jnp.sqrt(mu_s)                                        # (.., S)
+    ratio = r[..., :, None] / r[..., None, :]
+    num = 1.0 + ratio * c_mass
+    return num * num * c_den
 
 
 def mixture_viscosity(lib: ChemLib, t: jax.Array, ys: jax.Array) -> jax.Array:

@@ -422,15 +422,24 @@ class Simulation:
             turb_ke=turb[0][:, 0] if turb is not None else None)
         n_real = self.raw.npoint
         coords = self.raw.coords
-        un = np.asarray(u2)[:n_real]
-        turb_np = np.asarray(turb[0])[:n_real] if turb is not None else None
+
+        def unpermute(arr):
+            arr = np.asarray(arr)
+            if hasattr(self, "perm") and self.ndevices:
+                out_arr = np.empty((n_real,) + arr.shape[1:], arr.dtype)
+                out_arr[self.perm] = arr[:n_real]
+                return out_arr
+            return arr[:n_real]
+
+        un = unpermute(u2)
+        turb_np = unpermute(turb[0]) if turb is not None else None
         rio.write_restart(
             _os.path.join(base, self.cfg.restart_flow_filename),
             coords, un, turb_np)
         fields = out._volume_fields(self, u2, v,
                                     turb[0] if turb is not None else None,
                                     turb[1] if turb is not None else None)
-        fields = {k: np.asarray(c)[:n_real] for k, c in fields.items()}
+        fields = {k: unpermute(c) for k, c in fields.items()}
         if self.cfg.output_format == "PARAVIEW":
             out.write_paraview_volume(
                 _os.path.join(base, self.cfg.volume_flow_filename + ".vtk"),
@@ -443,6 +452,8 @@ class Simulation:
         nodes = np.unique(np.concatenate(
             [np.asarray(self.mesh.markers[t][0]) for t in plot_markers
              if t in self.mesh.markers])) if plot_markers else np.array([], int)
+        if hasattr(self, "perm") and self.ndevices and len(nodes):
+            nodes = np.sort(self.perm[nodes])   # back to original numbering
         if len(nodes):
             out.write_surface_csv(
                 _os.path.join(base, self.cfg.surface_flow_filename + ".dat"),

@@ -55,8 +55,17 @@ def matvec(mesh: MeshArrays, jac: BlockJacobian, x: jax.Array) -> jax.Array:
 
 
 def block_jacobi_factor(jac: BlockJacobian) -> jax.Array:
-    """Batched inverse of the diagonal blocks, (nP, v, v)."""
-    return jnp.linalg.inv(jac.diag)
+    """Batched inverse of the diagonal blocks, (nP, v, v).
+
+    Via the vectorized Gauss-Jordan solver against identity —
+    jnp.linalg.inv lowers to per-matrix LU on TPU (slow for huge batches of
+    small blocks, same pathology as linalg.solve)."""
+    from su2_tpu.linalg.smallsolve import gauss_solve
+
+    v = jac.diag.shape[-1]
+    eye = jnp.broadcast_to(jnp.eye(v, dtype=jac.diag.dtype),
+                           jac.diag.shape)
+    return gauss_solve(jac.diag, eye)
 
 
 def block_jacobi_apply(dinv: jax.Array, r: jax.Array) -> jax.Array:

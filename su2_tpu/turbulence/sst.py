@@ -282,10 +282,16 @@ def sst_step(lay: Layout, mesh: MeshArrays, scfg: SSTConfig, bcs,
     return q_new, rms, outs
 
 
-def wall_distance(coords: np.ndarray, wall_points: np.ndarray) -> np.ndarray:
+def wall_distance(coords: np.ndarray, wall_points: np.ndarray,
+                  chunk: int = 4096) -> np.ndarray:
     """Distance of every node to the nearest no-slip wall vertex
-    (SU2 ComputeWall_Distance equivalent, point-based)."""
+    (SU2 ComputeWall_Distance equivalent, point-based; chunked so the
+    pairwise matrix never materializes for large meshes)."""
     if wall_points.shape[0] == 0:
         return np.full(coords.shape[0], 1e10)
-    d2 = ((coords[:, None, :] - wall_points[None, :, :]) ** 2).sum(-1)
-    return np.sqrt(d2.min(axis=1))
+    out = np.empty(coords.shape[0])
+    for s in range(0, coords.shape[0], chunk):
+        blk = coords[s:s + chunk]
+        d2 = ((blk[:, None, :] - wall_points[None, :, :]) ** 2).sum(-1)
+        out[s:s + chunk] = np.sqrt(d2.min(axis=1))
+    return out
