@@ -65,7 +65,7 @@ def block_jacobi_factor(jac: BlockJacobian) -> jax.Array:
     v = jac.diag.shape[-1]
     eye = jnp.broadcast_to(jnp.eye(v, dtype=jac.diag.dtype),
                            jac.diag.shape)
-    return gauss_solve(jac.diag, eye)
+    return gauss_solve(jac.diag, eye, pivot=False)
 
 
 def block_jacobi_apply(dinv: jax.Array, r: jax.Array) -> jax.Array:

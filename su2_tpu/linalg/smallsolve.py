@@ -12,14 +12,33 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def gauss_solve(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+def gauss_solve(a: jnp.ndarray, b: jnp.ndarray, pivot: bool = True) -> jnp.ndarray:
     """Solve a @ x = b for batches of small systems.
 
     a: (..., n, n); b: (..., n, k).  Returns (..., n, k).
     Partial (row) pivoting via batched row selection; n is static and small,
     so the pivot loop unrolls at trace time.
+
+    pivot=False skips the row exchanges (argmax + take_along_axis lower to
+    per-batch dynamic gathers on TPU, which dominate the solve for large
+    batches).  Use it for systems with a guaranteed dominant diagonal — the
+    regularized Stefan-Maxwell matrix, the molar->mass operator, and the
+    time-augmented block-Jacobi diagonals all qualify.
     """
     n = a.shape[-1]
+    if not pivot:
+        aug = jnp.concatenate([a, b], axis=-1)
+        rows = jnp.arange(n)
+        for col in range(n):
+            pivval = aug[..., col, col][..., None]
+            safe = jnp.where(pivval == 0.0, 1.0, pivval)
+            prow = aug[..., col, :] / safe
+            factors = aug[..., :, col][..., None]
+            not_col = (rows != col)[:, None]
+            aug = jnp.where(not_col, aug - factors * prow[..., None, :], aug)
+            aug = aug.at[..., col, :].set(prow)
+        return aug[..., :, n:]
+
     aug = jnp.concatenate([a, b], axis=-1)              # (..., n, m)
     rows = jnp.arange(n)
 

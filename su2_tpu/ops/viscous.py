@@ -109,7 +109,7 @@ def _stefan_maxwell_jd(lib, rho, xs, ys, dij, grad_xs_norm):
     gamma = cl.stefan_maxwell_gamma(lib, rho, xs, ys, dij)
     alpha = 1.0 / (rho * dij.max(axis=(-2, -1)))
     gt = gamma + (alpha[..., None] * ys)[..., :, None]
-    return gauss_solve(gt, -grad_xs_norm[..., None])[..., 0], alpha
+    return gauss_solve(gt, -grad_xs_norm[..., None], pivot=False)[..., 0], alpha
 
 
 def _effective_ds(lib, xs, dij):
@@ -214,7 +214,7 @@ def viscous_flux(lib: ChemLib, lay: Layout, v_i, v_j, grad_i, grad_j,
         # mass-fraction gradients via the molar->mass operator
         from su2_tpu.linalg.smallsolve import gauss_solve
         m_tilde = _molar2mass_operator(lib, ysc, xs)         # (nF, S, S)
-        gy = gauss_solve(m_tilde, g_xs)                      # (nF, S, d)
+        gy = gauss_solve(m_tilde, g_xs, pivot=False)         # (nF, S, d)
         gy = jnp.where(jnp.abs(g_xs) < 1e-8, 0.0, gy)
         cp_s = cl.species_cp(lib, tmean)
         cmt = mu_t / (prandtl_turb * lewis_turb)
