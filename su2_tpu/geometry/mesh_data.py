@@ -49,6 +49,23 @@ class MeshArrays:
         sign = self.node_sign.reshape(self.node_sign.shape + (1,) * (edge_vals.ndim - 1))
         return (gathered * sign).sum(axis=1)
 
+    def accumulate_sides(self, val_i: jax.Array, val_j: jax.Array) -> jax.Array:
+        """out[p] = sum over incident edges e of val_i[e] where p is the edge's
+        i-node and val_j[e] where p is its j-node.
+
+        The gather-based replacement for `x.at[i].add(a); x.at[j].add(b)` —
+        scatter-adds with duplicate indices serialize inside fused TPU
+        programs; this is a pure gather+sum.
+        """
+        pad = jnp.zeros((1,) + val_i.shape[1:], dtype=val_i.dtype)
+        ei = jnp.concatenate([val_i, pad], axis=0)[self.node_edges]
+        ej = jnp.concatenate([val_j, pad], axis=0)[self.node_edges]
+        sign = self.node_sign.reshape(
+            self.node_sign.shape + (1,) * (val_i.ndim - 1))
+        sel = jnp.where(sign > 0.5, ei, jnp.where(sign < -0.5, ej,
+                                                  jnp.zeros_like(ei)))
+        return sel.sum(axis=1)
+
     def sum_edges_abs(self, edge_vals: jax.Array) -> jax.Array:
         """out[i] = sum over incident edges of edge_vals (no sign)."""
         pad = jnp.zeros((1,) + edge_vals.shape[1:], dtype=edge_vals.dtype)

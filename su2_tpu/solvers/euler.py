@@ -541,9 +541,7 @@ def convective_system(lib, lay, mesh, prm, v, grad, lim, dpdu_full):
         flux = roe.roe_flux(lay, v_i, v_j, mesh.edge_normal)
     res = mesh.scatter_edges(flux)
     # diag: +jac_i at i, -jac_j at j; off-diagonals: (i,j)=+jac_j, (j,i)=-jac_i
-    diag = jnp.zeros((v.shape[0], lay.nvar, lay.nvar), dtype=v.dtype)
-    diag = diag.at[i].add(jac_i)
-    diag = diag.at[j].add(-jac_j)
+    diag = mesh.accumulate_sides(jac_i, -jac_j)
     return res, BlockJacobian(diag=diag, off_ij=jac_j, off_ji=-jac_i)
 
 

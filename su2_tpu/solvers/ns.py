@@ -139,8 +139,7 @@ def ns_assemble(lib: ChemLib, lay: Layout, mesh: MeshArrays, prm: NSParams,
             lib, lay, v[i], v[j], grad[i], grad[j], mesh.edge_normal,
             _trans_rows(trans, i), _trans_rows(trans, j),
             s_i=dtdu_full[i], s_j=dtdu_full[j], **vf_args)
-        diag = diag.at[i].add(-vjac_i)
-        diag = diag.at[j].add(vjac_j)
+        diag = diag + mesh.accumulate_sides(-vjac_i, vjac_j)
         off_ij = off_ij - vjac_j
         off_ji = off_ji + vjac_i
     else:

@@ -73,9 +73,7 @@ def sa_step(lay: Layout, mesh: MeshArrays, scfg, bcs, nu, v, flow_grad,
     a1 = 0.5 * (qij - jnp.abs(qij))
     flux = (a0 * nu[i] + a1 * nu[j])[:, None]
     res = mesh.scatter_edges(flux)
-    diag = jnp.zeros((n, 1, 1), dtype=dtype)
-    diag = diag.at[i, 0, 0].add(a0)
-    diag = diag.at[j, 0, 0].add(-a1)
+    diag = mesh.accumulate_sides(a0, -a1)[:, None, None]
     off_ij = a1[:, None, None]
     off_ji = -a0[:, None, None]
 
@@ -90,8 +88,7 @@ def sa_step(lay: Layout, mesh: MeshArrays, scfg, bcs, nu, v, flow_grad,
     dist2 = jnp.sum(evec * evec, axis=1)
     pvec = jnp.einsum("ed,ed->e", evec, mesh.edge_normal) / \
         jnp.where(dist2 == 0.0, 1.0, dist2)
-    diag = diag.at[i, 0, 0].add(eff_e * pvec)
-    diag = diag.at[j, 0, 0].add(eff_e * pvec)
+    diag = diag + mesh.accumulate_sides(eff_e * pvec, eff_e * pvec)[:, None, None]
     off_ij = off_ij - (eff_e * pvec)[:, None, None]
     off_ji = off_ji - (eff_e * pvec)[:, None, None]
 

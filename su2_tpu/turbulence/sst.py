@@ -138,9 +138,7 @@ def sst_step(lay: Layout, mesh: MeshArrays, scfg: SSTConfig, bcs,
     eye2 = jnp.eye(2, dtype=dtype)
     jac_ci = a0[:, None, None] * eye2
     jac_cj = a1c[:, None, None] * eye2
-    diag = jnp.zeros((n, 2, 2), dtype=dtype)
-    diag = diag.at[i].add(jac_ci)
-    diag = diag.at[j].add(-jac_cj)
+    diag = mesh.accumulate_sides(a0, -a1c)[:, None, None] * eye2
     off_ij = jac_cj
     off_ji = -jac_ci
 
@@ -163,8 +161,7 @@ def sst_step(lay: Layout, mesh: MeshArrays, scfg: SSTConfig, bcs,
     # subtracted, so diag gets +diag(dvi) at i etc.
     vji = dvi[:, :, None] * eye2
     vjj = dvj[:, :, None] * eye2
-    diag = diag.at[i].add(vji)
-    diag = diag.at[j].add(vjj)
+    diag = diag + mesh.accumulate_sides(dvi, dvj)[:, :, None] * eye2
     off_ij = off_ij - vjj
     off_ji = off_ji - vji
 
