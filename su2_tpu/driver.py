@@ -433,9 +433,12 @@ class Simulation:
 
         un = unpermute(u2)
         turb_np = unpermute(turb[0]) if turb is not None else None
-        rio.write_restart(
-            _os.path.join(base, self.cfg.restart_flow_filename),
-            coords, un, turb_np)
+        rname = self.cfg.restart_flow_filename
+        if suffix:
+            # unsteady per-iteration naming (GetUnsteady_FileName: _%05d)
+            stem, ext = _os.path.splitext(rname)
+            rname = f"{stem}_{suffix}{ext}"
+        rio.write_restart(_os.path.join(base, rname), coords, un, turb_np)
         fields = out._volume_fields(self, u2, v,
                                     turb[0] if turb is not None else None,
                                     turb[1] if turb is not None else None)
@@ -485,6 +488,10 @@ class Simulation:
             if not quiet:
                 print(f"phys step {step_i:5d} t={dt_phys*(step_i+1):.4e}  "
                       f"Res[Rho]: {log_rms[self.lay.RHO]: .6f}")
+            if self.writer_state is not None \
+                    and (step_i + 1) % self.cfg.wrt_sol_freq_dualtime == 0:
+                self.write_solution(u, t_guess, (q, mu_t),
+                                    suffix=f"{step_i:05d}")
             u_nm1 = u_n
             u_n = u
         return u, t_guess, np.array(hist), (q, mu_t, grad_k, sigma_k)
@@ -600,12 +607,27 @@ class Simulation:
                 msg += (f"dt_min: {float(min_dt):.3e}  nonphys: {int(nerr)}  "
                         f"({time.time()-start:.1f}s)")
                 print(msg)
-            # convergence: residual order reduction / min value
+            # convergence: residual order reduction / min value, or a Cauchy
+            # series on a monitored functional (integration_structure.cpp:425)
             if self.cfg.conv_criteria == "RESIDUAL" and it > self.cfg.startconv_iter:
                 if (log_rms[self.lay.RHO] < self.cfg.residual_minval or
                         rms0[self.lay.RHO] - log_rms[self.lay.RHO]
                         > self.cfg.residual_reduction):
                     break
+            elif (self.cfg.conv_criteria == "CAUCHY"
+                  and self.cfg.marker_monitoring
+                  and it > self.cfg.startconv_iter):
+                f = self.monitor_forces(
+                    u, t_guess, (q, mu_t) if self.turbulent else None)
+                func = f["CD"] if self.cfg.cauchy_func_flow == "DRAG" else f["CL"]
+                if not hasattr(self, "_cauchy_hist"):
+                    self._cauchy_hist = []
+                self._cauchy_hist.append(func)
+                ne = self.cfg.cauchy_elems
+                if len(self._cauchy_hist) > ne:
+                    diffs = np.abs(np.diff(self._cauchy_hist[-ne:]))
+                    if diffs.mean() < self.cfg.cauchy_eps:
+                        break
         if self.turbulent:
             return u, t_guess, np.array(hist), (q, mu_t, grad_k, sigma_k)
         return u, t_guess, np.array(hist)
