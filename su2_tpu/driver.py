@@ -314,6 +314,9 @@ class Simulation:
                                       dpdu_full, turb)
             dt, min_dt, _ = timestep.local_time_step(
                 mesh, lay, v, prm.cfl, prm.max_dt, lam_visc=lam_v)
+            dt = timestep.apply_time_marching(
+                dt, min_dt, cfg.unsteady_simulation, cfg.unst_timestep,
+                cfg.unst_cfl_number)
             if dual_order and not implicit_flow:
                 # pseudo time step bounded by the physical step
                 # (SetTime_Step dual-time branch, :2160-2166)
