@@ -23,7 +23,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from su2_tpu.chemistry.spline import spline_eval, spline_second_derivatives
-from su2_tpu.io.tables import (R_UNGAS, R_UNGAS_ATM, LibraryFiles, read_manifest)
+from su2_tpu.io.tables import (R_UNGAS, R_UNGAS_ATM, R_UNGAS_SCAL,
+                               LibraryFiles, read_manifest)
 
 # clipping constants from the reference
 _Y_FLOOR = 1.0e-30          # vanishing-species clip (SetMassFractions, :73)
@@ -507,3 +508,12 @@ def source_jacobian(lib: ChemLib, t: jax.Array, rho: jax.Array, ys: jax.Array,
     dfr = dfr_drho(lib, rf, rb, rho, ys)                      # (..., S=j, R)
     dY = jnp.einsum("ir,...r,...jr->...ij", fixed, pasr_k, dfr)
     return jnp.concatenate([dT[..., :, None], dY], axis=-1)
+
+
+def regression_rate(fuel: dict, t: jax.Array) -> jax.Array:
+    """Empirical fuel regression rate rb(T) (ComputeRegressionRate,
+    reacting_model_library.cpp:1511-1516): Arrhenius branch switched at Tbar,
+    with the reference's kcal-based gas constant R_ungas_scal."""
+    lo = fuel["A2"] * jnp.exp(fuel["EA2"] / (R_UNGAS_SCAL * t))
+    hi = fuel["A1"] * jnp.exp(fuel["EA1"] / (R_UNGAS_SCAL * t))
+    return jnp.where(t < fuel["Tbar"], lo, hi)

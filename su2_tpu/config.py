@@ -164,6 +164,16 @@ _REGISTRY: dict[str, _Opt] = {
     "FUEL_INDEX": _i(0),
     "OXIDIZER_INDEX": _i(0),
     "PASR_LB": _d(1.0),
+    # --- fuel regression BC (config_structure.cpp:569-588, :921-923) ---
+    "FUEL_DENSITY": _d(960.0),
+    "FUEL_SPECIFIC_HEAT": _d(2860.0),
+    "FUEL_ENTHALPY": _d(1100000.0),
+    "FUEL_CONDUCTIVITY": _d(0.217),
+    "FUEL_TEMPERATURE": _d(300.0),
+    "FUEL_DATA_FILE": _s(""),
+    "MARKER_ENGINE_INFLOW": _Opt(_parse_marker_pairs, {}),
+    "INFLOW_MASS_FRAC": _Opt(_parse_inlet_mass_frac, {}),
+    "INFLOW_VELOCITY_DIR": _Opt(_parse_double_list, [1.0, 0.0, 0.0]),
     "TEMPERATURE_MIN": _d(200.0),
     "TEMPERATURE_MAX": _d(6000.0),
     "CLIPPING_TEMPRATURE": _b(False),  # reference's spelling

@@ -210,8 +210,8 @@ def _fix_orientation_2d(mesh: RawMesh) -> RawMesh:
 
 def build_dual_grid(mesh: RawMesh, max_degree: int | None = None,
                     use_native: bool = True) -> DualGrid:
-    if mesh.ndim != 2:
-        raise NotImplementedError("3D dual-grid construction lands with the 3D solver")
+    if mesh.ndim == 3:
+        return build_dual_grid_3d(mesh, max_degree)
     mesh = _fix_orientation_2d(mesh)
     coords = mesh.coords
     npoint = mesh.npoint
@@ -288,3 +288,161 @@ def build_dual_grid(mesh: RawMesh, max_degree: int | None = None,
         node_edges=node_edges, node_edge_sign=node_sign, node_nbrs=node_nbrs,
         bnd_nodes=bnd_nodes, bnd_normal=bnd_normal, bnd_nn=bnd_nn,
     )
+
+
+# --------------------------------------------------------------------------
+# 3D median-dual construction
+# --------------------------------------------------------------------------
+
+def _adjacency_tables(npoint: int, edges: np.ndarray,
+                      max_degree: int | None):
+    """Shared slot-assignment logic (same ordering as the 2D path)."""
+    nedge = edges.shape[0]
+    deg = np.zeros(npoint, dtype=np.int64)
+    np.add.at(deg, edges[:, 0], 1)
+    np.add.at(deg, edges[:, 1], 1)
+    maxdeg = int(deg.max()) if max_degree is None else max_degree
+    node_edges = np.full((npoint, maxdeg), nedge, dtype=np.int64)
+    node_sign = np.zeros((npoint, maxdeg))
+    node_nbrs = np.tile(np.arange(npoint, dtype=np.int64)[:, None], (1, maxdeg))
+    slot = np.zeros(npoint, dtype=np.int64)
+    for side, sgn in ((0, 1.0), (1, -1.0)):
+        n = edges[:, side]
+        idx_sort = np.argsort(n, kind="stable")
+        n_sorted = n[idx_sort]
+        grp_start = np.searchsorted(n_sorted, np.arange(npoint))
+        pos_in_grp = np.arange(len(n_sorted)) - grp_start[n_sorted]
+        dest_slot = slot[n_sorted] + pos_in_grp
+        node_edges[n_sorted, dest_slot] = idx_sort
+        node_sign[n_sorted, dest_slot] = sgn
+        node_nbrs[n_sorted, dest_slot] = edges[idx_sort, 1 - side]
+        np.add.at(slot, n_sorted, 1)
+    return node_edges, node_sign, node_nbrs
+
+
+def build_dual_grid_3d(mesh: RawMesh, max_degree: int | None = None) -> DualGrid:
+    """3D median-dual CVs (SetControlVolume 3D branch,
+    geometry_structure.cpp:10538; CEdge 3-arg SetNodes_Coord/GetVolume,
+    dual_grid_structure.cpp:425-505; boundary vertex normals :9652 with the
+    CVertex 3-arg SetNodes_Coord).
+
+    Orientation checks are not yet applied in 3D — meshes must be
+    consistently wound (SU2-exported and synthetic meshes are).
+    """
+    coords = mesh.coords
+    npoint = mesh.npoint
+    elem_cg = _element_cg(mesh)
+
+    # collect per (type, face, edge-slot) occurrence lists
+    occ_i, occ_j, occ_ecg, occ_fcg = [], [], [], []
+    for t, faces in ELEM_FACES.items():
+        if not VTK_IS_3D.get(t, False):
+            continue
+        sel = np.nonzero(mesh.elem_types == t)[0]
+        if sel.size == 0:
+            continue
+        nodes = mesh.elem_nodes[sel]
+        for face in faces:
+            nf = len(face)
+            fcg = coords[nodes[:, list(face)]].mean(axis=1)   # (nSel, 3)
+            for k in range(nf):
+                a = nodes[:, face[k]]
+                b = nodes[:, face[(k + 1) % nf]]
+                occ_i.append(a)
+                occ_j.append(b)
+                occ_ecg.append(elem_cg[sel])
+                occ_fcg.append(fcg)
+    fi = np.concatenate(occ_i)
+    fj = np.concatenate(occ_j)
+    ecg = np.concatenate(occ_ecg)
+    fcg = np.concatenate(occ_fcg)
+
+    swapped = fi > fj
+    canon_i = np.where(swapped, fj, fi)
+    canon_j = np.where(swapped, fi, fj)
+    keys = canon_i.astype(np.int64) * npoint + canon_j.astype(np.int64)
+    uniq_keys, edge_of_face = np.unique(keys, return_inverse=True)
+    edges = np.stack([uniq_keys // npoint, uniq_keys % npoint], axis=1)
+    nedge = edges.shape[0]
+
+    edge_cg = 0.5 * (coords[fi] + coords[fj])
+    # normal: 0.5 (Elem-CG1) x (CG2-CG1) with (CG1, CG2) = (edge, face) or
+    # swapped when i > j (CEdge::SetNodes_Coord 3-arg semantics)
+    cg1 = np.where(swapped[:, None], fcg, edge_cg)
+    cg2 = np.where(swapped[:, None], edge_cg, fcg)
+    vec_a = ecg - cg1
+    vec_b = cg2 - cg1
+    contrib = 0.5 * np.cross(vec_a, vec_b)
+    edge_normal = np.zeros((nedge, 3))
+    np.add.at(edge_normal, edge_of_face, contrib)
+    area = np.linalg.norm(edge_normal, axis=1)
+    edge_normal[area == 0.0] = 1e-32
+
+    # dual volumes: tet (P, edge CG, face CG, elem CG) per endpoint
+    volume = np.zeros(npoint)
+    for endp in (fi, fj):
+        p = coords[endp]
+        a = edge_cg - p
+        b = fcg - p
+        c = ecg - p
+        vol = np.abs(np.einsum("nd,nd->n", c, np.cross(a, b))) / 6.0
+        np.add.at(volume, endp, vol)
+
+    node_edges, node_sign, node_nbrs = _adjacency_tables(
+        npoint, edges, max_degree)
+
+    # boundary vertex normals (3D branch of the vertex loop)
+    from su2_tpu.io.mesh import BOUND_NEIGHBORS
+    bnd_nodes: dict[str, np.ndarray] = {}
+    bnd_normal: dict[str, np.ndarray] = {}
+    acc_all: dict[str, np.ndarray] = {}
+    for tag, melems in mesh.markers.items():
+        acc = np.zeros((npoint, 3))
+        for t, nbr_tab in BOUND_NEIGHBORS.items():
+            rows = np.nonzero(mesh.marker_types[tag] == t)[0]
+            if rows.size == 0:
+                continue
+            els = melems[rows]
+            nn = 3 if t == 5 else 4
+            bcg = coords[els[:, :nn]].mean(axis=1)
+            for inode in range(nn):
+                v = els[:, inode]
+                for islot, nbr in enumerate(nbr_tab[inode]):
+                    q = els[:, nbr]
+                    ecg_b = 0.5 * (coords[v] + coords[q])
+                    if islot == 0:
+                        cg1b, cg2b = bcg, ecg_b
+                    else:
+                        cg1b, cg2b = ecg_b, bcg
+                    va = coords[v] - cg1b
+                    vb = cg2b - cg1b
+                    # negated so the stored normal points INWARD, matching
+                    # the 2D path's convention (BC code negates for outward)
+                    np.add.at(acc, v, -0.5 * np.cross(va, vb))
+        nodes = np.unique(melems[melems >= 0])
+        bnd_nodes[tag] = nodes.astype(np.int64)
+        bnd_normal[tag] = acc[nodes]
+
+    # normal neighbors
+    bnd_nn: dict[str, np.ndarray] = {}
+    for tag in bnd_nodes:
+        nodes = bnd_nodes[tag]
+        nn_arr = np.empty(len(nodes), dtype=np.int64)
+        for k, p in enumerate(nodes):
+            nrm = bnd_normal[tag][k]
+            best, best_cos = p, -np.inf
+            for q in node_nbrs[p]:
+                if q == p:
+                    continue
+                d = coords[q] - coords[p]
+                cval = (d @ nrm) / (np.linalg.norm(d) + 1e-300)
+                if cval > best_cos:
+                    best_cos, best = cval, q
+            nn_arr[k] = best
+        bnd_nn[tag] = nn_arr
+
+    return DualGrid(
+        ndim=3, coords=coords, volume=volume, edges=edges,
+        edge_normal=edge_normal, node_edges=node_edges,
+        node_edge_sign=node_sign, node_nbrs=node_nbrs,
+        bnd_nodes=bnd_nodes, bnd_normal=bnd_normal, bnd_nn=bnd_nn)

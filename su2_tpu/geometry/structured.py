@@ -36,3 +36,55 @@ def channel_mesh(nx: int, ny: int, lx: float = 1.0, ly: float = 0.25) -> RawMesh
     return RawMesh(ndim=2, coords=coords,
                    elem_types=np.full(len(elems), 9, dtype=np.int32),
                    elem_nodes=elems, markers=markers, marker_types=mtypes)
+
+
+def box_mesh(nx: int, ny: int, nz: int,
+             lx: float = 1.0, ly: float = 1.0, lz: float = 1.0) -> RawMesh:
+    """(nx x ny x nz)-node hexahedral box with markers inlet (x=0),
+    outlet (x=lx), y_min/y_max/z_min/z_max walls.  Hex node ordering follows
+    the SU2/VTK convention (bottom quad 0-1-2-3 CCW seen from +z, top 4-7)."""
+    xs, ys, zs = np.meshgrid(np.linspace(0, lx, nx), np.linspace(0, ly, ny),
+                             np.linspace(0, lz, nz), indexing="ij")
+    coords = np.stack([xs.ravel(), ys.ravel(), zs.ravel()], axis=1)
+
+    def nid(i, j, k):
+        return (i * ny + j) * nz + k
+
+    elems = []
+    for i in range(nx - 1):
+        for j in range(ny - 1):
+            for k in range(nz - 1):
+                elems.append([
+                    nid(i, j, k), nid(i + 1, j, k),
+                    nid(i + 1, j + 1, k), nid(i, j + 1, k),
+                    nid(i, j, k + 1), nid(i + 1, j, k + 1),
+                    nid(i + 1, j + 1, k + 1), nid(i, j + 1, k + 1)])
+    elems = np.array(elems)
+
+    # boundary quads, wound so the outward normal leaves the domain
+    inlet, outlet, ymin, ymax, zmin, zmax = [], [], [], [], [], []
+    for j in range(ny - 1):
+        for k in range(nz - 1):
+            inlet.append([nid(0, j, k), nid(0, j, k + 1),
+                          nid(0, j + 1, k + 1), nid(0, j + 1, k)])
+            outlet.append([nid(nx - 1, j, k), nid(nx - 1, j + 1, k),
+                           nid(nx - 1, j + 1, k + 1), nid(nx - 1, j, k + 1)])
+    for i in range(nx - 1):
+        for k in range(nz - 1):
+            ymin.append([nid(i, 0, k), nid(i + 1, 0, k),
+                         nid(i + 1, 0, k + 1), nid(i, 0, k + 1)])
+            ymax.append([nid(i, ny - 1, k), nid(i, ny - 1, k + 1),
+                         nid(i + 1, ny - 1, k + 1), nid(i + 1, ny - 1, k)])
+    for i in range(nx - 1):
+        for j in range(ny - 1):
+            zmin.append([nid(i, j, 0), nid(i, j + 1, 0),
+                         nid(i + 1, j + 1, 0), nid(i + 1, j, 0)])
+            zmax.append([nid(i, j, nz - 1), nid(i + 1, j, nz - 1),
+                         nid(i + 1, j + 1, nz - 1), nid(i, j + 1, nz - 1)])
+    markers = {"inlet": np.array(inlet), "outlet": np.array(outlet),
+               "y_min": np.array(ymin), "y_max": np.array(ymax),
+               "z_min": np.array(zmin), "z_max": np.array(zmax)}
+    mtypes = {k: np.full(len(v), 9, dtype=np.int32) for k, v in markers.items()}
+    return RawMesh(ndim=3, coords=coords,
+                   elem_types=np.full(len(elems), 12, dtype=np.int32),
+                   elem_nodes=elems, markers=markers, marker_types=mtypes)

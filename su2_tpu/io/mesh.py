@@ -19,16 +19,25 @@ import numpy as np
 # number of nodes per VTK element type
 VTK_NNODES = {3: 2, 5: 3, 9: 4, 10: 4, 12: 8, 13: 6, 14: 5}
 
-# faces (as local node index tuples) of each 2D/3D element type, wound the way
-# SU2 CPrimalGrid::GetFaces does — in 2D each face is an element edge traversed
-# in the element's winding order.
+# faces (as local node index tuples) of each 2D/3D element type — the exact
+# SU2 tables (Common/src/primal_grid_structure.cpp: CTriangle::Faces :192,
+# CQuadrilateral :258, CTetrahedron :327, CHexahedron :395, CPrism :478,
+# CPyramid :554; triangular faces of prisms/pyramids are de-duplicated here).
 ELEM_FACES = {
     5: ((0, 1), (1, 2), (2, 0)),
     9: ((0, 1), (1, 2), (2, 3), (3, 0)),
-    10: ((0, 1, 2), (0, 2, 3), (0, 3, 1), (1, 3, 2)),
-    12: ((0, 1, 5, 4), (1, 2, 6, 5), (2, 3, 7, 6), (3, 0, 4, 7), (0, 3, 2, 1), (4, 5, 6, 7)),
+    10: ((0, 2, 1), (0, 1, 3), (0, 3, 2), (1, 2, 3)),
+    12: ((0, 1, 5, 4), (1, 2, 6, 5), (2, 3, 7, 6), (3, 0, 4, 7),
+         (0, 3, 2, 1), (4, 5, 6, 7)),
     13: ((3, 4, 1, 0), (5, 2, 1, 4), (2, 5, 3, 0), (0, 1, 2), (5, 4, 3)),
-    14: ((0, 3, 2, 1), (4, 3, 0), (4, 0, 1), (2, 3, 4), (1, 2, 4)),
+    14: ((0, 3, 2, 1), (4, 3, 0), (4, 0, 1), (2, 4, 1), (3, 4, 2)),
+}
+
+# boundary-face neighbor-node tables (CTriangle/CQuadrilateral
+# ::Neighbor_Nodes, primal_grid_structure.cpp:194/:260)
+BOUND_NEIGHBORS = {
+    5: ((1, 2), (2, 0), (0, 1)),
+    9: ((1, 3), (2, 0), (3, 1), (0, 2)),
 }
 
 

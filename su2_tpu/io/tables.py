@@ -279,3 +279,24 @@ def read_manifest(manifest_path: str, lib_path: str | None = None) -> LibraryFil
                     f"{mixture.species[i]!r} (positional manifest order, "
                     f"matching reference behavior)")
     return LibraryFiles(mixture, chemistry, transport, thermo)
+
+
+def read_fuel_data(path: str) -> dict:
+    """Fuel regression-rate data file (ReadDataFuel,
+    reacting_model_library.cpp:1457-1506): lines 'A1   = v', 'A2   = v',
+    'EA1  = v', 'EA2  = v', 'Tbar = v'; 'STOP' terminates."""
+    keys = {"A1": None, "A2": None, "EA1": None, "EA2": None, "Tbar": None}
+    with open(path) as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if line.strip() == "STOP":
+                break
+            if not line.strip() or not line[0].isalnum():
+                continue
+            for k in keys:
+                if line.startswith(f"{k} ") or line.startswith(f"{k}="):
+                    keys[k] = float(line.split("=", 1)[1])
+    missing = [k for k, v in keys.items() if v is None]
+    if missing:
+        raise ValueError(f"fuel data file {path} missing {missing}")
+    return keys

@@ -34,11 +34,13 @@ def green_gauss(mesh: MeshArrays, q: jnp.ndarray) -> jnp.ndarray:
 
 
 def weighted_least_squares(mesh: MeshArrays, q: jnp.ndarray) -> jnp.ndarray:
-    """(nP, nG) -> (nP, nG, d) inverse-distance-weighted LS gradient (2D).
+    """(nP, nG) -> (nP, nG, d) inverse-distance-weighted LS gradient.
 
     Matches the reference's Cholesky-through-R formulation incl. its
     singular-matrix guards (gradient = 0 if R is singular).
     """
+    if mesh.ndim == 3:
+        return _wls_3d(mesh, q)
     assert mesh.ndim == 2
     xi = mesh.coords                                            # (nP, 2)
     xj = mesh.coords[mesh.node_nbrs]                            # (nP, D, 2)
@@ -71,3 +73,37 @@ def weighted_least_squares(mesh: MeshArrays, q: jnp.ndarray) -> jnp.ndarray:
     gx = cx * s00[:, None] + cy * s01[:, None]
     gy = cx * s01[:, None] + cy * s11[:, None]
     return jnp.stack([gx, gy], axis=-1)
+
+def _wls_3d(mesh: MeshArrays, q: jnp.ndarray) -> jnp.ndarray:
+    """3D inverse-distance-weighted LS via normal equations + adjugate 3x3
+    inverse (equivalent to the reference's 3D Cholesky-through-R path,
+    solver_direct_mean.cpp LS branch, with the same det~0 -> grad 0 guard)."""
+    xi = mesh.coords
+    dx = mesh.coords[mesh.node_nbrs] - xi[:, None, :]           # (nP, D, 3)
+    w = jnp.sum(dx * dx, axis=-1)
+    valid = (w > EPS) & (mesh.nbr_mask > 0.5)
+    invw = jnp.where(valid, 1.0 / jnp.where(valid, w, 1.0), 0.0)
+
+    a = jnp.einsum("pd,pdi,pdj->pij", invw, dx, dx)             # (nP, 3, 3)
+    dq = q[mesh.node_nbrs] - q[:, None, :]                      # (nP, D, nG)
+    b = jnp.einsum("pd,pdi,pdg->pig", invw, dx, dq)             # (nP, 3, nG)
+
+    # adjugate inverse (vectorized; avoids per-node LAPACK on TPU)
+    c00 = a[:, 1, 1] * a[:, 2, 2] - a[:, 1, 2] * a[:, 2, 1]
+    c01 = a[:, 0, 2] * a[:, 2, 1] - a[:, 0, 1] * a[:, 2, 2]
+    c02 = a[:, 0, 1] * a[:, 1, 2] - a[:, 0, 2] * a[:, 1, 1]
+    c10 = a[:, 1, 2] * a[:, 2, 0] - a[:, 1, 0] * a[:, 2, 2]
+    c11 = a[:, 0, 0] * a[:, 2, 2] - a[:, 0, 2] * a[:, 2, 0]
+    c12 = a[:, 0, 2] * a[:, 1, 0] - a[:, 0, 0] * a[:, 1, 2]
+    c20 = a[:, 1, 0] * a[:, 2, 1] - a[:, 1, 1] * a[:, 2, 0]
+    c21 = a[:, 0, 1] * a[:, 2, 0] - a[:, 0, 0] * a[:, 2, 1]
+    c22 = a[:, 0, 0] * a[:, 1, 1] - a[:, 0, 1] * a[:, 1, 0]
+    det = a[:, 0, 0] * c00 + a[:, 0, 1] * c10 + a[:, 0, 2] * c20
+    singular = jnp.abs(det) < EPS
+    inv_det = jnp.where(singular, 0.0, 1.0 / jnp.where(singular, 1.0, det))
+    ainv = jnp.stack([
+        jnp.stack([c00, c01, c02], axis=-1),
+        jnp.stack([c10, c11, c12], axis=-1),
+        jnp.stack([c20, c21, c22], axis=-1)], axis=-2) * inv_det[:, None, None]
+    grad = jnp.einsum("pij,pjg->pgi", ainv, b)
+    return grad

@@ -86,6 +86,30 @@ def build_bc_markers(cfg: Config, lib: ChemLib, mesh: MeshArrays,
                             **geom(tag)))
     for tag in cfg.marker_supersonic_outlet:
         out.append(BCMarker("supersonic_outlet", tag, "", params={}, **geom(tag)))
+    for tag in cfg.marker_engine_inflow:
+        # fuel-regression inflow (BC_Engine_Inflow,
+        # solver_direct_reactive.cpp:5947; data options
+        # config_structure.cpp:569-588)
+        from su2_tpu.io.tables import read_fuel_data
+        import os as _os
+        fpath = cfg.fuel_data_file
+        if cfg.library_path:
+            fpath = _os.path.join(cfg.library_path, fpath)
+        fuel = {k: f(val) for k, val in read_fuel_data(
+            cfg.resolve(fpath)).items()}
+        ys_fuel = cfg.inflow_mass_frac.get(tag, cfg.freestream_mass_frac)
+        out.append(BCMarker(
+            "engine_inflow", tag, "",
+            params={"ys_fuel": f(ys_fuel),
+                    "flow_dir": f(cfg.inflow_velocity_dir[:lay.ndim]),
+                    "fuel": fuel,
+                    "rho_s": f(cfg.fuel_density),
+                    "cp_s": f(cfg.fuel_specific_heat),
+                    "h_pf": f(cfg.fuel_enthalpy),
+                    "kappa_s": f(cfg.fuel_conductivity),
+                    "t0": f(cfg.fuel_temperature),
+                    "tmin": f(cfg.temperature_min),
+                    "tmax": f(cfg.temperature_max)}, **geom(tag)))
     if cfg.marker_far:
         ys_inf = jnp.asarray(cfg.freestream_mass_frac, dtype=dtype)
         rgas = float(cl.mixture_rgas(lib, ys_inf[None])[0])

@@ -166,6 +166,10 @@ def ns_assemble(lib: ChemLib, lay: Layout, mesh: MeshArrays, prm: NSParams,
             vel2 = jnp.sum(vel_d * vel_d, axis=1)
         elif bc.kind == "far_field":
             v_ghost, gamma, vel2 = es.far_field_state(lib, lay, bc, v, dpdu_e)
+        elif bc.kind == "engine_inflow":
+            from su2_tpu.solvers import engine_inflow as ei
+            v_ghost, gamma, vel2 = ei.engine_inflow_state(
+                lib, lay, bc, v, mesh.coords)
         else:
             raise NotImplementedError(bc.kind)
         s_ghost = es.ghost_dpdu(lib, lay, v_ghost, gamma, vel2)

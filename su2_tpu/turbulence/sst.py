@@ -63,10 +63,17 @@ def strain_and_vorticity(lay: Layout, grad: jnp.ndarray):
     g = grad[:, 1:1 + nd, :]                 # (N, comp, dim)
     div = jnp.einsum("ndd->n", g)
     diag = sum((g[:, d, d] - div / 3.0) ** 2 for d in range(nd))
-    off = 2.0 * (0.5 * (g[:, 0, 1] + g[:, 1, 0])) ** 2
+    off = sum(2.0 * (0.5 * (g[:, a, b] + g[:, b, a])) ** 2
+              for a in range(nd) for b in range(a + 1, nd))
     strain = jnp.sqrt(2.0 * (diag + off))
-    vort = g[:, 1, 0] - g[:, 0, 1]
-    return strain, jnp.abs(vort)
+    if nd == 2:
+        vort = jnp.abs(g[:, 1, 0] - g[:, 0, 1])
+    else:
+        wx = g[:, 2, 1] - g[:, 1, 2]
+        wy = g[:, 0, 2] - g[:, 2, 0]
+        wz = g[:, 1, 0] - g[:, 0, 1]
+        vort = jnp.sqrt(wx * wx + wy * wy + wz * wz)
+    return strain, vort
 
 
 def blending(k, w, grad_k, grad_w, mu, rho, dist):
