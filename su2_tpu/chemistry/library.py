@@ -95,6 +95,10 @@ def load_library(manifest_path: str, lib_path: str | None = None,
 def ideal_gas_library(gamma: float = 1.4, r_gas: float = 287.058,
                       mu_ref: float = 1.716e-5, t_ref_mu: float = 273.15,
                       s_mu: float = 110.4, prandtl: float = 0.72,
+                      viscosity_model: str = "SUTHERLAND",
+                      mu_constant: float = 1.716e-5,
+                      conductivity_model: str = "CONSTANT_PRANDTL",
+                      kt_constant: float = 0.0257,
                       dtype=jnp.float64) -> ChemLib:
     """Single-species calorically-perfect gas as a ChemLib.
 
@@ -114,8 +118,14 @@ def ideal_gas_library(gamma: float = 1.4, r_gas: float = 287.058,
     cp_molar = cp_mass * mm
     h_molar = cp_molar * t
     s_molar = cp_molar * np.log(t)
-    mu = mu_ref * (t / t_ref_mu) ** 1.5 * (t_ref_mu + s_mu) / (t + s_mu)
-    kappa = mu * cp_mass / prandtl
+    if viscosity_model == "CONSTANT_VISCOSITY":
+        mu = mu_constant * np.ones_like(t)
+    else:  # SUTHERLAND (transport_model.cpp CSutherland)
+        mu = mu_ref * (t / t_ref_mu) ** 1.5 * (t_ref_mu + s_mu) / (t + s_mu)
+    if conductivity_model == "CONSTANT_CONDUCTIVITY":
+        kappa = kt_constant * np.ones_like(t)
+    else:  # CONSTANT_PRANDTL (CConstantPrandtl)
+        kappa = mu * cp_mass / prandtl
     mix = MixtureData(["AIR"], np.array([mm]), np.array([0.0]), np.array([19.7]))
     thermo = [SpeciesTable("AIR", t, {"cp": cp_molar * np.ones_like(t),
                                       "h": h_molar, "s": s_molar})]

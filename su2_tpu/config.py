@@ -263,6 +263,14 @@ _REGISTRY: dict[str, _Opt] = {
     "LIMITER_COEFF": _d(0.5),
     "LIMITER_ITER": _i(999999),
     "AD_COEFF_FLOW": _Opt(_parse_double_list, [0.15, 0.5, 0.02]),
+    # --- transport models for the standard solvers (transport_model.cpp) ---
+    "VISCOSITY_MODEL": _enum("SUTHERLAND"),
+    "MU_CONSTANT": _d(1.716e-5),
+    "MU_REF": _d(1.716e-5),
+    "MU_T_REF": _d(273.15),
+    "SUTHERLAND_CONSTANT": _d(110.4),
+    "CONDUCTIVITY_MODEL": _enum("CONSTANT_PRANDTL"),
+    "KT_CONSTANT": _d(0.0257),
     "TIME_DISCRE_FLOW": _enum("RUNGE-KUTTA_EXPLICIT"),
     "ENTROPY_FIX_COEFF": _d(0.001),
     # --- turbulence numerics ---

@@ -52,7 +52,13 @@ class Simulation:
             # standard solvers run on a single-species calorically perfect gas
             self.lib = cl.ideal_gas_library(
                 gamma=cfg.gamma_value, r_gas=cfg.gas_constant,
-                prandtl=cfg.prandtl_lam, dtype=dtype)
+                prandtl=cfg.prandtl_lam,
+                mu_ref=cfg.mu_ref, t_ref_mu=cfg.mu_t_ref,
+                s_mu=cfg.sutherland_constant,
+                viscosity_model=cfg.viscosity_model,
+                mu_constant=cfg.mu_constant,
+                conductivity_model=cfg.conductivity_model,
+                kt_constant=cfg.kt_constant, dtype=dtype)
             cfg.species_order = ["AIR"]
             cfg.nspecies = 1
             if not cfg.freestream_mass_frac:
@@ -88,7 +94,12 @@ class Simulation:
             limiter_coeff=cfg.limiter_coeff,
             ref_elem_length=cfg.ref_elem_length,
             grad_method=cfg.num_method_grad,
-            conv_method="ROE" if cfg.conv_num_method_flow == "ROE" else "AUSM",
+            conv_method=(cfg.conv_num_method_flow
+                         if cfg.conv_num_method_flow in
+                         ("ROE", "HLLC", "JST", "LAX-FRIEDRICH")
+                         else "AUSM"),
+            jst_coeff=(cfg.ad_coeff_flow[1], cfg.ad_coeff_flow[2]),
+            lax_coeff=cfg.ad_coeff_flow[0],
             reactive_sources=self.lib.nreactions > 0,
             pasr=cfg.kind_turb_model == "SST",
             pasr_lb=cfg.pasr_lb,

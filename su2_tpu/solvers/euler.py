@@ -393,9 +393,12 @@ class EulerParams:
     reactive_sources: bool
     pasr: bool
     pasr_lb: float
-    conv_method: str = "AUSM"  # AUSM | ROE (Roe uses AUSM Jacobians implicitly)
+    conv_method: str = "AUSM"  # AUSM | ROE | HLLC | JST | LAX-FRIEDRICH
+    #                            (Roe/HLLC use AUSM Jacobians implicitly)
     c_mu: float = 0.09
     tke_inf: float = 0.0
+    jst_coeff: tuple = (0.5, 0.02)   # JST_SENSOR_COEFF (kappa_2, kappa_4)
+    lax_coeff: float = 0.15          # LAX_SENSOR_COEFF (kappa_0)
 
 
 def gradient_vars(lay: Layout, v: jnp.ndarray) -> jnp.ndarray:
@@ -442,8 +445,31 @@ def muscl_reconstruct(lib, lay, mesh, prm, v, grad, lim):
     return recon(i, 1.0), recon(j, -1.0)
 
 
+def _centered_parts(lib, lay, mesh, prm, v, dpdu_full, implicit):
+    """JST / Lax-Friedrichs edge flux via the node precomputes
+    (Centered_Residual path, solver_direct_mean.cpp:4490-4530)."""
+    from su2_tpu import state as st
+    from su2_tpu.ops import centered
+
+    u = st.prim2cons(lib, lay, v)
+    bmask = centered.boundary_mask(mesh, v.shape[0])
+    lam = centered.spectral_radius(lay, mesh, v)
+    lapl, sensor = centered.und_laplacian_and_sensor(lay, mesh, u, v, bmask)
+    n_neigh = jnp.maximum(mesh.nbr_mask.sum(axis=1), 1.0)
+    kind = "JST" if prm.conv_method == "JST" else "LAX"
+    s = dpdu_full
+    if s is None:
+        s = st.dpdu(lib, lay, v)
+    return centered.centered_flux(
+        lay, mesh, v, u, s, lam, lapl, sensor, n_neigh, kind,
+        prm.jst_coeff[0], prm.jst_coeff[1], prm.lax_coeff, implicit)
+
+
 def convective_residual(lib, lay, mesh, prm, v, grad, lim):
     i, j = mesh.edges[:, 0], mesh.edges[:, 1]
+    if prm.conv_method in ("JST", "LAX-FRIEDRICH"):
+        flux = _centered_parts(lib, lay, mesh, prm, v, None, False)
+        return mesh.scatter_edges(flux)
     if prm.muscl:
         v_i, v_j = muscl_reconstruct(lib, lay, mesh, prm, v, grad, lim)
     else:
@@ -451,6 +477,9 @@ def convective_residual(lib, lay, mesh, prm, v, grad, lim):
     if prm.conv_method == "ROE":
         from su2_tpu.ops import roe
         flux = roe.roe_flux(lay, v_i, v_j, mesh.edge_normal)
+    elif prm.conv_method == "HLLC":
+        from su2_tpu.ops import hllc
+        flux = hllc.hllc_flux(lay, v_i, v_j, mesh.edge_normal)
     else:
         flux = ausm.ausm_flux(lay, v_i, v_j, mesh.edge_normal, prm.m_infty)
     return mesh.scatter_edges(flux)
@@ -547,6 +576,12 @@ def convective_system(lib, lay, mesh, prm, v, grad, lim, dpdu_full):
     from su2_tpu.linalg.blockcsr import BlockJacobian
 
     i, j = mesh.edges[:, 0], mesh.edges[:, 1]
+    if prm.conv_method in ("JST", "LAX-FRIEDRICH"):
+        flux, jac_i, jac_j = _centered_parts(
+            lib, lay, mesh, prm, v, dpdu_full, True)
+        res = mesh.scatter_edges(flux)
+        diag = mesh.accumulate_sides(jac_i, -jac_j)
+        return res, BlockJacobian(diag=diag, off_ij=jac_j, off_ji=-jac_i)
     if prm.muscl:
         v_i, v_j = muscl_reconstruct(lib, lay, mesh, prm, v, grad, lim)
         g_i, vel2_i = _row_gamma_vel2(lay, v_i)
@@ -563,6 +598,10 @@ def convective_system(lib, lay, mesh, prm, v, grad, lim, dpdu_full):
         # correction: the outer Newton converges to the Roe solution)
         from su2_tpu.ops import roe
         flux = roe.roe_flux(lay, v_i, v_j, mesh.edge_normal)
+    elif prm.conv_method == "HLLC":
+        # HLLC residual, AUSM linearization (same defect-correction idea)
+        from su2_tpu.ops import hllc
+        flux = hllc.hllc_flux(lay, v_i, v_j, mesh.edge_normal)
     res = mesh.scatter_edges(flux)
     # diag: +jac_i at i, -jac_j at j; off-diagonals: (i,j)=+jac_j, (j,i)=-jac_i
     diag = mesh.accumulate_sides(jac_i, -jac_j)
