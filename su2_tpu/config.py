@@ -71,6 +71,18 @@ def _parse_marker_inlet(s: str) -> dict[str, tuple[float, float, tuple[float, ..
     return out
 
 
+def _parse_dv_param(s: str) -> list[list[float]]:
+    """DV_PARAM = ( 1, 0.5 ); ( 1, 0.7 ) — per-DV parameter groups."""
+    groups = s.split(";")
+    out = []
+    for g in groups:
+        toks = _split_list(g)
+        if not toks or toks == ["NONE"]:
+            continue
+        out.append([float(t) for t in toks])
+    return out
+
+
 def _parse_marker_pairs(s: str) -> dict[str, float]:
     """MARKER_OUTLET / MARKER_ISOTHERMAL / MARKER_HEATFLUX style: (name, val, ...)."""
     toks = _split_list(s)
@@ -294,6 +306,14 @@ _REGISTRY: dict[str, _Opt] = {
     "CAUCHY_ELEMS": _i(100),
     "CAUCHY_EPS": _d(1e-10),
     "CAUCHY_FUNC_FLOW": _enum("DRAG"),
+    # --- design variables / deformation (SU2_DEF, SU2_DOT) ---
+    "DV_KIND": _Opt(_parse_string_list, ["HICKS_HENNE"]),
+    "DV_MARKER": _Opt(_parse_marker_names, []),
+    "DV_PARAM": _Opt(_parse_dv_param, [[1.0, 0.5]]),
+    "DV_VALUE": _Opt(_parse_double_list, [0.0]),
+    "DEFORM_LINEAR_ITER": _i(500),
+    "DEFORM_NONLINEAR_ITER": _i(1),
+    "OBJECTIVE_FUNCTION": _enum("DRAG"),
     # --- I/O ---
     "MESH_FILENAME": _s("mesh.su2"),
     "MESH_FORMAT": _enum("SU2"),

@@ -146,6 +146,18 @@ class Simulation:
                 linear_iter=cfg.linear_solver_iter,
                 linear_tol=cfg.linear_solver_error)
 
+        # multicolor masks for the LU_SGS-class preconditioners
+        self.color_masks = None
+        if cfg.implicit_flow and cfg.linear_solver_prec != "JACOBI":
+            from su2_tpu.linalg import blockcsr
+            colors = blockcsr.greedy_coloring(self.grid.node_nbrs)
+            masks = [jnp.asarray(colors == c)
+                     for c in range(int(colors.max()) + 1)]
+            if self.dmesh is not None:
+                from su2_tpu.parallel import sharding as shd
+                masks = list(shd.shard_state(self.dmesh, *masks))
+            self.color_masks = tuple(masks)
+
         self.history = None
         self.writer_state = None
         self.u0, self.t0 = self.freestream_solution()
@@ -201,9 +213,11 @@ class Simulation:
         lib, lay, mesh, prm, bcs = self.lib, self.lay, self.mesh, self.params, self.bcs
         tparams = self.tparams
         lower, upper = self.lower, self.upper
+        color_masks = self.color_masks
         viscous_mode = self.cfg.viscous
 
-        def step(u, t_guess):
+        def step(u, t_guess, cfl=None):
+            cfl = prm.cfl if cfl is None else cfl
             u, v, nonphys = st.cons2prim(lib, lay, u, t_guess, tparams)
             if viscous_mode:
                 res, wall_mask, trans, _ = ns.ns_assemble(
@@ -212,11 +226,11 @@ class Simulation:
                 lam_v = ns.viscous_lambda(
                     lib, mesh, lay, prm, v, trans, dpdu_full, None)
                 dt, min_dt, _ = timestep.local_time_step(
-                    mesh, lay, v, prm.cfl, prm.max_dt, lam_visc=lam_v)
+                    mesh, lay, v, cfl, prm.max_dt, lam_visc=lam_v)
                 u = ns.enforce_wall_velocity(lay, u, wall_mask)
             else:
                 dt, min_dt, _ = timestep.local_time_step(
-                    mesh, lay, v, prm.cfl, prm.max_dt)
+                    mesh, lay, v, cfl, prm.max_dt)
                 res, _ = es.total_residual(lib, lay, mesh, prm, bcs, v)
             u_new, rms, rmax = es.explicit_euler_update(
                 lay, mesh, u, res, dt, lower, upper)
@@ -230,11 +244,14 @@ class Simulation:
         lib, lay, mesh, prm, bcs = self.lib, self.lay, self.mesh, self.params, self.bcs
         tparams = self.tparams
         lower, upper = self.lower, self.upper
+        color_masks = self.color_masks
         cfg = self.cfg
         viscous_mode = cfg.viscous
 
-        def step(u, t_guess):
+        def step(u, t_guess, cfl=None):
             from su2_tpu.linalg import blockcsr, krylov
+
+            cfl = prm.cfl if cfl is None else cfl
 
             u, v, nonphys = st.cons2prim(lib, lay, u, t_guess, tparams)
             if viscous_mode:
@@ -243,17 +260,17 @@ class Simulation:
                 lam_v = ns.viscous_lambda(
                     lib, mesh, lay, prm, v, trans0, dpdu_full, None)
                 dt, min_dt, _ = timestep.local_time_step(
-                    mesh, lay, v, prm.cfl, prm.max_dt, lam_visc=lam_v)
+                    mesh, lay, v, cfl, prm.max_dt, lam_visc=lam_v)
                 res, wall_mask, trans, _, jac = ns.ns_assemble(
                     lib, lay, mesh, prm, bcs, v, dt, implicit=True)
                 u = ns.enforce_wall_velocity(lay, u, wall_mask)
                 rhs = -res
-                dinv = blockcsr.block_jacobi_factor(jac)
+                pc = blockcsr.make_preconditioner(
+                    mesh, jac, cfg.linear_solver_prec, color_masks)
                 solver = krylov.bcgstab if cfg.linear_solver == "BCGSTAB" \
                     else krylov.fgmres
                 sol, _, iters = solver(
-                    lambda x: blockcsr.matvec(mesh, jac, x),
-                    lambda r: blockcsr.block_jacobi_apply(dinv, r),
+                    lambda x: blockcsr.matvec(mesh, jac, x), pc,
                     rhs, max_iter=cfg.linear_solver_iter,
                     tol=cfg.linear_solver_error)
                 u_new = jnp.clip(u + cfg.relaxation_factor_flow * sol,
@@ -263,13 +280,15 @@ class Simulation:
                 rmax = jnp.abs(rhs).max(axis=0)
             else:
                 dt, min_dt, _ = timestep.local_time_step(
-                    mesh, lay, v, prm.cfl, prm.max_dt)
+                    mesh, lay, v, cfl, prm.max_dt)
                 u_new, rms, rmax, iters = es.implicit_euler_update(
                     lib, lay, mesh, prm, bcs, u, v, dt, lower, upper,
                     relax=cfg.relaxation_factor_flow,
                     linear_solver=cfg.linear_solver,
                     linear_iter=cfg.linear_solver_iter,
-                    linear_tol=cfg.linear_solver_error)
+                    linear_tol=cfg.linear_solver_error,
+                    precond=cfg.linear_solver_prec,
+                    color_masks=color_masks)
             return u_new, v[:, lay.T], rms, rmax, nonphys.sum(), min_dt
 
         return step
@@ -284,6 +303,7 @@ class Simulation:
         lib, lay, mesh, prm, bcs = self.lib, self.lay, self.mesh, self.params, self.bcs
         tparams = self.tparams
         lower, upper = self.lower, self.upper
+        color_masks = self.color_masks
         cfg = self.cfg
         scfg = self.scfg
         dist = self.wall_dist
@@ -301,9 +321,10 @@ class Simulation:
                       "DT_STEPPING_2ND": 2}.get(cfg.unsteady_simulation, 0)
         dt_phys = cfg.unst_timestep
 
-        def step(u, t_guess, q, mu_t, grad_k, sigma_k, ignite,
+        def step(u, t_guess, q, mu_t, grad_k, sigma_k, ignite, cfl=None,
                  u_n=None, u_nm1=None):
             # ---------- flow system ----------
+            cfl = prm.cfl if cfl is None else cfl
             tke = q[:, 0] if is_sst else jnp.zeros_like(q[:, 0])
             omega_t = q[:, 1]
             u, v, nonphys = st.cons2prim(lib, lay, u, t_guess, tparams,
@@ -324,7 +345,7 @@ class Simulation:
             lam_v = ns.viscous_lambda(lib, mesh, lay, prm, v, trans0,
                                       dpdu_full, turb)
             dt, min_dt, _ = timestep.local_time_step(
-                mesh, lay, v, prm.cfl, prm.max_dt, lam_visc=lam_v)
+                mesh, lay, v, cfl, prm.max_dt, lam_visc=lam_v)
             dt = timestep.apply_time_marching(
                 dt, min_dt, cfg.unsteady_simulation, cfg.unst_timestep,
                 cfg.unst_cfl_number)
@@ -341,12 +362,12 @@ class Simulation:
                         lay, mesh, res, jac, u, u_n, u_nm1, dt_phys, dual_order)
                 u = ns.enforce_wall_velocity(lay, u, wall_mask)
                 rhs = -res
-                dinv = blockcsr.block_jacobi_factor(jac)
+                pc = blockcsr.make_preconditioner(
+                    mesh, jac, cfg.linear_solver_prec, color_masks)
                 solver = krylov.bcgstab if cfg.linear_solver == "BCGSTAB" \
                     else krylov.fgmres
                 sol, _, _ = solver(
-                    lambda x: blockcsr.matvec(mesh, jac, x),
-                    lambda r: blockcsr.block_jacobi_apply(dinv, r),
+                    lambda x: blockcsr.matvec(mesh, jac, x), pc,
                     rhs, max_iter=cfg.linear_solver_iter,
                     tol=cfg.linear_solver_error)
                 u_new = jnp.clip(u + cfg.relaxation_factor_flow * sol,
@@ -496,7 +517,8 @@ class Simulation:
                 ignite = jnp.asarray(False)
                 (u, t_guess, q, mu_t, grad_k, sigma_k, rms, rmax, trms,
                  nerr, min_dt) = self._step(u, t_guess, q, mu_t, grad_k,
-                                            sigma_k, ignite, u_n, u_nm1)
+                                            sigma_k, ignite,
+                                            u_n=u_n, u_nm1=u_nm1)
             log_rms = np.log10(np.maximum(np.asarray(rms), 1e-300))
             hist.append(log_rms)
             if not quiet:
@@ -585,17 +607,36 @@ class Simulation:
         start = time.time()
         rms0 = None
         turb_rms = None
+        adapt = self.cfg.cfl_adapt
+        cfl_now = float(self.cfg.cfl_number)
+        rho_res_old = None
         for it in range(niter):
+            cfl_arg = jnp.asarray(cfl_now, dtype=self.dtype) if adapt else None
             if self.turbulent:
                 ignite = jnp.asarray(
                     self.cfg.ignition and it < self.cfg.ignition_iter)
                 (u, t_guess, q, mu_t, grad_k, sigma_k, rms, rmax, turb_rms,
                  nerr, min_dt) = self._step(u, t_guess, q, mu_t, grad_k,
-                                            sigma_k, ignite)
+                                            sigma_k, ignite, cfl=cfl_arg)
             else:
-                u, t_guess, rms, rmax, nerr, min_dt = self._step(u, t_guess)
+                u, t_guess, rms, rmax, nerr, min_dt = self._step(
+                    u, t_guess, cfl=cfl_arg)
             log_rms = np.log10(np.maximum(np.asarray(rms), 1e-300))
             hist.append(log_rms)
+            if adapt:
+                # CFL adaption (SetCFL_Number, output_structure.cpp:5975):
+                # CFL *= (res_old/res_new)^power, power from CFL_ADAPT_PARAM
+                p = self.cfg.cfl_adapt_param
+                rho_new = max(float(np.asarray(rms)[self.lay.RHO]), 1e-300)
+                rho_old = rho_new if rho_res_old is None else rho_res_old
+                div = rho_old / rho_new
+                power = p[0] if div < 1.0 else p[1]
+                if abs(rho_new - rho_old) <= rho_new * 1e-8 and it != 0:
+                    div, power = 0.1, p[1]
+                cfl_now *= div ** power
+                cfl_now = min(max(cfl_now, 1.001 * p[2]), 0.999 * p[3])
+                rho_res_old = rho_new
+                self.cfl_now = cfl_now
             if self.history is not None and it % self.cfg.wrt_con_freq == 0:
                 tr = (np.log10(np.maximum(np.asarray(turb_rms), 1e-300))
                       if turb_rms is not None else None)

@@ -125,3 +125,30 @@ def read_su2_mesh(path: str) -> RawMesh:
     assert ndim is not None and coords is not None and elem_nodes is not None
     return RawMesh(ndim=ndim, coords=coords, elem_types=elem_types,
                    elem_nodes=elem_nodes, markers=markers, marker_types=marker_types)
+
+
+def write_su2_mesh(mesh: RawMesh, path: str, coords=None) -> None:
+    """ASCII .su2 writer (inverse of the reader; SU2_DEF output format)."""
+    c = mesh.coords if coords is None else np.asarray(coords)
+    with open(path, "w") as f:
+        f.write(f"NDIME= {mesh.ndim}\n")
+        f.write(f"NELEM= {mesh.nelem}\n")
+        for k in range(mesh.nelem):
+            t = int(mesh.elem_types[k])
+            nn = VTK_NNODES[t]
+            nodes = " ".join(str(int(x)) for x in mesh.elem_nodes[k, :nn])
+            f.write(f"{t} {nodes} {k}\n")
+        f.write(f"NPOIN= {mesh.npoint}\n")
+        for k in range(mesh.npoint):
+            xyz = " ".join(f"{x:.16e}" for x in c[k])
+            f.write(f"{xyz} {k}\n")
+        f.write(f"NMARK= {len(mesh.markers)}\n")
+        for tag, melems in mesh.markers.items():
+            f.write(f"MARKER_TAG= {tag}\n")
+            f.write(f"MARKER_ELEMS= {len(melems)}\n")
+            mtypes = mesh.marker_types[tag]
+            for k in range(len(melems)):
+                t = int(mtypes[k])
+                nn = VTK_NNODES[t]
+                nodes = " ".join(str(int(x)) for x in melems[k, :nn])
+                f.write(f"{t} {nodes}\n")

@@ -83,3 +83,76 @@ def sgs_like_apply(mesh: MeshArrays, jac: BlockJacobian, dinv: jax.Array,
         return block_jacobi_apply(dinv, r - off)
 
     return jax.lax.fori_loop(0, sweeps, body, x)
+
+
+# --------------------------------------------------------------------------
+# Multicolor symmetric block-Gauss-Seidel (the TPU form of LU_SGS)
+# --------------------------------------------------------------------------
+
+def greedy_coloring(node_nbrs) -> "np.ndarray":
+    """Greedy graph coloring on the host (NumPy).  node_nbrs: (nP, D) padded
+    with self.  Returns (nP,) int colors; planar duals need ~4-6 colors.
+
+    Replaces the sequential ordering dependence of the reference's LU-SGS
+    (matrix_structure.hpp:479) with color-parallel sweeps: nodes of one color
+    share no edge, so each color updates in a single vectorized step.
+    """
+    import numpy as np
+
+    nbrs = np.asarray(node_nbrs)
+    n = nbrs.shape[0]
+    colors = -np.ones(n, dtype=np.int64)
+    for p in range(n):
+        used = set(colors[q] for q in nbrs[p] if q != p and colors[q] >= 0)
+        c = 0
+        while c in used:
+            c += 1
+        colors[p] = c
+    return colors
+
+
+def gather_offdiag(mesh: MeshArrays, jac: BlockJacobian) -> jax.Array:
+    """(nP, D, v, v) per-(node, slot) neighbor blocks (see matvec)."""
+    pad = jnp.zeros((1,) + jac.off_ij.shape[1:], dtype=jac.off_ij.dtype)
+    oij = jnp.concatenate([jac.off_ij, pad], axis=0)[mesh.node_edges]
+    oji = jnp.concatenate([jac.off_ji, pad], axis=0)[mesh.node_edges]
+    return jnp.where((mesh.node_sign > 0.5)[:, :, None, None], oij,
+                     jnp.where((mesh.node_sign < -0.5)[:, :, None, None], oji,
+                               jnp.zeros_like(oij)))
+
+
+def multicolor_sgs_apply(mesh: MeshArrays, jac: BlockJacobian,
+                         dinv: jax.Array, color_masks, r: jax.Array,
+                         offdiag: jax.Array | None = None) -> jax.Array:
+    """One symmetric multicolor block-Gauss-Seidel sweep z ~= A^{-1} r.
+
+    Forward pass over colors then backward pass (the D+L / D+U halves of the
+    reference's ComputeLU_SGSPreconditioner, matrix_structure.cpp), with each
+    color updated as one dense masked batch.
+    """
+    sel = gather_offdiag(mesh, jac) if offdiag is None else offdiag
+    z = jnp.zeros_like(r)
+
+    def color_update(z, mask):
+        nz = jnp.einsum("pdij,pdj->pi", sel, z[mesh.node_nbrs])
+        znew = jnp.einsum("pij,pj->pi", dinv, r - nz)
+        return jnp.where(mask[:, None], znew, z)
+
+    for mask in color_masks:
+        z = color_update(z, mask)
+    for mask in reversed(color_masks):
+        z = color_update(z, mask)
+    return z
+
+
+def make_preconditioner(mesh: MeshArrays, jac: BlockJacobian,
+                        kind: str = "JACOBI", color_masks=None):
+    """Factor once, return the apply closure (CSysSolve preconditioner
+    selection, linear_solvers_structure.cpp:606-650).  ILU0/LINELET fall
+    back to the SGS sweep (same smoothing role)."""
+    dinv = block_jacobi_factor(jac)
+    if kind in ("LU_SGS", "ILU0", "LINELET") and color_masks is not None:
+        sel = gather_offdiag(mesh, jac)
+        return lambda r: multicolor_sgs_apply(
+            mesh, jac, dinv, color_masks, r, offdiag=sel)
+    return lambda r: block_jacobi_apply(dinv, r)

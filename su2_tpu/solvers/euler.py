@@ -726,7 +726,8 @@ def assemble_system(lib, lay, mesh, prm, bcs, v, dt, omega_turb=None,
 def implicit_euler_update(lib, lay, mesh, prm, bcs, u, v, dt, lower, upper,
                           relax: float = 1.0, linear_solver: str = "FGMRES",
                           linear_iter: int = 5, linear_tol: float = 1e-6,
-                          omega_turb=None, turb_ke=None):
+                          omega_turb=None, turb_ke=None,
+                          precond: str = "JACOBI", color_masks=None):
     """One implicit Euler step (ImplicitEuler_Iteration,
     solver_direct_reactive.cpp:2336-2407): solve J dU = -R, clipped update."""
     from su2_tpu.linalg import blockcsr, krylov
@@ -734,13 +735,10 @@ def implicit_euler_update(lib, lay, mesh, prm, bcs, u, v, dt, lower, upper,
     res, jac = assemble_system(lib, lay, mesh, prm, bcs, v, dt,
                                omega_turb, turb_ke)
     rhs = -res
-    dinv = blockcsr.block_jacobi_factor(jac)
+    pc = blockcsr.make_preconditioner(mesh, jac, precond, color_masks)
 
     def mv(x):
         return blockcsr.matvec(mesh, jac, x)
-
-    def pc(r):
-        return blockcsr.block_jacobi_apply(dinv, r)
 
     solver = krylov.bcgstab if linear_solver == "BCGSTAB" else krylov.fgmres
     sol, rel_res, iters = solver(mv, pc, rhs, max_iter=linear_iter,

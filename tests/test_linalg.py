@@ -119,3 +119,37 @@ def test_cg_solves_spd(small_mesh):
     x, rel, _ = krylov.cg(mv, lambda r: r, xj, max_iter=200, tol=1e-12)
     r = np.asarray(xj - mv(x))
     assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-8
+
+
+def test_greedy_coloring_is_proper(small_mesh):
+    colors = blockcsr.greedy_coloring(np.asarray(small_mesh.node_nbrs))
+    nbrs = np.asarray(small_mesh.node_nbrs)
+    for p in range(small_mesh.npoint):
+        for q in nbrs[p]:
+            if q != p:
+                assert colors[p] != colors[q]
+    assert colors.max() + 1 <= 6
+
+
+def test_multicolor_sgs_preconditioner(small_mesh):
+    """FGMRES with the multicolor SGS preconditioner solves at least as
+    tightly as block-Jacobi within the same iteration budget."""
+    rng = np.random.default_rng(7)
+    v = 3
+    jac = _random_spd_ish_jacobian(small_mesh, v, rng)
+    b = jnp.asarray(rng.normal(0, 1, (small_mesh.npoint, v)))
+    colors = blockcsr.greedy_coloring(np.asarray(small_mesh.node_nbrs))
+    masks = tuple(jnp.asarray(colors == c) for c in range(colors.max() + 1))
+
+    def solve(kind, cm):
+        pc = blockcsr.make_preconditioner(small_mesh, jac, kind, cm)
+        x, rel, _ = krylov.fgmres(
+            lambda x: blockcsr.matvec(small_mesh, jac, x), pc, b,
+            max_iter=6, tol=1e-14)
+        r = np.asarray(b - blockcsr.matvec(small_mesh, jac, x))
+        return np.linalg.norm(r) / np.linalg.norm(np.asarray(b))
+
+    r_sgs = solve("LU_SGS", masks)
+    r_jac = solve("JACOBI", None)
+    assert r_sgs < 1e-6
+    assert r_sgs <= r_jac * 1.5, (r_sgs, r_jac)

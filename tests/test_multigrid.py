@@ -1,0 +1,93 @@
+"""FAS multigrid tests (CMultiGridGeometry + MultiGrid_Cycle capability)."""
+
+import os
+import textwrap
+
+import numpy as np
+import pytest
+
+from su2_tpu import multigrid as mg
+from su2_tpu.geometry.dual_grid import build_dual_grid
+from su2_tpu.geometry.mesh_data import mesh_arrays
+from su2_tpu.geometry.structured import channel_mesh
+
+
+def test_agglomeration_partitions_all_nodes():
+    grid = build_dual_grid(channel_mesh(17, 13))
+    mesh = mesh_arrays(grid)
+    cm = mg.agglomerate(np.asarray(mesh.node_nbrs), np.asarray(mesh.nbr_mask))
+    n = mesh.npoint
+    assert cm.min() == 0 and len(cm) == n
+    nc = cm.max() + 1
+    assert 3 <= n / nc <= 9        # sensible 2D coarsening ratio
+    # every coarse cell is connected and non-empty
+    counts = np.bincount(cm)
+    assert counts.min() >= 1
+
+
+def test_coarse_metrics_are_exact_aggregates():
+    grid = build_dual_grid(channel_mesh(13, 9, lx=2.0, ly=0.5))
+    mesh = mesh_arrays(grid)
+    cm = mg.agglomerate(np.asarray(mesh.node_nbrs), np.asarray(mesh.nbr_mask))
+    cmesh, _ = mg.coarsen_mesh(mesh, cm)
+    # volume conservation
+    assert abs(float(cmesh.volume.sum()) - float(mesh.volume.sum())) < 1e-12
+    # CV closure on the coarse level: signed edge normals == boundary normals
+    acc = np.zeros((cmesh.npoint, 2))
+    e = np.asarray(cmesh.edges)
+    en = np.asarray(cmesh.edge_normal)
+    np.add.at(acc, e[:, 0], en)
+    np.add.at(acc, e[:, 1], -en)
+    bnd = np.zeros((cmesh.npoint, 2))
+    for tag, (nodes, normal) in cmesh.markers.items():
+        np.add.at(bnd, np.asarray(nodes), np.asarray(normal))
+    assert np.abs(acc - bnd).max() < 1e-12
+
+
+CFG = textwrap.dedent("""
+    PHYSICAL_PROBLEM= EULER
+    MACH_NUMBER= 0.3
+    FREESTREAM_PRESSURE= 101325.0
+    FREESTREAM_TEMPERATURE= 288.15
+    MARKER_EULER= ( lower_wall, upper_wall )
+    MARKER_INLET= ( inlet, 293.3, 107800.0, 1.0, 0.0, 0.0 )
+    MARKER_OUTLET= ( outlet, 101325.0 )
+    INLET_TYPE= TOTAL_CONDITIONS
+    NUM_METHOD_GRAD= GREEN_GAUSS
+    CFL_NUMBER= 0.8
+    CONV_NUM_METHOD_FLOW= AUSM
+    SPATIAL_ORDER_FLOW= 1ST_ORDER
+    TIME_DISCRE_FLOW= EULER_EXPLICIT
+    MESH_FILENAME= unused.su2
+""")
+
+
+def test_fas_cycle_converges_and_beats_single_grid(tmp_path):
+    from su2_tpu.config import Config
+    from su2_tpu.driver import Simulation
+
+    cfg_path = tmp_path / "case.cfg"
+    cfg_path.write_text(CFG)
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        sim = Simulation(Config(str(cfg_path)),
+                         raw_mesh=channel_mesh(25, 17, lx=1.0, ly=0.4))
+    finally:
+        os.chdir(cwd)
+
+    fas = mg.Multigrid(sim, n_levels=3, pre_smooth=2, coarse_smooth=4)
+    u, t, hist_mg = fas.run(sim.u0, sim.t0, 60)
+    assert np.isfinite(hist_mg).all()
+    drop_mg = hist_mg[0][sim.lay.RHO] - hist_mg[-1][sim.lay.RHO]
+
+    # single-grid explicit with the same number of FINE smoothing steps
+    u, t = sim.u0, sim.t0
+    hist_sg = []
+    for _ in range(60 * 2):
+        u, t, rms, *_ = sim._step(u, t)
+        hist_sg.append(np.log10(np.maximum(np.asarray(rms), 1e-300)))
+    drop_sg = hist_sg[0][sim.lay.RHO] - hist_sg[-1][sim.lay.RHO]
+
+    assert drop_mg > 0.8, hist_mg[-1]
+    assert drop_mg > drop_sg - 0.2, (drop_mg, drop_sg)

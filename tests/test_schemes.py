@@ -190,3 +190,46 @@ def test_jst_converges_channel(tmp_path):
         os.chdir(cwd)
     assert hist[-1][sim.lay.RHO] < hist[0][sim.lay.RHO] - 0.5, \
         (hist[0][sim.lay.RHO], hist[-1][sim.lay.RHO])
+
+
+def test_cfl_adaption(tmp_path):
+    """CFL_ADAPT ramps the CFL as the residual falls (SetCFL_Number,
+    output_structure.cpp:5975) without breaking convergence."""
+    from su2_tpu.config import Config
+    from su2_tpu.driver import Simulation
+    from su2_tpu.geometry.structured import channel_mesh
+
+    cfg = textwrap.dedent("""
+        PHYSICAL_PROBLEM= EULER
+        MACH_NUMBER= 0.3
+        FREESTREAM_PRESSURE= 101325.0
+        FREESTREAM_TEMPERATURE= 288.15
+        MARKER_EULER= ( lower_wall, upper_wall )
+        MARKER_INLET= ( inlet, 293.3, 107800.0, 1.0, 0.0, 0.0 )
+        MARKER_OUTLET= ( outlet, 101325.0 )
+        INLET_TYPE= TOTAL_CONDITIONS
+        NUM_METHOD_GRAD= GREEN_GAUSS
+        CFL_NUMBER= 2.0
+        CFL_ADAPT= YES
+        CFL_ADAPT_PARAM= ( 1.5, 0.5, 1.25, 50.0 )
+        CONV_NUM_METHOD_FLOW= AUSM
+        SPATIAL_ORDER_FLOW= 1ST_ORDER
+        TIME_DISCRE_FLOW= EULER_IMPLICIT
+        LINEAR_SOLVER= FGMRES
+        LINEAR_SOLVER_ITER= 8
+        MESH_FILENAME= unused.su2
+    """)
+    cfg_path = tmp_path / "case.cfg"
+    cfg_path.write_text(cfg)
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        sim = Simulation(Config(str(cfg_path)),
+                         raw_mesh=channel_mesh(13, 9, lx=1.0, ly=0.4))
+        _, _, hist = sim.run(40, quiet=True)
+    finally:
+        os.chdir(cwd)
+    assert np.isfinite(hist).all()
+    assert hist[-1][sim.lay.RHO] < hist[0][sim.lay.RHO] - 0.5
+    assert sim.cfl_now != 2.0            # the CFL actually adapted
+    assert 1.25 <= sim.cfl_now <= 50.0
