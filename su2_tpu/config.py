@@ -275,6 +275,12 @@ _REGISTRY: dict[str, _Opt] = {
     "LIMITER_COEFF": _d(0.5),
     "LIMITER_ITER": _i(999999),
     "AD_COEFF_FLOW": _Opt(_parse_double_list, [0.15, 0.5, 0.02]),
+    # --- fluid models (fluid_model_*.cpp) ---
+    "FLUID_MODEL": _enum("IDEAL_GAS"),
+    "CRITICAL_TEMPERATURE": _d(131.0),
+    "CRITICAL_PRESSURE": _d(3588550.0),
+    "CRITICAL_DENSITY": _d(263.0),
+    "ACENTRIC_FACTOR": _d(0.035),
     # --- transport models for the standard solvers (transport_model.cpp) ---
     "VISCOSITY_MODEL": _enum("SUTHERLAND"),
     "MU_CONSTANT": _d(1.716e-5),
