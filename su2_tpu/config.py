@@ -210,6 +210,8 @@ _REGISTRY: dict[str, _Opt] = {
     "FREESTREAM_TEMPERATURE": _d(288.15),
     "FREESTREAM_PRESSURE": _d(101325.0),
     "FREESTREAM_DENSITY": _d(-1.0),
+    "ARTCOMP_FACTOR": _d(1.0),
+    "VISCOSITY_CONSTANT": _d(0.0),
     "FREESTREAM_VELOCITY": _Opt(_parse_double_list, [1.0, 0.0, 0.0]),
     "FREESTREAM_VISCOSITY": _d(-1.0),
     "FREESTREAM_TURBULENCEINTENSITY": _d(0.05),
@@ -318,6 +320,7 @@ _REGISTRY: dict[str, _Opt] = {
     "DV_PARAM": _Opt(_parse_dv_param, [[1.0, 0.5]]),
     "DV_VALUE": _Opt(_parse_double_list, [0.0]),
     "DEFORM_LINEAR_ITER": _i(500),
+    "KIND_ADAPT": _enum("FULL"),
     "DEFORM_NONLINEAR_ITER": _i(1),
     "OBJECTIVE_FUNCTION": _enum("DRAG"),
     # --- I/O ---
