@@ -292,6 +292,7 @@ _REGISTRY: dict[str, _Opt] = {
     "CONDUCTIVITY_MODEL": _enum("CONSTANT_PRANDTL"),
     "KT_CONSTANT": _d(0.0257),
     "TIME_DISCRE_FLOW": _enum("RUNGE-KUTTA_EXPLICIT"),
+    "RK_ALPHA_COEFF": _Opt(_parse_double_list, [0.66667, 0.66667, 1.0]),
     "ENTROPY_FIX_COEFF": _d(0.001),
     # --- turbulence numerics ---
     "CONV_NUM_METHOD_TURB": _enum("SCALAR_UPWIND"),
@@ -321,6 +322,8 @@ _REGISTRY: dict[str, _Opt] = {
     "DV_VALUE": _Opt(_parse_double_list, [0.0]),
     "DEFORM_LINEAR_ITER": _i(500),
     "KIND_ADAPT": _enum("FULL"),
+    "DEFORM_STIFFNESS_TYPE": _enum("INVERSE_VOLUME"),
+    "DEFORM_METHOD": _enum("ELASTICITY"),  # ELASTICITY | SPRING (ours)
     "DEFORM_NONLINEAR_ITER": _i(1),
     "OBJECTIVE_FUNCTION": _enum("DRAG"),
     # --- I/O ---
@@ -362,6 +365,7 @@ class Config:
         self.cfg_path = path
         self.base_dir = os.path.dirname(os.path.abspath(path)) if path else os.getcwd()
         self.extra: dict[str, str] = {}
+        self._set_options: set[str] = set()
         for name, opt in _REGISTRY.items():
             setattr(self, name.lower(), opt.default)
         if path is not None:
@@ -391,6 +395,7 @@ class Config:
         if opt is None:
             self.extra[key] = val
             return
+        self._set_options.add(key)
         setattr(self, key.lower(), opt.parse(val))
 
     # -- derived/validated quantities (CConfig::SetPostprocessing) ---------
@@ -415,6 +420,22 @@ class Config:
         self.muscl_flow = self.spatial_order_flow in ("2ND_ORDER", "2ND_ORDER_LIMITER")
         self.limiter_flow = self.spatial_order_flow == "2ND_ORDER_LIMITER"
         self.us_system = self.system_measurements == "US"
+        # SU2 derives the freestream velocity from MACH_NUMBER when
+        # FREESTREAM_VELOCITY is not given (SetPostprocessing /
+        # SetNondimensionalization: V = M a_inf (cos a cos b, sin b,
+        # sin a cos b)); the shipped reactive cases always set it explicitly
+        if ("FREESTREAM_VELOCITY" not in self._set_options
+                and self.mach_number > 0.0 and not self.reactive):
+            import math
+            a_inf = math.sqrt(self.gamma_value * self.gas_constant
+                              * self.freestream_temperature)
+            al = math.radians(self.aoa)
+            be = math.radians(self.sideslip_angle)
+            v = self.mach_number * a_inf
+            self.freestream_velocity = [v * math.cos(al) * math.cos(be),
+                                        v * math.sin(be),
+                                        v * math.sin(al) * math.cos(be)]
+        self.was_set = lambda name: name.upper() in self._set_options
         self.steady = self.unsteady_simulation in ("NO", "STEADY")
 
     # -- path helpers -------------------------------------------------------

@@ -88,12 +88,24 @@ def spring_deform(mesh: MeshArrays, bnd_mask: np.ndarray,
 
 
 def deform_coords(mesh: MeshArrays, marker_disp: np.ndarray,
-                  n_iter: int = 200) -> jnp.ndarray:
-    """coords + volume-propagated displacement field."""
+                  n_iter: int = 200, method: str = "SPRING",
+                  raw=None, stiffness_type: str = "INVERSE_VOLUME") -> jnp.ndarray:
+    """coords + volume-propagated displacement field.
+
+    method SPRING uses the edge-spring analogy; ELASTICITY (requires the
+    RawMesh for element connectivity) uses the linear-elasticity FEM like
+    the reference's CVolumetricMovement.
+    """
     bnd_mask = np.zeros(mesh.npoint, dtype=bool)
     for tag, (nodes, _) in mesh.markers.items():
         bnd_mask[np.asarray(nodes)] = True
-    dx = spring_deform(mesh, bnd_mask, marker_disp, n_iter=n_iter)
+    if method == "ELASTICITY" and raw is not None:
+        from su2_tpu.solvers import elasticity
+        dx = elasticity.solve_elasticity(
+            raw, bnd_mask, marker_disp, stiffness_type=stiffness_type,
+            n_iter=max(n_iter, 400))
+    else:
+        dx = spring_deform(mesh, bnd_mask, marker_disp, n_iter=n_iter)
     return mesh.coords + dx
 
 

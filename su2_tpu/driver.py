@@ -37,6 +37,10 @@ class Simulation:
 
     def __init__(self, cfg: Config, dtype=jnp.float64, ndevices: int | None = None,
                  devices=None, raw_mesh=None):
+        if cfg.system_measurements == "US":
+            # run internally in SI (see units.py; outputs dimensionless or SI)
+            from su2_tpu.units import us_config_to_si
+            us_config_to_si(cfg)
         self.cfg = cfg
         self.dtype = dtype
         self.ndevices = ndevices
@@ -215,13 +219,27 @@ class Simulation:
         lower, upper = self.lower, self.upper
         color_masks = self.color_masks
         viscous_mode = self.cfg.viscous
+        # multistage RK alphas (ExplicitRK_Iteration,
+        # solver_direct_reactive.cpp:2456); single-stage == explicit Euler
+        if self.cfg.time_discre_flow == "RUNGE-KUTTA_EXPLICIT":
+            alphas = tuple(self.cfg.rk_alpha_coeff)
+        else:
+            alphas = (1.0,)
 
-        def step(u, t_guess, cfl=None):
-            cfl = prm.cfl if cfl is None else cfl
+        def assemble(u, t_guess):
             u, v, nonphys = st.cons2prim(lib, lay, u, t_guess, tparams)
             if viscous_mode:
                 res, wall_mask, trans, _ = ns.ns_assemble(
                     lib, lay, mesh, prm, bcs, v)
+            else:
+                res, _ = es.total_residual(lib, lay, mesh, prm, bcs, v)
+                wall_mask = trans = None
+            return u, v, res, wall_mask, trans, nonphys
+
+        def step(u, t_guess, cfl=None):
+            cfl = prm.cfl if cfl is None else cfl
+            u, v, res, wall_mask, trans, nonphys = assemble(u, t_guess)
+            if viscous_mode:
                 dpdu_full = st.dpdu(lib, lay, v)
                 lam_v = ns.viscous_lambda(
                     lib, mesh, lay, prm, v, trans, dpdu_full, None)
@@ -231,12 +249,21 @@ class Simulation:
             else:
                 dt, min_dt, _ = timestep.local_time_step(
                     mesh, lay, v, cfl, prm.max_dt)
-                res, _ = es.total_residual(lib, lay, mesh, prm, bcs, v)
+            u_old = u
             u_new, rms, rmax = es.explicit_euler_update(
-                lay, mesh, u, res, dt, lower, upper)
+                lay, mesh, u_old, res, dt, lower, upper, alpha=alphas[0])
+            t_cur = v[:, lay.T]
+            for alpha in alphas[1:]:
+                if viscous_mode:
+                    u_new = ns.enforce_wall_velocity(lay, u_new, wall_mask)
+                _, v_k, res, wm_k, _, np_k = assemble(u_new, t_cur)
+                t_cur = v_k[:, lay.T]
+                nonphys = nonphys + np_k
+                u_new, rms, rmax = es.explicit_euler_update(
+                    lay, mesh, u_old, res, dt, lower, upper, alpha=alpha)
             if viscous_mode:
                 u_new = ns.enforce_wall_velocity(lay, u_new, wall_mask)
-            return u_new, v[:, lay.T], rms, rmax, nonphys.sum(), min_dt
+            return u_new, t_cur, rms, rmax, nonphys.sum(), min_dt
 
         return step
 

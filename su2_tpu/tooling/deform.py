@@ -30,7 +30,9 @@ def run(cfg: Config, raw=None):
         nodes = np.asarray(grid.bnd_nodes[tag])
         disp += deform.surface_displacement(raw.coords, nodes, dvs)
     new_coords = np.asarray(deform.deform_coords(
-        mesh, disp, n_iter=cfg.deform_linear_iter))
+        mesh, disp, n_iter=cfg.deform_linear_iter,
+        method=cfg.deform_method, raw=raw,
+        stiffness_type=cfg.deform_stiffness_type))
     write_su2_mesh(raw, cfg.mesh_out_filename, coords=new_coords)
     return new_coords
 

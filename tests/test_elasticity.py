@@ -1,0 +1,83 @@
+"""Linear-elasticity FEM tests (CFEASolver / elasticity mesh deformation)."""
+
+import numpy as np
+import pytest
+
+from su2_tpu.geometry.structured import channel_mesh
+from su2_tpu.geometry.dual_grid import build_dual_grid
+from su2_tpu.io.mesh import RawMesh
+from su2_tpu.solvers import elasticity
+
+
+def _bnd_mask(raw, grid):
+    mask = np.zeros(raw.npoint, dtype=bool)
+    for tag in grid.bnd_nodes:
+        mask[np.asarray(grid.bnd_nodes[tag])] = True
+    return mask
+
+
+def test_rigid_translation_patch():
+    """All boundaries translated by (dx, dy): interior must follow exactly."""
+    raw = channel_mesh(9, 7, lx=1.0, ly=0.4)
+    grid = build_dual_grid(raw)
+    mask = _bnd_mask(raw, grid)
+    disp = np.tile([0.01, -0.02], (raw.npoint, 1))
+    out = np.asarray(elasticity.solve_elasticity(raw, mask, disp))
+    np.testing.assert_allclose(out, disp, atol=1e-10)
+
+
+def test_linear_displacement_patch():
+    """P1/bilinear elements reproduce a linear displacement field exactly
+    (the classic FEM patch test)."""
+    raw = channel_mesh(7, 6, lx=1.0, ly=0.5)
+    grid = build_dual_grid(raw)
+    mask = _bnd_mask(raw, grid)
+    c = raw.coords
+    exact = np.stack([0.02 * c[:, 0] + 0.01 * c[:, 1],
+                      -0.015 * c[:, 0] + 0.03 * c[:, 1]], axis=1)
+    out = np.asarray(elasticity.solve_elasticity(raw, mask, exact,
+                                                 n_iter=1200, tol=1e-14))
+    np.testing.assert_allclose(out, exact, atol=1e-8)
+
+
+def test_triangle_elements_patch():
+    raw = channel_mesh(6, 5)
+    tris = []
+    for q in raw.elem_nodes:
+        a, b, c_, d = (int(x) for x in q[:4])
+        tris.append([a, b, c_])
+        tris.append([a, c_, d])
+    raw_t = RawMesh(ndim=2, coords=raw.coords,
+                    elem_types=np.full(len(tris), 5, dtype=np.int32),
+                    elem_nodes=np.asarray(tris), markers=raw.markers,
+                    marker_types=raw.marker_types)
+    grid = build_dual_grid(raw_t)
+    mask = _bnd_mask(raw_t, grid)
+    c = raw_t.coords
+    exact = np.stack([0.05 * c[:, 1], 0.02 * c[:, 0]], axis=1)
+    out = np.asarray(elasticity.solve_elasticity(raw_t, mask, exact,
+                                                 n_iter=1200, tol=1e-14))
+    np.testing.assert_allclose(out, exact, atol=1e-8)
+
+
+def test_bump_deformation_positive_volumes():
+    """Elasticity deformation of a wall bump keeps a valid mesh
+    (CVolumetricMovement::SetVolume_Deformation capability)."""
+    from su2_tpu import deform
+
+    raw = channel_mesh(13, 9, lx=1.0, ly=0.4)
+    grid = build_dual_grid(raw)
+    nodes = np.asarray(grid.bnd_nodes["lower_wall"])
+    disp = deform.surface_displacement(
+        raw.coords, nodes,
+        [{"kind": "HICKS_HENNE", "up": 1, "x_loc": 0.5, "value": 0.05}])
+    mask = _bnd_mask(raw, grid)
+    out = np.asarray(elasticity.solve_elasticity(
+        raw, mask, disp, stiffness_type="INVERSE_VOLUME", n_iter=800))
+    new_coords = raw.coords + out
+    raw2 = channel_mesh(13, 9, lx=1.0, ly=0.4)
+    raw2.coords[:] = new_coords
+    g2 = build_dual_grid(raw2)
+    assert g2.volume.min() > 0.0
+    # prescribed boundary displacement honored
+    np.testing.assert_allclose(out[nodes], disp[nodes], atol=1e-9)
