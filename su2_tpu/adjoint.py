@@ -101,8 +101,9 @@ def make_fixed_point_step(sim):
                 lib, lay, mesh, prm, bcs, v, dt, implicit=True)
             u = ns.enforce_wall_velocity(lay, u, wall_mask)
             dinv = blockcsr.block_jacobi_factor(jac)
+            _sel = blockcsr.gather_offdiag(mesh, jac)
             sol, _, _ = krylov.fgmres(
-                lambda x: blockcsr.matvec(mesh, jac, x),
+                lambda x: blockcsr.matvec(mesh, jac, x, _sel),
                 lambda r: blockcsr.block_jacobi_apply(dinv, r),
                 -res, max_iter=cfg.linear_solver_iter,
                 tol=cfg.linear_solver_error)

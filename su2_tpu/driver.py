@@ -47,6 +47,10 @@ class Simulation:
         if (dtype == jnp.float32 and ndevices is None
                 and jax.devices()[0].platform == "tpu"):
             cl.set_enthalpy_mode("pallas")
+            # NOTE: the fused pallas edge kernel (pallas/edge_kernels.py) is
+            # bit-accurate but slower than the XLA chain on v5e due to
+            # (nE, 13, 13) lane padding; it stays opt-in until the
+            # lanes-as-edges layout lands (TODO.md round 2).
         if cfg.reactive:
             manifest = cfg.resolve(cfg.config_lib_file)
             self.lib = cl.load_library(manifest, cfg.library_path or None, dtype)
@@ -294,10 +298,11 @@ class Simulation:
                 rhs = -res
                 pc = blockcsr.make_preconditioner(
                     mesh, jac, cfg.linear_solver_prec, color_masks)
+                sel = blockcsr.gather_offdiag(mesh, jac)
                 solver = krylov.bcgstab if cfg.linear_solver == "BCGSTAB" \
                     else krylov.fgmres
                 sol, _, iters = solver(
-                    lambda x: blockcsr.matvec(mesh, jac, x), pc,
+                    lambda x: blockcsr.matvec(mesh, jac, x, sel), pc,
                     rhs, max_iter=cfg.linear_solver_iter,
                     tol=cfg.linear_solver_error)
                 u_new = jnp.clip(u + cfg.relaxation_factor_flow * sol,
@@ -391,10 +396,11 @@ class Simulation:
                 rhs = -res
                 pc = blockcsr.make_preconditioner(
                     mesh, jac, cfg.linear_solver_prec, color_masks)
+                sel = blockcsr.gather_offdiag(mesh, jac)
                 solver = krylov.bcgstab if cfg.linear_solver == "BCGSTAB" \
                     else krylov.fgmres
                 sol, _, _ = solver(
-                    lambda x: blockcsr.matvec(mesh, jac, x), pc,
+                    lambda x: blockcsr.matvec(mesh, jac, x, sel), pc,
                     rhs, max_iter=cfg.linear_solver_iter,
                     tol=cfg.linear_solver_error)
                 u_new = jnp.clip(u + cfg.relaxation_factor_flow * sol,

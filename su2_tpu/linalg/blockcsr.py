@@ -38,17 +38,18 @@ jax.tree_util.register_dataclass(
     BlockJacobian, data_fields=["diag", "off_ij", "off_ji"], meta_fields=[])
 
 
-def matvec(mesh: MeshArrays, jac: BlockJacobian, x: jax.Array) -> jax.Array:
-    """y = A x with x, y of shape (nP, v)."""
+def matvec(mesh: MeshArrays, jac: BlockJacobian, x: jax.Array,
+           offdiag: jax.Array | None = None) -> jax.Array:
+    """y = A x with x, y of shape (nP, v).
+
+    Pass ``offdiag`` (from :func:`gather_offdiag`) to reuse the gathered
+    per-(node, slot) neighbor blocks across repeated matvecs — the gather is
+    the memory-bound part of the product, so Krylov solvers should hoist it.
+    """
     y = jnp.einsum("pij,pj->pi", jac.diag, x)
     # neighbor contributions: node p with sign +1 on edge e=(p, q) uses
     # off_ij[e] @ x[q]; with sign -1 (p == j) uses off_ji[e] @ x[q].
-    pad = jnp.zeros((1,) + jac.off_ij.shape[1:], dtype=jac.off_ij.dtype)
-    oij = jnp.concatenate([jac.off_ij, pad], axis=0)[mesh.node_edges]  # (nP,D,v,v)
-    oji = jnp.concatenate([jac.off_ji, pad], axis=0)[mesh.node_edges]
-    sel = jnp.where((mesh.node_sign > 0.5)[:, :, None, None], oij,
-                    jnp.where((mesh.node_sign < -0.5)[:, :, None, None], oji,
-                              jnp.zeros_like(oij)))
+    sel = gather_offdiag(mesh, jac) if offdiag is None else offdiag
     xn = x[mesh.node_nbrs]                                             # (nP,D,v)
     y = y + jnp.einsum("pdij,pdj->pi", sel, xn)
     return y

@@ -23,6 +23,37 @@ KU = 0.75
 BETA = 0.125
 
 
+
+def _cat_nonempty(parts, axis):
+    # Mosaic rejects zero-size vector slices; drop empty pieces
+    return jnp.concatenate([p for p in parts if p.shape[axis] > 0], axis=axis)
+
+
+def _set_cols(x, start, vals):
+    """x[:, start:start+w] = vals via concatenate (Pallas-lowerable; the
+    .at[].set/.add forms hit an unimplemented scatter in the TPU kernel
+    lowering)."""
+    w = 1 if vals.ndim == 1 else vals.shape[1]
+    v2 = vals[:, None] if vals.ndim == 1 else vals
+    return _cat_nonempty([x[:, :start], v2, x[:, start + w:]], 1)
+
+
+def _add_cols(x, start, vals):
+    w = 1 if vals.ndim == 1 else vals.shape[1]
+    v2 = vals[:, None] if vals.ndim == 1 else vals
+    return _cat_nonempty(
+        [x[:, :start], x[:, start:start + w] + v2, x[:, start + w:]], 1)
+
+
+def _add_rows3(x, start, vals):
+    """x[:, start:start+w, :] += vals for (nE, nvar, nvar) blocks."""
+    w = 1 if vals.ndim == 2 else vals.shape[1]
+    v3 = vals[:, None, :] if vals.ndim == 2 else vals
+    return _cat_nonempty(
+        [x[:, :start, :], x[:, start:start + w, :] + v3, x[:, start + w:, :]],
+        1)
+
+
 def _split_mach(m):
     """Split Mach polynomials (beta=1/8) and pressure polynomials (alpha set
     by caller). Returns (mP, mM) without pressure polys."""
@@ -112,8 +143,7 @@ def ausm_flux(lay: Layout, v_i: jnp.ndarray, v_j: jnp.ndarray,
 
     p_lf = p_lp * p_i + p_rm * p_j \
         - KU * p_lp * p_rm * (rho_i + rho_j) * fa * a_mean * (proj_j - proj_i)
-    res = res.at[:, lay.RHOVX:lay.RHOVX + nd].add(
-        (p_lf * area)[:, None] * unit)
+    res = _add_cols(res, lay.RHOVX, (p_lf * area)[:, None] * unit)
 
     if s_i is None:
         return res
@@ -121,12 +151,10 @@ def ausm_flux(lay: Layout, v_i: jnp.ndarray, v_j: jnp.ndarray,
     # ------------------------------------------------------------ Jacobians
     # Mach number derivatives w.r.t. conserved variables
     zer = jnp.zeros((v_i.shape[0], nvar), dtype=v_i.dtype)
-    mld = zer.at[:, lay.RHO].set(-m_l / rho_i)
-    mld = mld.at[:, lay.RHOVX:lay.RHOVX + nd].set(
-        unit / (rho_i * a_mean)[:, None])
-    mrd = zer.at[:, lay.RHO].set(-m_r / rho_j)
-    mrd = mrd.at[:, lay.RHOVX:lay.RHOVX + nd].set(
-        unit / (rho_j * a_mean)[:, None])
+    mld = _set_cols(zer, lay.RHO, -m_l / rho_i)
+    mld = _set_cols(mld, lay.RHOVX, unit / (rho_i * a_mean)[:, None])
+    mrd = _set_cols(zer, lay.RHO, -m_r / rho_j)
+    mrd = _set_cols(mrd, lay.RHOVX, unit / (rho_j * a_mean)[:, None])
 
     sub_l = (jnp.abs(m_l) < 1.0)[:, None]
     sub_r = (jnp.abs(m_r) < 1.0)[:, None]
@@ -157,8 +185,8 @@ def ausm_flux(lay: Layout, v_i: jnp.ndarray, v_j: jnp.ndarray,
         + (factor * fa * rho_mean)[:, None] * s_j
         - (factor * (p_j - p_i) * rho_mean)[:, None] * scal_rd)
     c1 = KP / (a_mean * a_mean * fa * rho_mean * rho_mean) * 0.5 * factor * (p_j - p_i)
-    mext_ld = mext_ld.at[:, lay.RHO].add(-c1)
-    mext_rd = mext_rd.at[:, lay.RHO].add(-c1)
+    mext_ld = _add_cols(mext_ld, lay.RHO, -c1)
+    mext_rd = _add_cols(mext_rd, lay.RHO, -c1)
 
     sign_m12 = jnp.where(m12 == 0.0, 0.0, jnp.abs(m12) / jnp.where(m12 == 0.0, 1.0, m12))
     sp = (1.0 + sign_m12)[:, None]
@@ -181,8 +209,8 @@ def ausm_flux(lay: Layout, v_i: jnp.ndarray, v_j: jnp.ndarray,
     jac_j = jac_j + (a_mean * m_rf)[:, None, None] * eye
 
     # pressure contribution to the energy row
-    jac_i = jac_i.at[:, lay.RHOE, :].add((a_mean * m_lf)[:, None] * s_i)
-    jac_j = jac_j.at[:, lay.RHOE, :].add((a_mean * m_rf)[:, None] * s_j)
+    jac_i = _add_rows3(jac_i, lay.RHOE, (a_mean * m_lf)[:, None] * s_i)
+    jac_j = _add_rows3(jac_j, lay.RHOE, (a_mean * m_rf)[:, None] * s_j)
 
     # pressure polynomial derivatives
     ppol_ld = jnp.where(
@@ -207,22 +235,26 @@ def ausm_flux(lay: Layout, v_i: jnp.ndarray, v_j: jnp.ndarray,
     pext_rd = (KU * p_lp * a_mean)[:, None] * (
         (rho_sum * fa * dproj)[:, None] * ppol_rd
         + (p_rm * rho_sum * dproj)[:, None] * scal_rd)
-    pext_ld = pext_ld.at[:, lay.RHO].add(
+    pext_ld = _add_cols(
+        pext_ld, lay.RHO,
         KU * p_rm * a_mean * p_lp * fa * (dproj + rho_sum * proj_i / rho_i))
-    pext_rd = pext_rd.at[:, lay.RHO].add(
+    pext_rd = _add_cols(
+        pext_rd, lay.RHO,
         KU * p_lp * a_mean * p_rm * fa * (dproj - rho_sum * proj_j / rho_j))
-    pext_ld = pext_ld.at[:, lay.RHOVX:lay.RHOVX + nd].add(
+    pext_ld = _add_cols(
+        pext_ld, lay.RHOVX,
         -(KU * p_rm * a_mean * p_lp * fa * rho_sum / rho_i)[:, None] * unit)
-    pext_rd = pext_rd.at[:, lay.RHOVX:lay.RHOVX + nd].add(
+    pext_rd = _add_cols(
+        pext_rd, lay.RHOVX,
         (KU * p_lp * a_mean * p_rm * fa * rho_sum / rho_j)[:, None] * unit)
 
     press_ld = p_lp[:, None] * s_i + p_i[:, None] * ppol_ld - pext_ld
     press_rd = p_rm[:, None] * s_j + p_j[:, None] * ppol_rd - pext_rd
 
-    jac_i = jac_i.at[:, lay.RHOVX:lay.RHOVX + nd, :].add(
-        unit[:, :, None] * press_ld[:, None, :])
-    jac_j = jac_j.at[:, lay.RHOVX:lay.RHOVX + nd, :].add(
-        unit[:, :, None] * press_rd[:, None, :])
+    jac_i = _add_rows3(jac_i, lay.RHOVX,
+                       unit[:, :, None] * press_ld[:, None, :])
+    jac_j = _add_rows3(jac_j, lay.RHOVX,
+                       unit[:, :, None] * press_rd[:, None, :])
 
     jac_i = jac_i * area[:, None, None]
     jac_j = jac_j * area[:, None, None]

@@ -591,8 +591,13 @@ def convective_system(lib, lay, mesh, prm, v, grad, lim, dpdu_full):
     else:
         v_i, v_j = v[i], v[j]
         s_i, s_j = dpdu_full[i], dpdu_full[j]
-    flux, jac_i, jac_j = ausm.ausm_flux(
-        lay, v_i, v_j, mesh.edge_normal, prm.m_infty, s_i, s_j)
+    from su2_tpu.pallas import edge_kernels as ek
+    if ek.use_pallas():
+        flux, jac_i, jac_j = ek.ausm_flux_jac_pallas(
+            lay, v_i, v_j, mesh.edge_normal, prm.m_infty, s_i, s_j)
+    else:
+        flux, jac_i, jac_j = ausm.ausm_flux(
+            lay, v_i, v_j, mesh.edge_normal, prm.m_infty, s_i, s_j)
     if prm.conv_method == "ROE":
         # Roe residual with the AUSM approximate linearization (defect
         # correction: the outer Newton converges to the Roe solution)
@@ -736,9 +741,10 @@ def implicit_euler_update(lib, lay, mesh, prm, bcs, u, v, dt, lower, upper,
                                omega_turb, turb_ke)
     rhs = -res
     pc = blockcsr.make_preconditioner(mesh, jac, precond, color_masks)
+    sel = blockcsr.gather_offdiag(mesh, jac)
 
     def mv(x):
-        return blockcsr.matvec(mesh, jac, x)
+        return blockcsr.matvec(mesh, jac, x, sel)
 
     solver = krylov.bcgstab if linear_solver == "BCGSTAB" else krylov.fgmres
     sol, rel_res, iters = solver(mv, pc, rhs, max_iter=linear_iter,

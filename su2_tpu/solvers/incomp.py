@@ -228,8 +228,9 @@ class IncSimulation:
             jac = BlockJacobian(diag=diag, off_ij=jac.off_ij,
                                 off_ji=jac.off_ji)
             dinv = blockcsr.block_jacobi_factor(jac)
+            _sel = blockcsr.gather_offdiag(mesh, jac)
             sol, _, _ = krylov.fgmres(
-                lambda x: blockcsr.matvec(mesh, jac, x),
+                lambda x: blockcsr.matvec(mesh, jac, x, _sel),
                 lambda r: blockcsr.block_jacobi_apply(dinv, r),
                 -res, max_iter=cfg.linear_solver_iter,
                 tol=cfg.linear_solver_error)

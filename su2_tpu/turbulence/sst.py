@@ -258,9 +258,10 @@ def sst_step(lay: Layout, mesh: MeshArrays, scfg: SSTConfig, bcs,
     jac = BlockJacobian(diag=diag, off_ij=off_ij, off_ji=off_ji)
     rhs = -res
     dinv = blockcsr.block_jacobi_factor(jac)
+    _sel = blockcsr.gather_offdiag(mesh, jac)
     solver = krylov.bcgstab if scfg.linear_solver == "BCGSTAB" else krylov.fgmres
     sol, _, _ = solver(
-        lambda x: blockcsr.matvec(mesh, jac, x),
+        lambda x: blockcsr.matvec(mesh, jac, x, _sel),
         lambda r: blockcsr.block_jacobi_apply(dinv, r),
         rhs, max_iter=scfg.linear_iter, tol=scfg.linear_tol)
 

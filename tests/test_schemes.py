@@ -274,3 +274,35 @@ def test_rk_explicit_converges(tmp_path):
     # expected single-grid rate on this mesh
     assert hist[-1][sim.lay.RHO] < hist[0][sim.lay.RHO] - 0.8, \
         (hist[0][sim.lay.RHO], hist[-1][sim.lay.RHO])
+
+
+def test_pallas_edge_kernel_matches_xla():
+    """The fused pallas AUSM kernel (interpret mode on CPU) is bit-equal to
+    the XLA chain — one source of truth for the numerics."""
+    import jax.numpy as jnp
+    from su2_tpu.ops import ausm
+    from su2_tpu.pallas import edge_kernels as ek
+
+    lay = Layout(2, 3)
+    rng = np.random.default_rng(0)
+    ne = 300
+    t = rng.uniform(250, 1500, ne)
+    p = rng.uniform(5e4, 3e5, ne)
+    rho = p / (287.0 * t)
+    vel = rng.normal(0, 80, (ne, 2))
+    ys = rng.dirichlet([2.0, 3.0, 4.0], ne)
+    a = np.sqrt(1.3 * 287.0 * t)
+    h = 1000.0 * t + 0.5 * (vel ** 2).sum(1)
+    v_rows = np.concatenate([t[:, None], vel, p[:, None], rho[:, None],
+                             h[:, None], a[:, None], ys], axis=1)
+    normal = rng.normal(0, 1, (ne, 2))
+    s = rng.normal(0, 1, (ne, lay.nvar))
+    args = (lay, jnp.asarray(v_rows), jnp.asarray(v_rows[::-1].copy()),
+            jnp.asarray(normal), 0.3, jnp.asarray(s), jnp.asarray(s) * 0.5)
+    f0, ji0, jj0 = ausm.ausm_flux(*args)
+    f1, ji1, jj1 = ek.ausm_flux_jac_pallas(*args)
+    np.testing.assert_allclose(np.asarray(f0), np.asarray(f1), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(ji0), np.asarray(ji1), rtol=1e-10,
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(jj0), np.asarray(jj1), rtol=1e-10,
+                               atol=1e-10)
