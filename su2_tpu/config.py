@@ -71,6 +71,23 @@ def _parse_marker_inlet(s: str) -> dict[str, tuple[float, float, tuple[float, ..
     return out
 
 
+def _parse_marker_periodic(s: str) -> dict:
+    """MARKER_PERIODIC = ( marker, donor, rcx, rcy, rcz, rax, ray, raz,
+    tx, ty, tz, ... ) (config_structure.cpp periodic option)."""
+    toks = _split_list(s)
+    if toks == ["NONE"] or not toks:
+        return {}
+    out = {}
+    i = 0
+    while i < len(toks):
+        name, donor = toks[i], toks[i + 1]
+        vals = [float(t) for t in toks[i + 2:i + 11]]
+        out[name] = (donor, tuple(vals[0:3]), tuple(vals[3:6]),
+                     tuple(vals[6:9]))
+        i += 11
+    return out
+
+
 def _parse_dv_param(s: str) -> list[list[float]]:
     """DV_PARAM = ( 1, 0.5 ); ( 1, 0.7 ) — per-DV parameter groups."""
     groups = s.split(";")
@@ -243,6 +260,7 @@ _REGISTRY: dict[str, _Opt] = {
     "MARKER_OUTLET": _Opt(_parse_marker_pairs, {}),
     "MARKER_SUPERSONIC_INLET": _Opt(_parse_marker_supersonic_inlet, {}),
     "MARKER_SUPERSONIC_OUTLET": _Opt(_parse_marker_names, []),
+    "MARKER_PERIODIC": _Opt(_parse_marker_periodic, {}),
     "MARKER_PLOTTING": _Opt(_parse_marker_names, []),
     "MARKER_MONITORING": _Opt(_parse_marker_names, []),
     "INLET_TYPE": _enum("TOTAL_CONDITIONS"),

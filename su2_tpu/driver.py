@@ -85,6 +85,9 @@ class Simulation:
                 mesh_arrays(self.grid, dtype), self.dmesh)
         else:
             self.grid = build_dual_grid(raw)
+            if cfg.marker_periodic:
+                from su2_tpu.geometry.periodic import apply_periodic_markers
+                self.grid = apply_periodic_markers(self.grid, cfg)
             self.dmesh = None
             self.mesh = mesh_arrays(self.grid, dtype)
         self.lay = Layout(self.grid.ndim, cfg.nspecies)

@@ -3,6 +3,11 @@
 Usage: python -m su2_tpu.tooling.msh <config.cfg>
 KIND_ADAPT= FULL (uniform conforming h-refinement) writes
 MESH_OUT_FILENAME (reference: SU2_MSH/src/SU2_MSH.cpp + CGridAdaptation).
+
+The reference's other SU2_MSH job — periodic ghost-layer setup — has no
+file-level counterpart here: MARKER_PERIODIC is consumed directly at solver
+setup by dual-CV merging (geometry/periodic.py), so no intermediate mesh is
+needed.
 """
 
 from __future__ import annotations

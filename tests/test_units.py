@@ -90,3 +90,38 @@ def test_us_run_matches_si_twin(tmp_path):
     finally:
         os.chdir(cwd)
     np.testing.assert_allclose(hists[0], hists[1], rtol=1e-12)
+
+
+def test_coefficients_scale_invariant(tmp_path):
+    """Dimensionless outputs are invariant to the pressure scale — the
+    basis for supporting REF_DIMENSIONALIZATION by internal-dimensional
+    running (documented in units.py)."""
+    from su2_tpu.driver import Simulation
+    from su2_tpu.geometry.structured import channel_mesh
+
+    base = """
+        PHYSICAL_PROBLEM= EULER
+        MACH_NUMBER= 0.3
+        FREESTREAM_TEMPERATURE= 288.15
+        FREESTREAM_PRESSURE= {p}
+        MARKER_EULER= ( lower_wall, upper_wall )
+        MARKER_FAR= ( inlet, outlet )
+        MARKER_MONITORING= ( lower_wall )
+        CFL_NUMBER= 5.0
+        TIME_DISCRE_FLOW= EULER_IMPLICIT
+        LINEAR_SOLVER_ITER= 5
+        MESH_FILENAME= unused.su2
+    """
+    cls = []
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        for p in (101325.0, 1.0):
+            sim = Simulation(Config(text=textwrap.dedent(base.format(p=p))),
+                             raw_mesh=channel_mesh(9, 7, lx=1.0, ly=0.4))
+            u, t, _ = sim.run(5, quiet=True)
+            f = sim.monitor_forces(u, t)
+            cls.append((f["CL"], f["CD"]))
+    finally:
+        os.chdir(cwd)
+    np.testing.assert_allclose(cls[0], cls[1], rtol=1e-9, atol=1e-12)
