@@ -216,6 +216,7 @@ _REGISTRY: dict[str, _Opt] = {
     # --- problem definition ---
     "PHYSICAL_PROBLEM": _enum("EULER"),
     "KIND_TURB_MODEL": _enum("NONE"),
+    "KIND_TRANS_MODEL": _enum("NONE"),
     "MATH_PROBLEM": _enum("DIRECT"),
     "RESTART_SOL": _b(False),
     "SYSTEM_MEASUREMENTS": _enum("SI"),

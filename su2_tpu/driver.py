@@ -147,6 +147,10 @@ class Simulation:
                 self.nu_tilde_inf, self.mut_inf = sa.freestream(
                     cfg, rho_inf, mu_inf)
                 self.kine_inf = 0.0
+                tu = cfg.freestream_turbulenceintensity
+                self.re_theta_inf = float(
+                    1173.51 - 589.428 * tu + 0.2196 / (tu * tu)) \
+                    if tu <= 1.3 else float(331.5 * (tu - 0.5658) ** -0.671)
             self.params = dataclasses_replace(self.params,
                                               tke_inf=self.kine_inf)
             self.scfg = sst.SSTConfig(
@@ -432,13 +436,27 @@ class Simulation:
             trans_new = vis.node_transport(lib, lay, v_new)
             if cfg.kind_turb_model == "SA":
                 from su2_tpu.turbulence import sa
+                gamma_eff = None
+                lm_state = grad_k
+                if cfg.kind_trans_model == "LM":
+                    # LM transition: in the SA branch the (otherwise unused)
+                    # grad_k slot carries (gamma, Re_theta_t) and sigma_k
+                    # carries gamma_eff (see initial_turb_state)
+                    from su2_tpu.turbulence import translm
+                    lm_state, lm_rms, gamma_eff = translm.lm_step(
+                        lay, mesh, scfg, bcs, grad_k, v_new, grad_new,
+                        trans_new.mu, mu_t, dist, dt,
+                        cfg.freestream_turbulenceintensity,
+                        self.re_theta_inf)
+                    sigma_k = gamma_eff
                 nu_new, turb_rms, mu_t_new = sa.sa_step(
                     lay, mesh, scfg, bcs, q[:, 0], v_new, grad_new,
-                    trans_new.mu, vort, dist, dt, self.nu_tilde_inf)
+                    trans_new.mu, vort, dist, dt, self.nu_tilde_inf,
+                    gamma_trans=gamma_eff)
                 q_new = jnp.stack([nu_new, jnp.zeros_like(nu_new)], axis=1)
                 turb_rms = jnp.concatenate([turb_rms, turb_rms])
                 return (u_new, v_new[:, lay.T], q_new, mu_t_new,
-                        grad_k, sigma_k, rms, rmax, turb_rms,
+                        lm_state, sigma_k, rms, rmax, turb_rms,
                         nonphys.sum() + nonphys2.sum(), min_dt)
             dpdu_new = st.dpdu(lib, lay, v_new)
             q_new, turb_rms, outs = sst.sst_step(
@@ -605,6 +623,12 @@ class Simulation:
         mu_t0 = jnp.full((n,), min(self.mut_inf, 1.0), dtype=self.dtype)
         grad_k0 = jnp.zeros((n, self.lay.ndim), dtype=self.dtype)
         sigma_k0 = jnp.full((n,), sst.SIGMA_K1, dtype=self.dtype)
+        if self.cfg.kind_turb_model == "SA" \
+                and self.cfg.kind_trans_model == "LM":
+            # SA+LM reuses the grad_k/sigma_k slots for the transition state
+            grad_k0 = jnp.tile(jnp.asarray(
+                [[1.0, self.re_theta_inf]], dtype=self.dtype), (n, 1))
+            sigma_k0 = jnp.ones((n,), dtype=self.dtype)
         if getattr(self, "turb_restart", None) is not None \
                 and self.cfg.kind_turb_model == "SST":
             # recompute mu_t / blending / grad k from the restarted state

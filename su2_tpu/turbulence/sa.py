@@ -49,7 +49,7 @@ def eddy_viscosity(rho, nu_tilde, mu):
 
 
 def sa_step(lay: Layout, mesh: MeshArrays, scfg, bcs, nu, v, flow_grad,
-            mu, vorticity, dist, dt, nu_inf):
+            mu, vorticity, dist, dt, nu_inf, gamma_trans=None):
     """One implicit Euler iteration of the SA equation.
 
     nu: (N,) nu_tilde; returns (nu_new, rms, mu_t_new).
@@ -103,6 +103,10 @@ def sa_step(lay: Layout, mesh: MeshArrays, scfg, bcs, nu, v, flow_grad,
     g = r + CW2 * (r ** 6 - r)
     fw = g * ((1.0 + CW3 ** 6) / (g ** 6 + CW3 ** 6)) ** (1.0 / 6.0)
     prod = CB1 * s_hat * nu
+    if gamma_trans is not None:
+        # LM transition coupling: effective intermittency scales production
+        # (CTransLMSolver -> SA coupling)
+        prod = prod * gamma_trans
     dest = CW1 * fw * nu * nu / d2
     cross = CB2 / SIGMA * jnp.sum(grad_nu * grad_nu, axis=1)
     active = dist > 1e-10
