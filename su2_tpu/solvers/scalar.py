@@ -39,11 +39,14 @@ def laplacian(mesh: MeshArrays, phi: jax.Array, coeff=None) -> jax.Array:
 
 
 def solve_poisson(mesh: MeshArrays, rhs: jax.Array, dirichlet_nodes,
-                  dirichlet_vals, n_iter: int = 400, tol: float = 1e-12):
+                  dirichlet_vals, n_iter: int = 400, tol: float = 1e-12,
+                  point_sources=None):
     """-div(grad phi) = rhs (volume-integrated) with Dirichlet markers.
 
     SPD interior system via boundary elimination, Jacobi-preconditioned CG
     (the reference assembles the FEM stiffness and uses its linear solver).
+    ``point_sources`` (nP,) adds already-integrated fluxes to the balance —
+    the inhomogeneous-Neumann term (boundary CVs are natural zero-flux).
     """
     c = _laplacian_coeffs(mesh)
     n = mesh.npoint
@@ -57,7 +60,10 @@ def solve_poisson(mesh: MeshArrays, rhs: jax.Array, dirichlet_nodes,
 
     deg = mesh.sum_edges_abs(jnp.abs(c)[:, None])[:, 0]
     dinv = jnp.where(mask, 1.0, 1.0 / jnp.maximum(deg, 1e-300))
-    b = jnp.where(mask, 0.0, rhs * mesh.volume + laplacian(mesh, phi_b, c))
+    b = rhs * mesh.volume + laplacian(mesh, phi_b, c)
+    if point_sources is not None:
+        b = b + point_sources
+    b = jnp.where(mask, 0.0, b)
     x, rel, _ = krylov.cg(op, lambda r: dinv * r, b, max_iter=n_iter, tol=tol)
     return phi_b + jnp.where(mask, 0.0, x)
 
