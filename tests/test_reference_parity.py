@@ -97,3 +97,52 @@ def test_pasr_residual_history_matches_reference(combustion_dir, tmp_path):
         np.testing.assert_allclose(rows, REF_PASR, atol=5e-4)
     finally:
         _os.chdir(cwd)
+
+
+@pytest.mark.slow
+def test_pasr_50_iteration_fields_match_reference(combustion_dir, tmp_path):
+    """Field-level parity: after 50 coupled PaSR iterations from the
+    reference's no-chem restart, the conservative fields match the reference
+    binary's restart (tests/fixtures/ref_restart_pasr50.npz, reference
+    iterations 51-100) to:
+      flow      ~1e-4 relative max-norm,
+      species   ~1e-3,
+      k/omega   ~5e-3 (block-Jacobi vs LU-SGS in the turb linear solve).
+    Final residual rows agree to 5-6 printed digits
+    (ref iter 100: Res[Rho] -3.366962, Res[RhoE] 2.239833).
+    """
+    import jax.numpy as jnp
+    from su2_tpu.io import restart as rio
+
+    fixdir = os.path.join(os.path.dirname(__file__), "fixtures")
+    fix0 = np.load(os.path.join(fixdir, "ref_restart_nochem.npz"))
+    ref50 = np.load(os.path.join(fixdir, "ref_restart_pasr50.npz"))
+    coords = np.zeros((fix0["u"].shape[0], 2))
+    import os as _os
+    cwd = _os.getcwd()
+    _os.chdir(tmp_path)
+    try:
+        rio.write_restart("restart_flow.dat", coords, fix0["u"], fix0["turb"])
+        cfg = Config(os.path.join(combustion_dir,
+                                  "my_combustion_second_chem_PaSR.cfg"))
+        sim = Simulation(cfg)
+        out = sim.run(50, quiet=True)
+        u, t_guess, hist, (q, mu_t, gk, sk) = out
+    finally:
+        _os.chdir(cwd)
+    assert hist[-1][sim.lay.RHO] == pytest.approx(-3.366962, abs=5e-4)
+    assert hist[-1][sim.lay.RHOE] == pytest.approx(2.239833, abs=5e-4)
+    ua = np.asarray(u)
+    ref_u = ref50["u"]
+    for k in range(4):                      # rho, rho u, rho v, rho E
+        scale = np.abs(ref_u[:, k]).max()
+        assert np.abs(ua[:, k] - ref_u[:, k]).max() / scale < 1e-3, k
+    for k in range(4, 13):                  # species partial densities
+        scale = max(np.abs(ref_u[:, k]).max(), 1e-30)
+        assert np.abs(ua[:, k] - ref_u[:, k]).max() / scale < 3e-3, k
+    # turbulence columns in the same storage the restart files use
+    qa = np.asarray(q)
+    ref_t = ref50["turb"]
+    for k in range(2):
+        scale = np.abs(ref_t[:, k]).max()
+        assert np.abs(qa[:, k] - ref_t[:, k]).max() / scale < 8e-3, k
