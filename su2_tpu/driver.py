@@ -159,7 +159,8 @@ class Simulation:
                 relax=cfg.relaxation_factor_turb,
                 linear_solver=cfg.linear_solver,
                 linear_iter=cfg.linear_solver_iter,
-                linear_tol=cfg.linear_solver_error)
+                linear_tol=cfg.linear_solver_error,
+                linear_prec=cfg.linear_solver_prec)
 
         # multicolor masks for the LU_SGS-class preconditioners
         self.color_masks = None
@@ -172,6 +173,9 @@ class Simulation:
                 from su2_tpu.parallel import sharding as shd
                 masks = list(shd.shard_state(self.dmesh, *masks))
             self.color_masks = tuple(masks)
+            if self.turbulent:
+                self.scfg = dataclasses_replace(
+                    self.scfg, color_masks=self.color_masks)
 
         self.history = None
         self.writer_state = None

@@ -105,6 +105,8 @@ class SSTConfig:
     linear_solver: str = "FGMRES"
     linear_iter: int = 5
     linear_tol: float = 1e-6
+    linear_prec: str = "JACOBI"
+    color_masks: tuple | None = None
 
 
 def sst_step(lay: Layout, mesh: MeshArrays, scfg: SSTConfig, bcs,
@@ -257,12 +259,12 @@ def sst_step(lay: Layout, mesh: MeshArrays, scfg: SSTConfig, bcs,
     diag = diag + delta[:, None, None] * eye2
     jac = BlockJacobian(diag=diag, off_ij=off_ij, off_ji=off_ji)
     rhs = -res
-    dinv = blockcsr.block_jacobi_factor(jac)
+    pc = blockcsr.make_preconditioner(mesh, jac, scfg.linear_prec,
+                                      scfg.color_masks)
     _sel = blockcsr.gather_offdiag(mesh, jac)
     solver = krylov.bcgstab if scfg.linear_solver == "BCGSTAB" else krylov.fgmres
     sol, _, _ = solver(
-        lambda x: blockcsr.matvec(mesh, jac, x, _sel),
-        lambda r: blockcsr.block_jacobi_apply(dinv, r),
+        lambda x: blockcsr.matvec(mesh, jac, x, _sel), pc,
         rhs, max_iter=scfg.linear_iter, tol=scfg.linear_tol)
 
     # conservative update: q_new = (rho_old q_old + relax*d(rho q))/rho_new
