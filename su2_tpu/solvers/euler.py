@@ -169,6 +169,20 @@ def inlet_state(lib, lay, bc: BCMarker, v, dpdu_e, tke_inf):
         gamma, a = cl.frozen_gamma_sound(lib, temp, ys)
         return _prim_row(lay, temp, velb, p, rho, h, a, ys), gamma, vel_mag ** 2
 
+    if bc.inlet_mode == "MASS_FLOW":
+        # impose density + velocity, extrapolate pressure
+        # (BC_Inlet MASS_FLOW branch, solver_direct_reactive.cpp:3490-3560)
+        rho = jnp.full_like(area, bc.params["v1"])
+        vel_mag = bc.params["v2"]
+        velb = jnp.broadcast_to(vel_mag * fdir, (nodes.shape[0], nd))
+        p = vd[:, lay.P]
+        rgas = cl.mixture_rgas(lib, ys)
+        temp = p / (rgas * rho)
+        h = cl.mixture_enthalpy(lib, temp, ys) + tke_inf + 0.5 * vel_mag ** 2
+        gamma, a = cl.frozen_gamma_sound(lib, temp, ys)
+        return _prim_row(lay, temp, velb, p, rho, h, a, ys), gamma, \
+            jnp.full_like(area, vel_mag ** 2)
+
     if bc.inlet_mode == "TOTAL_CONDITIONS":
         ttot = bc.params["v1"]
         ptot = bc.params["v2"]

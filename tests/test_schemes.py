@@ -306,3 +306,44 @@ def test_pallas_edge_kernel_matches_xla():
                                atol=1e-10)
     np.testing.assert_allclose(np.asarray(jj0), np.asarray(jj1), rtol=1e-10,
                                atol=1e-10)
+
+
+def test_mass_flow_inlet_converges(tmp_path):
+    """INLET_TYPE= MASS_FLOW (density + velocity imposed, pressure
+    extrapolated — BC_Inlet MASS_FLOW branch)."""
+    from su2_tpu.config import Config
+    from su2_tpu.driver import Simulation
+    from su2_tpu.geometry.structured import channel_mesh
+
+    cfg = textwrap.dedent("""
+        PHYSICAL_PROBLEM= EULER
+        MACH_NUMBER= 0.3
+        FREESTREAM_PRESSURE= 101325.0
+        FREESTREAM_TEMPERATURE= 288.15
+        MARKER_EULER= ( lower_wall, upper_wall )
+        MARKER_INLET= ( inlet, 1.3, 80.0, 1.0, 0.0, 0.0 )
+        MARKER_OUTLET= ( outlet, 101325.0 )
+        INLET_TYPE= MASS_FLOW
+        CFL_NUMBER= 5.0
+        SPATIAL_ORDER_FLOW= 1ST_ORDER
+        TIME_DISCRE_FLOW= EULER_IMPLICIT
+        LINEAR_SOLVER_ITER= 6
+        MESH_FILENAME= unused.su2
+    """)
+    cfg_path = tmp_path / "case.cfg"
+    cfg_path.write_text(cfg)
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        sim = Simulation(Config(str(cfg_path)),
+                         raw_mesh=channel_mesh(13, 9, lx=1.0, ly=0.4))
+        u, t, hist = sim.run(400, quiet=True)
+    finally:
+        os.chdir(cwd)
+    assert np.isfinite(hist).all()
+    # steady convergence (slow acoustic adjustment at this CFL): ~1.5 orders
+    assert hist[-1][sim.lay.RHO] < hist[0][sim.lay.RHO] - 1.4
+    # inlet density imposed: rho at the inlet column approaches 1.3
+    nodes = np.asarray(sim.grid.bnd_nodes["inlet"])
+    rho_in = np.asarray(u[nodes, sim.lay.RHO])
+    assert abs(rho_in.mean() - 1.3) < 0.05, rho_in.mean()
