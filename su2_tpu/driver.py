@@ -540,6 +540,11 @@ class Simulation:
             out.write_paraview_volume(
                 _os.path.join(base, self.cfg.volume_flow_filename + ".vtk"),
                 self.raw, fields)
+        elif self.cfg.output_format == "FIELDVIEW":
+            out.write_fieldview_volume(
+                _os.path.join(base, self.cfg.volume_flow_filename + ".uns"),
+                self.raw, fields, mach=self.cfg.mach_number,
+                aoa=self.cfg.aoa, reynolds=self.cfg.reynolds_number)
         else:
             out.write_tecplot_volume(
                 _os.path.join(base, self.cfg.volume_flow_filename + ".dat"),

@@ -157,3 +157,86 @@ def write_surface_csv(path: str, raw_mesh, fields: dict, marker_nodes,
         data = np.column_stack(cols)
         for i in range(len(nodes)):
             f.write("\t".join(f"{x:.6e}" for x in data[i]) + "\n")
+
+
+def write_fieldview_volume(path: str, raw, fields: dict,
+                           ext_iter: int = 0, mach: float = 0.0,
+                           aoa: float = 0.0, reynolds: float = 0.0) -> None:
+    """FieldView ASCII (.uns) volume writer (SetFieldViewASCII,
+    SU2_CFD/src/output_fieldview.cpp:104-420).
+
+    2D meshes are extruded to one layer of prisms/hexes exactly like the
+    reference (nodes duplicated at z=0 and z=1; tri -> prism type 3,
+    quad -> hex type 2); 3D writes tet(1)/hex(2)/prism(3)/pyramid(4).
+    """
+    import numpy as np
+
+    n = raw.npoint
+    names = [k for k in fields if k.lower() not in ("x", "y", "z")]
+    with open(path, "w") as f:
+        f.write("FIELDVIEW 3 0\n")
+        f.write("Constants\n")
+        f.write(f"{ext_iter}\t{mach}\t{aoa}\t{reynolds}\n")
+        f.write("Grids\t1\n")
+        f.write("Boundary Table\t1\n")
+        f.write("1\t0\t1\tMARKER_PLOTTING\n")
+        f.write(f"Variable Names\t{len(names)}\n")
+        for nm in names:
+            f.write(nm + "\n")
+        f.write("Boundary Variable Names\t0\n")
+
+        if raw.ndim == 2:
+            f.write(f"Nodes\t{2 * n}\n")
+            for z in (0.0, 1.0):
+                for p in range(n):
+                    f.write(f"{raw.coords[p, 0]:.15e}\t"
+                            f"{raw.coords[p, 1]:.15e}\t{z:.1f}\n")
+            # boundary faces: extruded marker lines -> quads
+            nb = sum(len(m) for m in raw.markers.values())
+            f.write(f"Boundary Faces\t{nb}\n")
+            for melems in raw.markers.values():
+                for row in melems:
+                    a, b = int(row[0]) + 1, int(row[1]) + 1
+                    f.write(f"1\t4\t{a}\t{b}\t{b + n}\t{a + n}\n")
+            f.write("Elements\n")
+            for k in range(raw.nelem):
+                t = int(raw.elem_types[k])
+                nd = raw.elem_nodes[k]
+                if t == 5:
+                    a, b, c = (int(x) + 1 for x in nd[:3])
+                    f.write(f"3\t1\t{a}\t{b}\t{c}\t{a + n}\t{b + n}\t{c + n}\n")
+                else:
+                    a, b, c, d = (int(x) + 1 for x in nd[:4])
+                    f.write(f"2\t1\t{a}\t{b}\t{c}\t{d}\t"
+                            f"{a + n}\t{b + n}\t{c + n}\t{d + n}\n")
+            f.write(f"Variables\n")
+            for nm in names:
+                col = np.asarray(fields[nm])
+                for _ in range(2):
+                    for p in range(n):
+                        f.write(f"{col[p]:.15e}\n")
+        else:
+            f.write(f"Nodes\t{n}\n")
+            for p in range(n):
+                f.write("\t".join(f"{raw.coords[p, d]:.15e}"
+                                  for d in range(3)) + "\n")
+            nb = sum(len(m) for m in raw.markers.values())
+            f.write(f"Boundary Faces\t{nb}\n")
+            for tag, melems in raw.markers.items():
+                mtypes = raw.marker_types[tag]
+                for k, row in enumerate(melems):
+                    nn = 3 if int(mtypes[k]) == 5 else 4
+                    nodes = "\t".join(str(int(x) + 1) for x in row[:nn])
+                    f.write(f"1\t{nn}\t{nodes}\n")
+            f.write("Elements\n")
+            fv_type = {10: (1, 4), 12: (2, 8), 13: (3, 6), 14: (4, 5)}
+            for k in range(raw.nelem):
+                t, nn = fv_type[int(raw.elem_types[k])]
+                nodes = "\t".join(str(int(x) + 1)
+                                  for x in raw.elem_nodes[k][:nn])
+                f.write(f"{t}\t1\t{nodes}\n")
+            f.write("Variables\n")
+            for nm in names:
+                col = np.asarray(fields[nm])
+                for p in range(n):
+                    f.write(f"{col[p]:.15e}\n")

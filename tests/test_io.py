@@ -33,3 +33,28 @@ def test_history_format(tmp_path):
     vals = [float(x) for x in lines[3].split(",")]
     nexpect = 13 + 5 + 2 + 3
     assert len(vals) == nexpect
+
+
+def test_fieldview_writer(tmp_path):
+    """FieldView ASCII (.uns): 2D extrusion to prisms/hexes, node counts and
+    variable blocks consistent (SetFieldViewASCII layout)."""
+    import numpy as np
+    from su2_tpu.geometry.structured import channel_mesh
+    from su2_tpu.io.output import write_fieldview_volume
+
+    raw = channel_mesh(5, 4)
+    fields = {"Density": np.linspace(1.0, 2.0, raw.npoint),
+              "Pressure": np.full(raw.npoint, 101325.0)}
+    p = tmp_path / "flow.uns"
+    write_fieldview_volume(str(p), raw, fields, mach=0.3)
+    txt = p.read_text().splitlines()
+    assert txt[0] == "FIELDVIEW 3 0"
+    assert f"Nodes\t{2 * raw.npoint}" in txt
+    assert "Variable Names\t2" in txt
+    ivars = txt.index("Variables")
+    var_lines = [t for t in txt[ivars + 1:] if t]
+    assert len(var_lines) == 2 * 2 * raw.npoint    # 2 vars x 2 layers
+    # hex elements: one per quad, 8 nodes + type/count prefix
+    elems = [t for t in txt if t.startswith("2\t1\t")]
+    assert len(elems) == raw.nelem
+    assert all(len(e.split("\t")) == 10 for e in elems)
