@@ -347,3 +347,35 @@ def test_mass_flow_inlet_converges(tmp_path):
     nodes = np.asarray(sim.grid.bnd_nodes["inlet"])
     rho_in = np.asarray(u[nodes, sim.lay.RHO])
     assert abs(rho_in.mean() - 1.3) < 0.05, rho_in.mean()
+
+
+def test_pallas_edge_kernel_transposed_matches_xla():
+    """Lanes-as-edges kernel (feature-major) bit-matches the XLA chain."""
+    import jax.numpy as jnp
+    from su2_tpu.ops import ausm
+    from su2_tpu.pallas import edge_kernels as ek
+
+    lay = Layout(2, 2)
+    rng = np.random.default_rng(3)
+    ne = 513
+    t = rng.uniform(250, 1500, ne)
+    p = rng.uniform(5e4, 3e5, ne)
+    rho = p / (287.0 * t)
+    vel = rng.normal(0, 80, (ne, 2))
+    ys = rng.dirichlet([2.0, 3.0], ne)
+    a = np.sqrt(1.3 * 287.0 * t)
+    h = 1000.0 * t + 0.5 * (vel ** 2).sum(1)
+    vr = np.concatenate([t[:, None], vel, p[:, None], rho[:, None],
+                         h[:, None], a[:, None], ys], axis=1)
+    nm = rng.normal(0, 1, (ne, 2))
+    s = rng.normal(0, 1, (ne, lay.nvar))
+    args = (lay, jnp.asarray(vr), jnp.asarray(vr[::-1].copy()),
+            jnp.asarray(nm), 0.25, jnp.asarray(s), 0.3 * jnp.asarray(s))
+    f0, ji0, jj0 = ausm.ausm_flux(*args)
+    f1, ji1, jj1 = ek.ausm_flux_jac_pallas_t(*args)
+    np.testing.assert_allclose(np.asarray(f0), np.asarray(f1),
+                               rtol=1e-10, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(ji0), np.asarray(ji1),
+                               rtol=1e-8, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(jj0), np.asarray(jj1),
+                               rtol=1e-8, atol=1e-8)
