@@ -47,10 +47,14 @@ class Simulation:
         if (dtype == jnp.float32 and ndevices is None
                 and jax.devices()[0].platform == "tpu"):
             cl.set_enthalpy_mode("pallas")
-            # NOTE: the fused pallas edge kernel (pallas/edge_kernels.py) is
-            # bit-accurate but slower than the XLA chain on v5e due to
-            # (nE, 13, 13) lane padding; it stays opt-in until the
-            # lanes-as-edges layout lands (TODO.md round 2).
+            # fused lanes-as-edges explicit edge kernel (pallas/edge_fused.py):
+            # AUSM + viscous + Stefan-Maxwell + SST closure in one pallas pass
+            from su2_tpu.pallas import edge_kernels as _ek
+            _ek.set_edge_kernel_mode(True)
+            # NOTE: the (nE, 13, 13) block kernel in pallas/edge_kernels.py
+            # (implicit path) stays opt-out: lane padding makes it slower
+            # than the XLA chain on v5e; the implicit AUSM+Jacobian path
+            # uses ausm_flux_jac_pallas_t instead.
         if cfg.reactive:
             manifest = cfg.resolve(cfg.config_lib_file)
             self.lib = cl.load_library(manifest, cfg.library_path or None, dtype)
@@ -384,19 +388,25 @@ class Simulation:
                                     sigma_k=sigma_k)
             sigma_k_edge = sigma_k[mesh.edges[:, 0]]
             dpdu_full = st.dpdu(lib, lay, v)
-            trans0 = vis.node_transport(lib, lay, v)
-            lam_v = ns.viscous_lambda(lib, mesh, lay, prm, v, trans0,
-                                      dpdu_full, turb)
-            dt, min_dt, _ = timestep.local_time_step(
-                mesh, lay, v, cfl, prm.max_dt, lam_visc=lam_v)
-            dt = timestep.apply_time_marching(
-                dt, min_dt, cfg.unsteady_simulation, cfg.unst_timestep,
-                cfg.unst_cfl_number)
-            if dual_order and not implicit_flow:
-                # pseudo time step bounded by the physical step
-                # (SetTime_Step dual-time branch, :2160-2166)
-                dt = jnp.minimum(dt, 2.0 / 3.0 * dt_phys)
+
+            def flow_dt(lam_v, lam_c=None):
+                d, mind, _ = timestep.local_time_step(
+                    mesh, lay, v, cfl, prm.max_dt, lam_visc=lam_v,
+                    lam_inv=lam_c)
+                d = timestep.apply_time_marching(
+                    d, mind, cfg.unsteady_simulation, cfg.unst_timestep,
+                    cfg.unst_cfl_number)
+                if dual_order and not implicit_flow:
+                    # pseudo time step bounded by the physical step
+                    # (SetTime_Step dual-time branch, :2160-2166)
+                    d = jnp.minimum(d, 2.0 / 3.0 * dt_phys)
+                return d, mind
+
             if implicit_flow:
+                trans0 = vis.node_transport(lib, lay, v)
+                lam_v = ns.viscous_lambda(lib, mesh, lay, prm, v, trans0,
+                                          dpdu_full, turb)
+                dt, min_dt = flow_dt(lam_v)
                 res, wall_mask, trans, grad, jac = ns.ns_assemble(
                     lib, lay, mesh, prm, bcs, v, dt, implicit=True,
                     turb=turb, omega_turb=omega_t, sigma_k_edge=sigma_k_edge)
@@ -419,9 +429,23 @@ class Simulation:
                 rms = jnp.sqrt(jnp.mean(rhs * rhs, axis=0))
                 rmax = jnp.abs(rhs).max(axis=0)
             else:
-                res, wall_mask, trans, grad = ns.ns_assemble(
+                res, wall_mask, trans, grad, lams = ns.ns_assemble(
                     lib, lay, mesh, prm, bcs, v, turb=turb,
-                    omega_turb=omega_t, sigma_k_edge=sigma_k_edge)
+                    omega_turb=omega_t, sigma_k_edge=sigma_k_edge,
+                    want_lambdas=True)
+                if lams is not None:
+                    # fused edge kernel returned the interior spectral-radius
+                    # sums for free; add the boundary-vertex terms
+                    lam_c = timestep.boundary_lambda_inv(
+                        mesh, lay, v, lams[0])
+                    lam_v = ns.viscous_lambda_boundary(
+                        lib, mesh, lay, prm, v, trans, dpdu_full, turb,
+                        lams[1])
+                else:
+                    lam_c = None
+                    lam_v = ns.viscous_lambda(lib, mesh, lay, prm, v, trans,
+                                              dpdu_full, turb)
+                dt, min_dt = flow_dt(lam_v, lam_c)
                 if dual_order:
                     res, _ = ns.add_dual_time(
                         lay, mesh, res, None, u, u_n, u_nm1, dt_phys, dual_order)

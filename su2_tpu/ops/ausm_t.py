@@ -31,10 +31,12 @@ def _add_rows(x, start, vals):
     return _cat0([x[:start], x[start:start + w] + vals, x[start + w:]])
 
 
-def ausm_flux_t(lay: Layout, v_i, v_j, normal, m_infty: float, s_i, s_j):
-    """v_*: (nPrim, E); normal: (d, E); s_*: (nVar, E).
+def ausm_flux_t(lay: Layout, v_i, v_j, normal, m_infty: float,
+                s_i=None, s_j=None):
+    """v_*: (nPrim, E); normal: (d, E); s_*: (nVar, E) dP/dU rows.
 
-    Returns res (nVar, E), jac_i, jac_j (nVar, nVar, E).
+    With s_i/s_j: returns (res (nVar, E), jac_i, jac_j (nVar, nVar, E));
+    without: returns res only (explicit path).
     """
     nd, ns, nvar = lay.ndim, lay.ns, lay.nvar
     area = jnp.sqrt(jnp.sum(normal * normal, axis=0))
@@ -84,6 +86,9 @@ def ausm_flux_t(lay: Layout, v_i, v_j, normal, m_infty: float, s_i, s_j):
     p_lf = p_lp * p_i + p_rm * p_j \
         - KU * p_lp * p_rm * (rho_i + rho_j) * fa * a_mean * (proj_j - proj_i)
     res = _add_rows(res, lay.RHOVX, (p_lf * area) * unit)
+
+    if s_i is None:
+        return res
 
     # ------------------------------------------------------------ Jacobians
     zer = jnp.zeros((nvar,) + rho_i.shape, dtype=v_i.dtype)

@@ -1,0 +1,109 @@
+"""Boundary (small static index set) gather/scatter as one-hot matmuls.
+
+XLA's TPU gather emitter scalarizes small row gathers/scatters from arrays
+whose chosen layout is feature-major: `v[nodes]` with a ~100-entry marker
+node list lowers to a while loop of per-row dynamic-slices — ~5 ops *per
+boundary vertex* each paying multi-microsecond dispatch gaps.  On the
+shipped 9k-cell case these loops account for several ms of a ~20 ms step.
+
+Since marker node lists are STATIC (host-side numpy, fixed per mesh), the
+selection matrix onehot(idx) is a trace-time constant pattern and the gather
+becomes one MXU matmul:
+
+    rows(x, idx)            = onehot(idx, n) @ x           (nb, w)
+    add_rows(dest, idx, y)  = dest + onehot(idx, n).T @ y  (n, w)
+
+Exactness: with ``precision=HIGHEST`` (bf16x6 passes on TPU) a product
+against a selector in {0, 1} reconstructs the f32 operand exactly, and all
+other terms are exactly zero, so the contraction is bit-equal to direct
+indexing; on CPU f64 the matmul is exact for the same reason (one nonzero
+per row).  Duplicate indices in ``add_rows`` sum, matching ``.at[].add``.
+
+Reference semantics: per-marker vertex loops, e.g. BC loops in
+SU2_CFD/src/solver_direct_reactive.cpp:2881-4129.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+# Above this many indices the one-hot contraction's nb*n FLOP cost stops
+# being trivially cheap and XLA's native gather vectorizes anyway.
+MAX_ONEHOT = 4096
+
+
+def _static_idx(idx):
+    """Return idx as a host numpy array if it is trace-time static."""
+    if isinstance(idx, np.ndarray):
+        return idx
+    if isinstance(idx, jax.Array) and not isinstance(
+            idx, jax.core.Tracer):
+        return np.asarray(idx)
+    return None
+
+
+def _onehot(idx, n, dtype):
+    cols = jax.lax.broadcasted_iota(jnp.int32, (idx.shape[0], n), 1)
+    return (cols == jnp.asarray(idx, jnp.int32)[:, None]).astype(dtype)
+
+
+def rows(x: jax.Array, idx) -> jax.Array:
+    """x[idx] for float x of shape (n, ...) with a small static idx."""
+    sidx = _static_idx(idx)
+    if (sidx is None or sidx.size == 0 or sidx.size > MAX_ONEHOT
+            or x.ndim == 0 or not jnp.issubdtype(x.dtype, jnp.floating)):
+        return x[idx]
+    n = x.shape[0]
+    xf = x.reshape(n, -1)
+    out = jnp.dot(_onehot(sidx, n, x.dtype), xf,
+                  precision=jax.lax.Precision.HIGHEST)
+    return out.reshape(sidx.shape + x.shape[1:])
+
+
+def add_rows(dest: jax.Array, idx, vals: jax.Array) -> jax.Array:
+    """dest.at[idx].add(vals) for float dest (n, ...), small static idx."""
+    sidx = _static_idx(idx)
+    if (sidx is None or sidx.size == 0 or sidx.size > MAX_ONEHOT
+            or not jnp.issubdtype(dest.dtype, jnp.floating)):
+        return dest.at[idx].add(vals)
+    n = dest.shape[0]
+    vf = vals.reshape(sidx.size, -1).astype(dest.dtype)
+    upd = jnp.dot(_onehot(sidx, n, dest.dtype).T, vf,
+                  precision=jax.lax.Precision.HIGHEST)
+    return dest + upd.reshape(dest.shape)
+
+
+def set_col_rows(dest: jax.Array, idx, col: int, vals: jax.Array) -> jax.Array:
+    """dest.at[idx, col].set(vals) for float dest (n, k), small static idx
+    (unique indices)."""
+    sidx = _static_idx(idx)
+    if (sidx is None or sidx.size == 0 or sidx.size > MAX_ONEHOT
+            or not jnp.issubdtype(dest.dtype, jnp.floating)):
+        return dest.at[idx, col].set(vals)
+    n = dest.shape[0]
+    full = jnp.dot(_onehot(sidx, n, dest.dtype).T,
+                   vals.astype(dest.dtype)[:, None],
+                   precision=jax.lax.Precision.HIGHEST)[:, 0]
+    mask = np.zeros((n,), bool)
+    mask[sidx] = True
+    return dest.at[:, col].set(jnp.where(jnp.asarray(mask), full,
+                                         dest[:, col]))
+
+
+def set_rows(dest: jax.Array, idx, vals: jax.Array) -> jax.Array:
+    """dest.at[idx].set(vals): zero the selected rows, then add.
+
+    Requires unique idx (true for marker vertex lists)."""
+    sidx = _static_idx(idx)
+    if (sidx is None or sidx.size == 0 or sidx.size > MAX_ONEHOT
+            or not jnp.issubdtype(dest.dtype, jnp.floating)):
+        return dest.at[idx].set(vals)
+    n = dest.shape[0]
+    mask = np.zeros((n,), bool)
+    mask[sidx] = True
+    keep = jnp.where(jnp.asarray(mask.reshape((n,) + (1,) * (dest.ndim - 1))),
+                     jnp.zeros_like(dest), dest)
+    return add_rows(keep, sidx, vals)

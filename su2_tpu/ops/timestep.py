@@ -12,8 +12,22 @@ import jax.numpy as jnp
 
 from su2_tpu.geometry.mesh_data import MeshArrays
 from su2_tpu.state import Layout
+from su2_tpu.ops import bgather as bg
 
 EPS = 1e-16
+
+
+def boundary_lambda_inv(mesh: MeshArrays, lay: Layout, v: jnp.ndarray,
+                        lam: jnp.ndarray) -> jnp.ndarray:
+    """Add the boundary-vertex inviscid spectral radii to lam."""
+    vel = v[:, lay.VX:lay.VX + lay.ndim]
+    a = v[:, lay.A]
+    for tag, (nodes, normal) in mesh.markers.items():
+        area = jnp.linalg.norm(normal, axis=1)
+        proj = jnp.sum(bg.rows(vel, nodes) * normal, axis=1)
+        lam_b = (jnp.abs(proj) + bg.rows(a, nodes)) * area
+        lam = bg.add_rows(lam, nodes, lam_b)
+    return lam
 
 
 def max_lambda_inv(mesh: MeshArrays, lay: Layout, v: jnp.ndarray) -> jnp.ndarray:
@@ -29,25 +43,21 @@ def max_lambda_inv(mesh: MeshArrays, lay: Layout, v: jnp.ndarray) -> jnp.ndarray
     lam_e = (jnp.abs(mean_proj) + mean_a) * mesh.edge_area
 
     lam = mesh.sum_edges_abs(lam_e)
-
-    # boundary vertices
-    for tag, (nodes, normal) in mesh.markers.items():
-        area = jnp.linalg.norm(normal, axis=1)
-        proj = jnp.sum(vel[nodes] * normal, axis=1)
-        lam_b = (jnp.abs(proj) + a[nodes]) * area
-        lam = lam.at[nodes].add(lam_b)
-    return lam
+    return boundary_lambda_inv(mesh, lay, v, lam)
 
 
 def local_time_step(mesh: MeshArrays, lay: Layout, v: jnp.ndarray,
                     cfl: float, max_dt: float = 1e6,
-                    lam_visc: jnp.ndarray | None = None, k_v: float = 0.25):
+                    lam_visc: jnp.ndarray | None = None, k_v: float = 0.25,
+                    lam_inv: jnp.ndarray | None = None):
     """Per-node dt = CFL*Vol/lambda_inv with the reference's guards; with a
     viscous spectral radius, dt = min(dt_inv, CFL*K_v*Vol^2/lambda_visc)
     (NS SetTime_Step, solver_direct_reactive.cpp:5216-5220).
+    lam_inv: precomputed inviscid spectral radius (the fused pallas edge
+    kernel returns it alongside the flux); computed here when absent.
     Returns (dt, min_dt, max_dt_seen).
     """
-    lam = max_lambda_inv(mesh, lay, v)
+    lam = max_lambda_inv(mesh, lay, v) if lam_inv is None else lam_inv
     vol_ok = mesh.volume > EPS
     dt = jnp.where(vol_ok, cfl * mesh.volume / jnp.where(lam > 0, lam, 1.0), 0.0)
     if lam_visc is not None:

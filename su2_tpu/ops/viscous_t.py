@@ -1,0 +1,257 @@
+"""Feature-major (lanes-as-edges) viscous flux for the explicit path.
+
+Same math as ops/viscous.py::viscous_flux (CAvgGradReactive_Flow,
+reference: SU2_CFD/src/numerics_direct_reactive.cpp:1425-1684) with every
+array transposed to (features, edges): inside a Pallas TPU kernel the
+trailing edge axis maps onto vector lanes, and the whole chain — harmonic
+transport means, Fuller binary diffusion, corrected mean gradient,
+Stefan-Maxwell solve, SST closure — runs as one kernel with every
+intermediate in VMEM.  ops/viscous.py stays the XLA-path source of truth;
+tests pin the two to agreement.
+
+Only the residual (no Jacobians) is computed: this path serves the explicit
+flow update of the shipped PaSR combustor; the implicit path keeps the
+edge-major XLA chain.
+
+Pallas kernels may not capture non-scalar constants, so the static species
+matrices arrive as a SpeciesConsts bundle of (tiny) array inputs; masks and
+identities are built in-kernel from broadcasted_iota.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from su2_tpu.state import Layout
+
+TWO3 = 2.0 / 3.0
+
+
+@dataclass(frozen=True)
+class SpeciesConsts:
+    """Static per-species constant arrays fed to the fused kernel.
+
+    mm_col:  (S, 1) molar masses
+    sm_den:  (S, S) Fuller denominator Mij*(vi^(1/3)+vj^(1/3))^2
+    mm_sum:  float  sum of molar masses (static)
+    """
+    mm_col: jax.Array
+    sm_den: jax.Array
+    mm_sum: float
+
+
+jax.tree_util.register_dataclass(
+    SpeciesConsts, data_fields=["mm_col", "sm_den"], meta_fields=["mm_sum"])
+
+
+def species_consts(mm: np.ndarray, diff_vol: np.ndarray,
+                   dtype) -> SpeciesConsts:
+    mm = np.asarray(mm, dtype=np.float64)
+    dv = np.asarray(diff_vol, dtype=np.float64)
+    mij = np.sqrt(mm[:, None] * mm[None, :] / (mm[:, None] + mm[None, :]))
+    cbr = np.cbrt(dv)
+    den = mij * (cbr[:, None] + cbr[None, :]) ** 2
+    return SpeciesConsts(
+        mm_col=jnp.asarray(mm[:, None], dtype=dtype),
+        sm_den=jnp.asarray(den, dtype=dtype),
+        mm_sum=float(mm.sum()))
+
+
+def _eye(n, dtype):
+    r = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    return (r == c).astype(dtype)
+
+
+def gauss_solve_t(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Pivot-free Gauss-Jordan for trailing-batch layout.
+
+    a: (n, n, E); b: (n, k, E).  Returns (n, k, E).  Mirrors
+    linalg.smallsolve.gauss_solve(pivot=False) (same operation order) so
+    results agree with the edge-major path to rounding.
+    """
+    n = a.shape[0]
+    aug = jnp.concatenate([a, b], axis=1)          # (n, n+k, E)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1, 1), 0)
+    for col in range(n):
+        pivval = aug[col, col][None]                # (1, E)
+        safe = jnp.where(pivval == 0.0, 1.0, pivval)
+        prow = aug[col] / safe                      # (n+k, E)
+        factors = aug[:, col][:, None]              # (n, 1, E)
+        # single select (no .at[].set: scatter has no Mosaic lowering)
+        aug = jnp.where(rows == col, prow[None], aug - factors * prow[None])
+    return aug[:, n:]
+
+
+def _clip_ys_t(ys):
+    """clip_mass_fractions ((S, E)): only negatives are floored
+    (SetMassFractions, reacting_model_library.cpp:70-75)."""
+    return jnp.where(ys < 0.0, 1.0e-30, ys)
+
+
+def _molar_from_mass_t(mm_col, ys):
+    ysc = _clip_ys_t(ys)
+    xs = ysc / mm_col
+    return xs * (ysc.sum(0, keepdims=True) / xs.sum(0, keepdims=True))
+
+
+def _binary_diffusion_t(sm_den, t, p_atm):
+    """Fuller D_ij (GetDij_SM, reacting_model_library.cpp:751-766), (S,S,E),
+    in cm^2/s like the library; the caller converts to m^2/s."""
+    return 1.0e-3 * t[None, None, :] ** 1.75 / (p_atm[None, None, :]
+                                                * sm_den[:, :, None])
+
+
+def _stefan_maxwell_gamma_t(mm_col, rho, xs, ys, dij):
+    """GetGamma (reacting_model_library.cpp:771-798), (S, S, E)."""
+    s = mm_col.shape[0]
+    eye = _eye(s, xs.dtype)
+    sigma = ys.sum(0)
+    mtot = 1.0 / (ys / mm_col).sum(0)
+    pref = (sigma * mtot / rho)[None, None]             # (1, 1, E)
+    mm_row = jnp.swapaxes(mm_col, 0, 1)                 # (1, S)
+    inv_d = 1.0 / dij
+    off = -pref * xs[:, None, :] / (mm_row[:, :, None] * dij)
+    # middle-axis reductions on 3D arrays crash the Mosaic compiler —
+    # unroll the tiny species axis into 2D row ops
+    sum_terms = sum(inv_d[:, k] * ((1.0 - eye)[:, k])[:, None] * xs[k][None]
+                    for k in range(s))
+    diag = pref[0] * sum_terms / mm_col
+    return off * (1.0 - eye)[:, :, None] + eye[:, :, None] * diag[:, None, :]
+
+
+def _molar2mass_operator_t(mm_col, mm_sum, ys, xs):
+    """Get_Molar2MassGrad_Operator (numerics_direct_reactive.cpp:855-880)."""
+    s = mm_col.shape[0]
+    eye = _eye(s, xs.dtype)
+    sigma = xs.sum(0)
+    mm_row = jnp.swapaxes(mm_col, 0, 1)                 # (1, S)
+    diag = mm_sum / mm_col * (ys - xs + sigma[None])    # (S, E)
+    # off[s, k] = mtot*(ys[s]/mm[s] - xs[s]/mm[k])
+    off = mm_sum * (ys[:, None, :] / mm_col[:, :, None]
+                    - xs[:, None, :] / mm_row[:, :, None])
+    return eye[:, :, None] * diag[:, None, :] + (1.0 - eye)[:, :, None] * off
+
+
+def viscous_flux_t(lay: Layout, sc: SpeciesConsts,
+                   v_i, v_j, g_i, g_j, normal, evec,
+                   mu_i, mu_j, ka_i, ka_j,
+                   mu_t_i, mu_t_j, tke_i, tke_j, gk_i, gk_j, sigma_k,
+                   h_s, cp_s,
+                   prandtl_turb: float, lewis_turb: float):
+    """Projected viscous flux, corrected interior variant with SST closure.
+
+    All arrays feature-major with trailing edge axis E:
+      v_*: (nPrim, E) primitives; g_*: (1+nd+ns, d, E) gradients of the
+      AVGGRAD set [T, u.., X..] (pressure row already dropped);
+      normal: (d, E) area normal; evec: (d, E) = coord_j - coord_i;
+      mu/ka/mu_t/tke: (E,); gk_*: (d, E) TKE gradients; sigma_k: (E,);
+      h_s/cp_s: (S, E) species mass-specific enthalpy/cp at Tmean.
+
+    Returns flux (nVar, E) with the reference's Proj_Flux_Tensor sign
+    (caller subtracts at node i, adds at j).
+    """
+    nd, ns = lay.ndim, lay.ns
+    mm_col = sc.mm_col
+
+    def harm(a, b):
+        return 2.0 / (1.0 / a + 1.0 / b)
+
+    mu = harm(mu_i, mu_j)
+    ktr = harm(ka_i, ka_j)
+
+    # Fuller Dij per side from node T, P (node_transport: P in atm, cm^2/s
+    # -> m^2/s), then the harmonic face mean
+    def dij_of(vrow):
+        return _binary_diffusion_t(
+            sc.sm_den, vrow[lay.T], vrow[lay.P] / 101325.0) / 1.0e4
+
+    dij = harm(dij_of(v_i), dij_of(v_j))
+
+    vmean = 0.5 * (v_i + v_j)
+    rho = vmean[lay.PRHO]
+    ys = vmean[lay.YS:lay.YS + ns]
+    ysc = _clip_ys_t(ys)
+    xs = _molar_from_mass_t(mm_col, ys)
+
+    gmean = 0.5 * (g_i + g_j)                                  # (G, d, E)
+
+    # edge-projection correction (CAvgGradReactive_Flow, :1507-1527)
+    dist2 = jnp.sum(evec * evec, axis=0)
+    xs_i = _molar_from_mass_t(mm_col, v_i[lay.YS:lay.YS + ns])
+    xs_j = _molar_from_mass_t(mm_col, v_j[lay.YS:lay.YS + ns])
+    diff = jnp.concatenate([
+        (v_j[lay.T] - v_i[lay.T])[None],
+        v_j[lay.VX:lay.VX + nd] - v_i[lay.VX:lay.VX + nd],
+        xs_j - xs_i], axis=0)                                  # (G, E)
+    proj = sum(gmean[:, d] * evec[d][None] for d in range(nd))
+    gmean = gmean - ((proj - diff) / dist2[None])[:, None, :] * evec[None]
+
+    g_t = gmean[0]                                             # (d, E)
+    g_vel = gmean[1:1 + nd]                                    # (nd, d, E)
+    g_xs = gmean[1 + nd:]                                      # (ns, d, E)
+
+    div_vel = sum(g_vel[d, d] for d in range(nd))
+    eye_d = _eye(nd, v_i.dtype)
+    tau = mu[None, None] * (g_vel + jnp.swapaxes(g_vel, 0, 1)) \
+        - (TWO3 * mu * div_vel)[None, None] * eye_d[:, :, None]
+
+    vel = vmean[lay.VX:lay.VX + nd]
+
+    # Stefan-Maxwell diffusion flux from the normal-projected X gradient
+    grad_xs_norm = sum(g_xs[:, d] * normal[d][None] for d in range(nd))
+    gamma = _stefan_maxwell_gamma_t(mm_col, rho, xs, ysc, dij)
+    dij_max = dij[0, 0]
+    for a_ in range(ns):
+        for b_ in range(ns):
+            if a_ or b_:
+                dij_max = jnp.maximum(dij_max, dij[a_, b_])
+    alpha = 1.0 / (rho * dij_max)
+    gt = gamma + (alpha * ysc)[:, None, :]
+    jd = gauss_solve_t(gt, -grad_xs_norm[:, None, :])[:, 0, :]   # (S, E)
+    def _rowsum(x):
+        # (S, E) -> (E,) without reduce_sum (axis-0 reduces inside the fused
+        # kernel crash the Mosaic compiler in some contexts)
+        return sum(x[k] for k in range(x.shape[0]))
+
+    e_heat = -_rowsum(h_s * jd)
+
+    mom = jnp.concatenate(
+        [sum(tau[i_, j_] * normal[i_] for i_ in range(nd))[None]
+         for j_ in range(nd)], axis=0)
+    e_tau = sum(tau[i_, j_] * vel[j_] * normal[i_]
+                for i_ in range(nd) for j_ in range(nd))
+    e_cond = ktr * sum(g_t[d] * normal[d] for d in range(nd))
+
+    # ---- SST closure (SST_Reactive_ResidualClosure, :656-889) ----
+    mu_t = harm(mu_t_i, mu_t_j)
+    tke = 0.5 * (tke_i + tke_j)
+    g_k = 0.5 * (gk_i + gk_j)
+    tau_t = mu_t[None, None] * (g_vel + jnp.swapaxes(g_vel, 0, 1)) \
+        - (TWO3 * (mu_t * div_vel + tke * rho))[None, None] * eye_d[:, :, None]
+    mom = mom + jnp.concatenate(
+        [sum(tau_t[i_, j_] * normal[i_] for i_ in range(nd))[None]
+         for j_ in range(nd)], axis=0)
+    e_tau = e_tau + sum(tau_t[i_, j_] * vel[j_] * normal[i_]
+                        for i_ in range(nd) for j_ in range(nd))
+    m_tilde = _molar2mass_operator_t(mm_col, sc.mm_sum, ysc, xs)
+    gy = gauss_solve_t(m_tilde, g_xs)                           # (S, d, E)
+    gy = jnp.where(jnp.abs(g_xs) < 1e-8, 0.0, gy)
+    cmt = mu_t / (prandtl_turb * lewis_turb)
+    gy_n = sum(gy[:, d] * normal[d][None] for d in range(nd))   # (S, E)
+    e_heat = e_heat + cmt * _rowsum(h_s * ysc * gy_n)
+    e_cond = e_cond + (mu_t / prandtl_turb) * _rowsum(cp_s * ysc) \
+        * sum(g_t[d] * normal[d] for d in range(nd))
+    e_cond = e_cond + (mu + mu_t / sigma_k) * sum(
+        g_k[d] * normal[d] for d in range(nd))
+
+    # assemble rows in the U layout [rho, rho u.., rho E, rho_s..] by
+    # concatenation (.at[].set on integer rows lowers to scatter, which has
+    # no Mosaic lowering)
+    return jnp.concatenate([
+        (-_rowsum(jd))[None], mom, (e_tau + e_cond + e_heat)[None],
+        -jd + cmt[None] * gy_n], axis=0)

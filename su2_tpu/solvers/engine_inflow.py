@@ -35,6 +35,7 @@ from su2_tpu.chemistry import library as cl
 from su2_tpu.chemistry.library import ChemLib
 from su2_tpu.linalg.smallsolve import gauss_solve
 from su2_tpu.state import Layout
+from su2_tpu.ops import bgather as bg
 
 N_OUTER = 10     # maxIter (:6053)
 N_NEWTON = 15    # maxSubIter for the mass-fraction system (:6059)
@@ -81,7 +82,7 @@ def engine_inflow_state(lib: ChemLib, lay: Layout, bc, v, coords,
 
     area = jnp.linalg.norm(bc.normal, axis=1)
     unit = -bc.normal / area[:, None]                       # (:6028-6030)
-    dco = jnp.abs(coords[nn] - coords[nodes])               # (V, d)
+    dco = jnp.abs(bg.rows(coords, nn) - bg.rows(coords, nodes))               # (V, d)
     # one-sided gradient geometric factor with zero-offset guard
     gfac = jnp.sum(jnp.where(dco > 1e-300, unit / jnp.where(dco > 0, dco, 1.0),
                              0.0), axis=1)                  # (V,)

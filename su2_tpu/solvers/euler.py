@@ -26,6 +26,7 @@ from su2_tpu.io.mesh import read_su2_mesh
 from su2_tpu.ops import ausm, gradients, limiters, timestep
 from su2_tpu import state as st
 from su2_tpu.state import Layout, TSolveParams
+from su2_tpu.ops import bgather as bg
 
 EPS = 1e-16
 
@@ -138,9 +139,9 @@ def euler_wall_residual(lib, lay, bc: BCMarker, v, turb_ke=None):
     nodes = bc.nodes
     area = jnp.linalg.norm(bc.normal, axis=1)
     unit = -bc.normal / area[:, None]                     # outward
-    p = v[nodes, lay.P]
-    rho = v[nodes, lay.PRHO]
-    tke = turb_ke[nodes] if turb_ke is not None else 0.0
+    p = bg.rows(v, nodes)[:, lay.P]
+    rho = bg.rows(v, nodes)[:, lay.PRHO]
+    tke = bg.rows(turb_ke, nodes) if turb_ke is not None else 0.0
     coeff = (p + 2.0 / 3.0 * rho * tke) * area
     res = jnp.zeros((nodes.shape[0], lay.nvar), dtype=v.dtype)
     res = res.at[:, lay.RHOVX:lay.RHOVX + lay.ndim].set(coeff[:, None] * unit)
@@ -154,7 +155,7 @@ def inlet_state(lib, lay, bc: BCMarker, v, dpdu_e, tke_inf):
     nd = lay.ndim
     area = jnp.linalg.norm(bc.normal, axis=1)
     unit = -bc.normal / area[:, None]                     # outward
-    vd = v[nodes]
+    vd = bg.rows(v, nodes)
     ys = jnp.broadcast_to(bc.params["ys"], (nodes.shape[0], lay.ns))
     fdir = bc.params["flow_dir"]
 
@@ -189,7 +190,7 @@ def inlet_state(lib, lay, bc: BCMarker, v, dpdu_e, tke_inf):
         vel_d = vd[:, lay.VX:lay.VX + nd]
         vn = jnp.sum(vel_d * unit, axis=1)
         a_d = vd[:, lay.A]
-        gamma_node = dpdu_e[nodes] + 1.0                   # dPdU[rhoE] + 1
+        gamma_node = bg.rows(dpdu_e, nodes) + 1.0                   # dPdU[rhoE] + 1
         gamma_tot = cl.frozen_gamma_sound(
             lib, jnp.full_like(area, ttot), ys)[0]
         gamma = 2.0 / (1.0 / gamma_node + 1.0 / gamma_tot)
@@ -262,12 +263,12 @@ def outlet_state(lib, lay, bc: BCMarker, v, dpdu_e, tke_inf):
     nd = lay.ndim
     area = jnp.linalg.norm(bc.normal, axis=1)
     unit = -bc.normal / area[:, None]
-    vd = v[nodes]
+    vd = bg.rows(v, nodes)
     rho_d = vd[:, lay.PRHO]
     p_d = vd[:, lay.P]
     vel_d = vd[:, lay.VX:lay.VX + nd]
     vel2_d = jnp.sum(vel_d * vel_d, axis=1)
-    gamma = dpdu_e[nodes] + 1.0
+    gamma = bg.rows(dpdu_e, nodes) + 1.0
     a_d = jnp.sqrt(gamma * p_d / rho_d)
     mach = jnp.sqrt(vel2_d) / a_d
     supersonic = mach >= 1.0
@@ -318,8 +319,8 @@ def far_field_state(lib, lay, bc: BCMarker, v, dpdu_e):
     nd = lay.ndim
     area = jnp.linalg.norm(bc.normal, axis=1)
     unit = -bc.normal / area[:, None]                 # outward
-    vd = v[nodes]
-    gamma = dpdu_e[nodes] + 1.0
+    vd = bg.rows(v, nodes)
+    gamma = bg.rows(dpdu_e, nodes) + 1.0
     gm1 = gamma - 1.0
 
     rho_d = vd[:, lay.PRHO]
@@ -526,12 +527,12 @@ def bc_residuals(lib, lay, mesh, prm, bcs, v, dpdu_full, turb_ke=None):
     for bc in bcs:
         if bc.kind == "euler_wall":
             r = euler_wall_residual(lib, lay, bc, v, turb_ke)
-            res = res.at[bc.nodes].add(r)
+            res = bg.add_rows(res, bc.nodes, r)
             continue
         if bc.kind in ("isothermal_wall", "heatflux_wall"):
             # inviscid contribution of no-slip walls = weak pressure wall
             r = euler_wall_residual(lib, lay, bc, v, turb_ke)
-            res = res.at[bc.nodes].add(r)
+            res = bg.add_rows(res, bc.nodes, r)
             continue
         # flux BCs: AUSM between domain and ghost state over -vertex normal
         if bc.kind == "inlet":
@@ -541,16 +542,16 @@ def bc_residuals(lib, lay, mesh, prm, bcs, v, dpdu_full, turb_ke=None):
         elif bc.kind == "supersonic_inlet":
             v_ghost, gamma, vel2 = supersonic_inlet_state(lib, lay, bc, v, prm.tke_inf)
         elif bc.kind == "supersonic_outlet":
-            v_ghost = v[bc.nodes]
-            gamma = dpdu_e[bc.nodes] + 1.0
+            v_ghost = bg.rows(v, bc.nodes)
+            gamma = bg.rows(dpdu_e, bc.nodes) + 1.0
             vel_d = v_ghost[:, lay.VX:lay.VX + lay.ndim]
             vel2 = jnp.sum(vel_d * vel_d, axis=1)
         elif bc.kind == "far_field":
             v_ghost, gamma, vel2 = far_field_state(lib, lay, bc, v, dpdu_e)
         else:
             raise NotImplementedError(f"BC kind {bc.kind}")
-        flux = ausm.ausm_flux(lay, v[bc.nodes], v_ghost, -bc.normal, prm.m_infty)
-        res = res.at[bc.nodes].add(flux)
+        flux = ausm.ausm_flux(lay, bg.rows(v, bc.nodes), v_ghost, -bc.normal, prm.m_infty)
+        res = bg.add_rows(res, bc.nodes, flux)
     return res
 
 
@@ -607,7 +608,7 @@ def convective_system(lib, lay, mesh, prm, v, grad, lim, dpdu_full):
         s_i, s_j = dpdu_full[i], dpdu_full[j]
     from su2_tpu.pallas import edge_kernels as ek
     if ek.use_pallas():
-        flux, jac_i, jac_j = ek.ausm_flux_jac_pallas(
+        flux, jac_i, jac_j = ek.ausm_flux_jac_pallas_t(
             lay, v_i, v_j, mesh.edge_normal, prm.m_infty, s_i, s_j)
     else:
         flux, jac_i, jac_j = ausm.ausm_flux(
@@ -633,7 +634,7 @@ def euler_wall_jacobian(lib, lay, bc, v, dpdu_full):
     area = jnp.linalg.norm(bc.normal, axis=1)
     unit = -bc.normal / area[:, None]
     jac = jnp.zeros((nodes.shape[0], lay.nvar, lay.nvar), dtype=v.dtype)
-    contrib = (unit * area[:, None])[:, :, None] * dpdu_full[nodes][:, None, :]
+    contrib = (unit * area[:, None])[:, :, None] * bg.rows(dpdu_full, nodes)[:, None, :]
     jac = jac.at[:, lay.RHOVX:lay.RHOVX + lay.ndim, :].set(contrib)
     return jac
 
@@ -647,8 +648,8 @@ def bc_system(lib, lay, mesh, prm, bcs, v, dpdu_full, turb_ke=None):
     for bc in bcs:
         if bc.kind in ("euler_wall", "isothermal_wall", "heatflux_wall"):
             r = euler_wall_residual(lib, lay, bc, v, turb_ke)
-            res = res.at[bc.nodes].add(r)
-            diag = diag.at[bc.nodes].add(
+            res = bg.add_rows(res, bc.nodes, r)
+            diag = bg.add_rows(diag, bc.nodes, 
                 euler_wall_jacobian(lib, lay, bc, v, dpdu_full))
             continue
         if bc.kind == "inlet":
@@ -658,8 +659,8 @@ def bc_system(lib, lay, mesh, prm, bcs, v, dpdu_full, turb_ke=None):
         elif bc.kind == "supersonic_inlet":
             v_ghost, gamma, vel2 = supersonic_inlet_state(lib, lay, bc, v, prm.tke_inf)
         elif bc.kind == "supersonic_outlet":
-            v_ghost = v[bc.nodes]
-            gamma = dpdu_e[bc.nodes] + 1.0
+            v_ghost = bg.rows(v, bc.nodes)
+            gamma = bg.rows(dpdu_e, bc.nodes) + 1.0
             vel_d = v_ghost[:, lay.VX:lay.VX + lay.ndim]
             vel2 = jnp.sum(vel_d * vel_d, axis=1)
         elif bc.kind == "far_field":
@@ -668,10 +669,10 @@ def bc_system(lib, lay, mesh, prm, bcs, v, dpdu_full, turb_ke=None):
             raise NotImplementedError(f"BC kind {bc.kind}")
         s_ghost = ghost_dpdu(lib, lay, v_ghost, gamma, vel2)
         flux, jac_i, _ = ausm.ausm_flux(
-            lay, v[bc.nodes], v_ghost, -bc.normal, prm.m_infty,
-            dpdu_full[bc.nodes], s_ghost)
-        res = res.at[bc.nodes].add(flux)
-        diag = diag.at[bc.nodes].add(jac_i)
+            lay, bg.rows(v, bc.nodes), v_ghost, -bc.normal, prm.m_infty,
+            bg.rows(dpdu_full, bc.nodes), s_ghost)
+        res = bg.add_rows(res, bc.nodes, flux)
+        diag = bg.add_rows(diag, bc.nodes, jac_i)
     return res, diag
 
 

@@ -21,6 +21,7 @@ from su2_tpu.ops.viscous import Transport, TurbFlowData
 from su2_tpu.solvers import euler as es
 from su2_tpu import state as st
 from su2_tpu.state import Layout
+from su2_tpu.ops import bgather as bg
 
 EPS = 1e-16
 K_V = 0.25   # viscous CFL coefficient (SU2 K_v)
@@ -46,27 +47,42 @@ def _turb_rows(turb: TurbFlowData | None, idx):
             "grad_tke": turb.grad_tke[idx]}
 
 
+def _visc_lam12(prm: NSParams, turb_on: bool, mu, kappa, mut, gam, cv):
+    """RANS: lam1 = 4/3 (mu + mu_t), lam2 = (1 + Pr_l/Pr_t mu_t/mu) gamma
+    mu/Pr_l; laminar: lam1 = 4/3 mu, lam2 = kappa/Cv with Cv := Cp/gamma (the
+    reference's Mean_CV uses Cp/(dPdU[rhoE]+1))."""
+    if turb_on:
+        lam1 = 4.0 / 3.0 * (mu + mut)
+        lam2 = (1.0 + (prm.prandtl_lam / prm.prandtl_turb) * (mut / mu)) \
+            * (gam * mu / prm.prandtl_lam)
+    else:
+        lam1 = 4.0 / 3.0 * mu
+        lam2 = kappa / cv
+    return lam1 + lam2
+
+
+def viscous_lambda_boundary(lib: ChemLib, mesh: MeshArrays, lay: Layout,
+                            prm: NSParams, v, trans, dpdu_full,
+                            turb: TurbFlowData | None, lam):
+    """Add boundary-vertex viscous spectral radii to lam (:5188-5214)."""
+    gamma = dpdu_full[:, lay.RHOE] + 1.0
+    cpg = cl.mixture_cp(lib, v[:, lay.T], v[:, lay.YS:lay.YS + lay.ns]) / gamma
+    for tag, (nodes, normal) in mesh.markers.items():
+        a = jnp.linalg.norm(normal, axis=1)
+        mut_b = bg.rows(turb.mu_t, nodes) if turb is not None else None
+        lam_b = _visc_lam12(prm, turb is not None, bg.rows(trans.mu, nodes),
+                            bg.rows(trans.kappa, nodes), mut_b, bg.rows(gamma, nodes),
+                            bg.rows(cpg, nodes)) * a * a / bg.rows(v, nodes)[:, lay.PRHO]
+        lam = bg.add_rows(lam, nodes, lam_b)
+    return lam
+
+
 def viscous_lambda(lib: ChemLib, mesh: MeshArrays, lay: Layout, prm: NSParams,
                    v, trans, dpdu_full, turb: TurbFlowData | None):
     """Accumulated viscous spectral radius (SetTime_Step NS branch,
-    solver_direct_reactive.cpp:5132-5152).
-
-    RANS: lam1 = 4/3 (mu + mu_t), lam2 = (1 + Pr_l/Pr_t mu_t/mu) gamma mu/Pr_l
-    laminar: lam1 = 4/3 mu, lam2 = kappa/Cv with Cv := Cp/gamma (the
-    reference's Mean_CV uses Cp/(dPdU[rhoE]+1)).
-    """
+    solver_direct_reactive.cpp:5132-5152)."""
     gamma = dpdu_full[:, lay.RHOE] + 1.0
     cpg = cl.mixture_cp(lib, v[:, lay.T], v[:, lay.YS:lay.YS + lay.ns]) / gamma
-
-    def lam12(mu, kappa, mut, gam, cv):
-        if turb is not None:
-            lam1 = 4.0 / 3.0 * (mu + mut)
-            lam2 = (1.0 + (prm.prandtl_lam / prm.prandtl_turb) * (mut / mu)) \
-                * (gam * mu / prm.prandtl_lam)
-        else:
-            lam1 = 4.0 / 3.0 * mu
-            lam2 = kappa / cv
-        return lam1 + lam2
 
     i, j = mesh.edges[:, 0], mesh.edges[:, 1]
     mean_rho = 0.5 * (v[i, lay.PRHO] + v[j, lay.PRHO])
@@ -75,25 +91,24 @@ def viscous_lambda(lib: ChemLib, mesh: MeshArrays, lay: Layout, prm: NSParams,
     mean_cv = 0.5 * (cpg[i] + cpg[j])
     mean_mut = 0.5 * (turb.mu_t[i] + turb.mu_t[j]) if turb is not None else None
     # the reference's RANS branch uses gamma at node i only (:5138)
-    lam_e = lam12(mean_mu, mean_k, mean_mut, gamma[i], mean_cv) \
-        * mesh.edge_area ** 2 / mean_rho
+    lam_e = _visc_lam12(prm, turb is not None, mean_mu, mean_k, mean_mut,
+                        gamma[i], mean_cv) * mesh.edge_area ** 2 / mean_rho
     lam = mesh.sum_edges_abs(lam_e)
-
-    for tag, (nodes, normal) in mesh.markers.items():
-        a = jnp.linalg.norm(normal, axis=1)
-        mut_b = turb.mu_t[nodes] if turb is not None else None
-        lam_b = lam12(trans.mu[nodes], trans.kappa[nodes], mut_b,
-                      gamma[nodes], cpg[nodes]) * a * a / v[nodes, lay.PRHO]
-        lam = lam.at[nodes].add(lam_b)
-    return lam
+    return viscous_lambda_boundary(lib, mesh, lay, prm, v, trans, dpdu_full,
+                                   turb, lam)
 
 
 def ns_assemble(lib: ChemLib, lay: Layout, mesh: MeshArrays, prm: NSParams,
                 bcs, v, dt=None, implicit=False,
                 turb: TurbFlowData | None = None, omega_turb=None,
-                sigma_k_edge=None):
+                sigma_k_edge=None, want_lambdas=False):
     """Full NS residual (and Jacobian when implicit): convective + viscous +
-    BC + chemistry source + strong wall treatment."""
+    BC + chemistry source + strong wall treatment.
+
+    want_lambdas (explicit only): additionally return (lam_inv, lam_visc)
+    interior-edge spectral-radius sums when the fused pallas edge kernel
+    produced them for free, else None — callers add boundary terms via
+    timestep.boundary_lambda_inv / viscous_lambda_boundary."""
     n = v.shape[0]
     nd, ns_ = lay.ndim, lay.ns
 
@@ -116,37 +131,52 @@ def ns_assemble(lib: ChemLib, lay: Layout, mesh: MeshArrays, prm: NSParams,
     trans = viscous.node_transport(lib, lay, v)
     turb_ke = turb.tke if turb is not None else None
 
-    # --- convective part (+ Jacobian) ---
-    grad_euler = grad[:, :2 + nd, :]
-    if implicit:
-        cres, jac = es.convective_system(
-            lib, lay, mesh, prm, v, grad_euler, lim, dpdu_full)
-        diag, off_ij, off_ji = jac.diag, jac.off_ij, jac.off_ji
-    else:
-        cres = es.convective_residual(lib, lay, mesh, prm, v, grad_euler, lim)
-        diag = off_ij = off_ji = None
-    res = cres
-
-    # --- viscous edges ---
+    # --- interior edges: convective + viscous (+ Jacobians if implicit) ---
+    from su2_tpu.pallas import edge_kernels as ek
     i, j = mesh.edges[:, 0], mesh.edges[:, 1]
-    vf_args = dict(
-        coord_i=mesh.coords[i], coord_j=mesh.coords[j], corrected=True,
-        turb_i=_turb_rows(turb, i), turb_j=_turb_rows(turb, j),
-        sigma_k=sigma_k_edge, prandtl_turb=prm.prandtl_turb,
-        lewis_turb=prm.lewis_turb)
-    if implicit:
-        vflux, vjac_i, vjac_j = viscous.viscous_flux(
-            lib, lay, v[i], v[j], grad[i], grad[j], mesh.edge_normal,
-            _trans_rows(trans, i), _trans_rows(trans, j),
-            s_i=dtdu_full[i], s_j=dtdu_full[j], **vf_args)
-        diag = diag + mesh.accumulate_sides(-vjac_i, vjac_j)
-        off_ij = off_ij - vjac_j
-        off_ji = off_ji + vjac_i
+    fused = (not implicit and ek.use_pallas() and turb is not None
+             and sigma_k_edge is not None and not prm.muscl
+             and prm.conv_method == "AUSM")
+    if fused:
+        # one pallas pass over the edge list (AUSM + viscous + SST closure
+        # + spectral radii) — see pallas/edge_fused.py
+        from su2_tpu.pallas import edge_fused
+        res, lam_c, lam_v = edge_fused.fused_interior_terms(
+            lib, lay, mesh, prm, v, grad, trans, turb, sigma_k_edge,
+            dpdu_full[:, lay.RHOE])
+        lambdas = (lam_c, lam_v)
+        diag = off_ij = off_ji = None
     else:
-        vflux = viscous.viscous_flux(
-            lib, lay, v[i], v[j], grad[i], grad[j], mesh.edge_normal,
-            _trans_rows(trans, i), _trans_rows(trans, j), **vf_args)
-    res = res - mesh.scatter_edges(vflux)
+        lambdas = None
+        grad_euler = grad[:, :2 + nd, :]
+        if implicit:
+            cres, jac = es.convective_system(
+                lib, lay, mesh, prm, v, grad_euler, lim, dpdu_full)
+            diag, off_ij, off_ji = jac.diag, jac.off_ij, jac.off_ji
+        else:
+            cres = es.convective_residual(
+                lib, lay, mesh, prm, v, grad_euler, lim)
+            diag = off_ij = off_ji = None
+        res = cres
+
+        vf_args = dict(
+            coord_i=mesh.coords[i], coord_j=mesh.coords[j], corrected=True,
+            turb_i=_turb_rows(turb, i), turb_j=_turb_rows(turb, j),
+            sigma_k=sigma_k_edge, prandtl_turb=prm.prandtl_turb,
+            lewis_turb=prm.lewis_turb)
+        if implicit:
+            vflux, vjac_i, vjac_j = viscous.viscous_flux(
+                lib, lay, v[i], v[j], grad[i], grad[j], mesh.edge_normal,
+                _trans_rows(trans, i), _trans_rows(trans, j),
+                s_i=dtdu_full[i], s_j=dtdu_full[j], **vf_args)
+            diag = diag + mesh.accumulate_sides(-vjac_i, vjac_j)
+            off_ij = off_ij - vjac_j
+            off_ji = off_ji + vjac_i
+        else:
+            vflux = viscous.viscous_flux(
+                lib, lay, v[i], v[j], grad[i], grad[j], mesh.edge_normal,
+                _trans_rows(trans, i), _trans_rows(trans, j), **vf_args)
+        res = res - mesh.scatter_edges(vflux)
 
     # --- flux BCs: convective + viscous contributions ---
     dpdu_e = dpdu_full[:, lay.RHOE]
@@ -160,8 +190,8 @@ def ns_assemble(lib: ChemLib, lay: Layout, mesh: MeshArrays, prm: NSParams,
         elif bc.kind == "supersonic_inlet":
             v_ghost, gamma, vel2 = es.supersonic_inlet_state(lib, lay, bc, v, prm.tke_inf)
         elif bc.kind == "supersonic_outlet":
-            v_ghost = v[bc.nodes]
-            gamma = dpdu_e[bc.nodes] + 1.0
+            v_ghost = bg.rows(v, bc.nodes)
+            gamma = bg.rows(dpdu_e, bc.nodes) + 1.0
             vel_d = v_ghost[:, lay.VX:lay.VX + nd]
             vel2 = jnp.sum(vel_d * vel_d, axis=1)
         elif bc.kind == "far_field":
@@ -176,40 +206,40 @@ def ns_assemble(lib: ChemLib, lay: Layout, mesh: MeshArrays, prm: NSParams,
         nodes = bc.nodes
         if implicit:
             cf, cj_i, _ = es.ausm.ausm_flux(
-                lay, v[nodes], v_ghost, -bc.normal, prm.m_infty,
-                dpdu_full[nodes], s_ghost)
-            diag = diag.at[nodes].add(cj_i)
+                lay, bg.rows(v, nodes), v_ghost, -bc.normal, prm.m_infty,
+                bg.rows(dpdu_full, nodes), s_ghost)
+            diag = bg.add_rows(diag, nodes, cj_i)
         else:
-            cf = es.ausm.ausm_flux(lay, v[nodes], v_ghost, -bc.normal, prm.m_infty)
-        res = res.at[nodes].add(cf)
+            cf = es.ausm.ausm_flux(lay, bg.rows(v, nodes), v_ghost, -bc.normal, prm.m_infty)
+        res = bg.add_rows(res, nodes, cf)
         # viscous contribution: domain/ghost states, node-i gradients both
         # sides, boundary (uncorrected) variant, subtracted
         bargs = dict(
-            coord_i=mesh.coords[nodes], coord_j=mesh.coords[bc.nn],
+            coord_i=bg.rows(mesh.coords, nodes), coord_j=bg.rows(mesh.coords, bc.nn),
             corrected=False,
             turb_i=_turb_rows(turb, nodes), turb_j=_turb_rows(turb, nodes),
-            sigma_k=(turb.sigma_k[nodes] if turb is not None else None),
+            sigma_k=(bg.rows(turb.sigma_k, nodes) if turb is not None else None),
             prandtl_turb=prm.prandtl_turb, lewis_turb=prm.lewis_turb)
         if implicit:
             vf, vj_i, _ = viscous.viscous_flux(
-                lib, lay, v[nodes], v_ghost, grad[nodes], grad[nodes],
+                lib, lay, bg.rows(v, nodes), v_ghost, bg.rows(grad, nodes), bg.rows(grad, nodes),
                 -bc.normal, _trans_rows(trans, nodes), _trans_rows(trans, nodes),
-                s_i=dtdu_full[nodes], s_j=dtdu_full[nodes], **bargs)
-            diag = diag.at[nodes].add(-vj_i)
+                s_i=bg.rows(dtdu_full, nodes), s_j=bg.rows(dtdu_full, nodes), **bargs)
+            diag = bg.add_rows(diag, nodes, -vj_i)
         else:
             vf = viscous.viscous_flux(
-                lib, lay, v[nodes], v_ghost, grad[nodes], grad[nodes],
+                lib, lay, bg.rows(v, nodes), v_ghost, bg.rows(grad, nodes), bg.rows(grad, nodes),
                 -bc.normal, _trans_rows(trans, nodes), _trans_rows(trans, nodes),
                 **bargs)
-        res = res.at[nodes].add(-vf)
+        res = bg.add_rows(res, nodes, -vf)
 
     # --- euler (slip) walls ---
     for bc in bcs:
         if bc.kind == "euler_wall":
             r = es.euler_wall_residual(lib, lay, bc, v, turb_ke)
-            res = res.at[bc.nodes].add(r)
+            res = bg.add_rows(res, bc.nodes, r)
             if implicit:
-                diag = diag.at[bc.nodes].add(
+                diag = bg.add_rows(diag, bc.nodes, 
                     es.euler_wall_jacobian(lib, lay, bc, v, dpdu_full))
 
     # --- chemistry source ---
@@ -229,13 +259,13 @@ def ns_assemble(lib: ChemLib, lay: Layout, mesh: MeshArrays, prm: NSParams,
             continue
         nodes = bc.nodes
         area = jnp.linalg.norm(bc.normal, axis=1)
-        wall_mask = wall_mask.at[nodes].set(True)
+        wall_mask = bg.set_rows(wall_mask, nodes, True)
         if bc.kind == "isothermal_wall":
             twall = bc.params["twall"]
-            tj = v[bc.nn, lay.T]
+            tj = bg.rows(v, bc.nn)[:, lay.T]
             dij = jnp.linalg.norm(
-                mesh.coords[bc.nn] - mesh.coords[nodes], axis=1)
-            ktr = trans.kappa[nodes]
+                bg.rows(mesh.coords, bc.nn) - bg.rows(mesh.coords, nodes), axis=1)
+            ktr = bg.rows(trans.kappa, nodes)
             dtdn = (twall - tj) / dij
             evisc = ktr * dtdn * area
             turb_ktr = jnp.zeros_like(evisc)
@@ -243,14 +273,16 @@ def ns_assemble(lib: ChemLib, lay: Layout, mesh: MeshArrays, prm: NSParams,
                 # ALTERNATIVE closure in the reference (:5516-5541):
                 # sum_s mu_t/Pr_t Cp_s rho_s (Twall - Tj)/dij
                 cp_s = cl.species_cp(lib, jnp.full_like(area, twall))
-                rho_s = v[nodes, lay.PRHO, None] * v[nodes, lay.YS:lay.YS + ns_]
-                coef = (turb.mu_t[nodes] / prm.prandtl_turb)[:, None] * cp_s * rho_s
+                rho_s = bg.rows(v, nodes)[:, lay.PRHO, None] * bg.rows(v, nodes)[:, lay.YS:lay.YS + ns_]
+                coef = (bg.rows(turb.mu_t, nodes) / prm.prandtl_turb)[:, None] * cp_s * rho_s
                 evisc = evisc + coef.sum(-1) * dtdn * area
                 turb_ktr = coef.sum(-1)
-            res = res.at[nodes, lay.RHOE].add(-evisc)
+            upd = jnp.zeros((nodes.shape[0], lay.nvar),
+                            dtype=res.dtype).at[:, lay.RHOE].set(-evisc)
+            res = bg.add_rows(res, nodes, upd)
             if implicit:
                 # Jacobian energy row (SubtractBlock of -ktr*dTdU/dij*Area)
-                dtdu_nn = dtdu_full[bc.nn]
+                dtdu_nn = bg.rows(dtdu_full, bc.nn)
                 jrow = jnp.zeros((nodes.shape[0], lay.nvar), dtype=v.dtype)
                 c = (ktr / dij * area)
                 jrow = jrow.at[:, lay.RHO].set(c * dtdu_nn[:, lay.RHO])
@@ -260,16 +292,22 @@ def ns_assemble(lib: ChemLib, lay: Layout, mesh: MeshArrays, prm: NSParams,
                 sl = jnp.arange(ns_)
                 jrow = jrow.at[:, lay.RHOS + sl].set(
                     c[:, None] * dtdu_nn[:, lay.RHOS + sl])
-                diag = diag.at[nodes, lay.RHOE, :].add(jrow)
+                dupd = jnp.zeros((nodes.shape[0], lay.nvar, lay.nvar),
+                                 dtype=diag.dtype).at[:, lay.RHOE, :].set(jrow)
+                diag = bg.add_rows(diag, nodes, dupd)
         else:
             qwall = bc.params["qwall"]
-            res = res.at[nodes, lay.RHOE].add(-qwall * area)
+            upd = jnp.zeros((nodes.shape[0], lay.nvar),
+                            dtype=res.dtype).at[:, lay.RHOE].set(-qwall * area)
+            res = bg.add_rows(res, nodes, upd)
 
     # zero momentum residual rows at strong walls
     res = jnp.where(wall_mask[:, None],
                     res.at[:, lay.RHOVX:lay.RHOVX + nd].set(0.0), res)
 
     if not implicit:
+        if want_lambdas:
+            return res, wall_mask, trans, grad, lambdas
         return res, wall_mask, trans, grad
 
     # momentum rows of wall nodes -> identity (DeleteValsRowi)

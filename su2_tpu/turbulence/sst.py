@@ -25,6 +25,7 @@ from su2_tpu.linalg import blockcsr, krylov
 from su2_tpu.linalg.blockcsr import BlockJacobian
 from su2_tpu.ops import gradients
 from su2_tpu.state import Layout
+from su2_tpu.ops import bgather as bg
 
 EPS = 1e-16
 
@@ -203,10 +204,10 @@ def sst_step(lay: Layout, mesh: MeshArrays, scfg: SSTConfig, bcs,
     for bc in bcs:
         nodes = bc.nodes
         if bc.kind in ("isothermal_wall", "heatflux_wall"):
-            dnn = jnp.linalg.norm(mesh.coords[bc.nn] - mesh.coords[nodes], axis=1)
-            w_wall = 60.0 * mu[bc.nn] / (rho[bc.nn] * BETA_1 * dnn * dnn)
-            wall_mask = wall_mask.at[nodes].set(True)
-            q_wall = q_wall.at[nodes, 1].set(w_wall)
+            dnn = jnp.linalg.norm(bg.rows(mesh.coords, bc.nn) - bg.rows(mesh.coords, nodes), axis=1)
+            w_wall = 60.0 * bg.rows(mu, bc.nn) / (bg.rows(rho, bc.nn) * BETA_1 * dnn * dnn)
+            wall_mask = bg.set_rows(wall_mask, nodes, True)
+            q_wall = bg.set_col_rows(q_wall, nodes, 1, w_wall)
         elif bc.kind in ("inlet", "supersonic_inlet", "outlet",
                          "supersonic_outlet", "far_field"):
             # upwind flux between the domain state and the FLOW ghost state
@@ -228,20 +229,20 @@ def sst_step(lay: Layout, mesh: MeshArrays, scfg: SSTConfig, bcs,
                 vel_g = v_ghost[:, lay.VX:lay.VX + lay.ndim]
                 rho_g = v_ghost[:, lay.PRHO]
             else:
-                vel_g = vel[nodes]
-                rho_g = rho[nodes]
-            qb = 0.5 * jnp.einsum("ed,ed->e", vel[nodes] + vel_g, area_n)
+                vel_g = bg.rows(vel, nodes)
+                rho_g = bg.rows(rho, nodes)
+            qb = 0.5 * jnp.einsum("ed,ed->e", bg.rows(vel, nodes) + vel_g, area_n)
             a0b = 0.5 * (qb + jnp.abs(qb))
             a1b = 0.5 * (qb - jnp.abs(qb))
             if bc.kind in ("inlet", "supersonic_inlet", "far_field"):
                 qin = jnp.stack([jnp.full_like(qb, kine_inf),
                                  jnp.full_like(qb, omega_inf)], axis=1)
             else:
-                qin = q[nodes]
-            bflux = a0b[:, None] * rho[nodes, None] * q[nodes] \
+                qin = bg.rows(q, nodes)
+            bflux = a0b[:, None] * bg.rows(rho, nodes)[:, None] * bg.rows(q, nodes) \
                 + a1b[:, None] * rho_g[:, None] * qin
-            res = res.at[nodes].add(bflux)
-            diag = diag.at[nodes].add(a0b[:, None, None] * eye2)
+            res = bg.add_rows(res, nodes, bflux)
+            diag = bg.add_rows(diag, nodes, a0b[:, None, None] * eye2)
 
     # strong wall rows
     res = jnp.where(wall_mask[:, None], 0.0, res)
