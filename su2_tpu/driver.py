@@ -47,6 +47,9 @@ class Simulation:
         if (dtype == jnp.float32 and ndevices is None
                 and jax.devices()[0].platform == "tpu"):
             cl.set_enthalpy_mode("pallas")
+            # fused node-state kernel: Cons2Prim secant/bisection + dT/dU +
+            # dP/dU + Wilke transport in one pallas pass (pallas/node_state)
+            st.set_node_state_mode("pallas")
             # fused lanes-as-edges explicit edge kernel (pallas/edge_fused.py):
             # AUSM + viscous + Stefan-Maxwell + SST closure in one pallas pass
             from su2_tpu.pallas import edge_kernels as _ek
@@ -374,9 +377,14 @@ class Simulation:
             cfl = prm.cfl if cfl is None else cfl
             tke = q[:, 0] if is_sst else jnp.zeros_like(q[:, 0])
             omega_t = q[:, 1]
-            u, v, nonphys = st.cons2prim(lib, lay, u, t_guess, tparams,
-                                         turb_ke=tke)
+            # one fused preprocessing pass (SetPrimitive_Variables +
+            # dT/dU + dP/dU + transport); with IGNITION the primitive T is
+            # overridden afterwards, so the derived fields must be
+            # recomputed from the modified v and the bundle is not reused
+            nsd = st.node_state(lib, lay, u, t_guess, tparams, turb_ke=tke)
+            u, v, nonphys = nsd.u, nsd.v, nsd.nonphys
             if ignition:
+                nsd = None
                 # force T -> T_ign in fuel-rich cells during the ignition
                 # window (SetPrimitive_Variables, solver_direct_reactive.cpp
                 # :1013-1024; only the primitive T is overridden, like the
@@ -387,7 +395,7 @@ class Simulation:
             turb = vis.TurbFlowData(tke=tke, mu_t=mu_t, grad_tke=grad_k,
                                     sigma_k=sigma_k)
             sigma_k_edge = sigma_k[mesh.edges[:, 0]]
-            dpdu_full = st.dpdu(lib, lay, v)
+            dpdu_full = st.dpdu(lib, lay, v) if nsd is None else nsd.dpdu
 
             def flow_dt(lam_v, lam_c=None):
                 d, mind, _ = timestep.local_time_step(
@@ -403,13 +411,18 @@ class Simulation:
                 return d, mind
 
             if implicit_flow:
-                trans0 = vis.node_transport(lib, lay, v)
+                if nsd is None:
+                    trans0 = vis.node_transport(lib, lay, v)
+                else:
+                    trans0 = vis.Transport(mu=nsd.mu, kappa=nsd.kappa,
+                                           dij=None)
                 lam_v = ns.viscous_lambda(lib, mesh, lay, prm, v, trans0,
                                           dpdu_full, turb)
                 dt, min_dt = flow_dt(lam_v)
                 res, wall_mask, trans, grad, jac = ns.ns_assemble(
                     lib, lay, mesh, prm, bcs, v, dt, implicit=True,
-                    turb=turb, omega_turb=omega_t, sigma_k_edge=sigma_k_edge)
+                    turb=turb, omega_turb=omega_t, sigma_k_edge=sigma_k_edge,
+                    nsd=nsd)
                 if dual_order:
                     res, jac = ns.add_dual_time(
                         lay, mesh, res, jac, u, u_n, u_nm1, dt_phys, dual_order)
@@ -432,7 +445,7 @@ class Simulation:
                 res, wall_mask, trans, grad, lams = ns.ns_assemble(
                     lib, lay, mesh, prm, bcs, v, turb=turb,
                     omega_turb=omega_t, sigma_k_edge=sigma_k_edge,
-                    want_lambdas=True)
+                    want_lambdas=True, nsd=nsd)
                 if lams is not None:
                     # fused edge kernel returned the interior spectral-radius
                     # sums for free; add the boundary-vertex terms
@@ -456,12 +469,13 @@ class Simulation:
 
             # ---------- turbulence system on the updated flow ----------
             rho_old = v[:, lay.PRHO]
-            u_new, v_new, nonphys2 = st.cons2prim(
-                lib, lay, u_new, v[:, lay.T], tparams, turb_ke=tke)
-            qgrad = vis.ns_gradient_vars(lib, lay, v_new)
+            nsd2 = st.node_state(lib, lay, u_new, v[:, lay.T], tparams,
+                                 turb_ke=tke)
+            u_new, v_new, nonphys2 = nsd2.u, nsd2.v, nsd2.nonphys
+            qgrad = vis.ns_gradient_vars(lib, lay, v_new, xs=nsd2.xs)
             grad_new = es.compute_gradients(mesh, prm, qgrad)
             strain, vort = sst.strain_and_vorticity(lay, grad_new)
-            trans_new = vis.node_transport(lib, lay, v_new)
+            trans_new = vis.Transport(mu=nsd2.mu, kappa=nsd2.kappa, dij=None)
             if cfg.kind_turb_model == "SA":
                 from su2_tpu.turbulence import sa
                 gamma_eff = None
@@ -486,7 +500,7 @@ class Simulation:
                 return (u_new, v_new[:, lay.T], q_new, mu_t_new,
                         lm_state, sigma_k, rms, rmax, turb_rms,
                         nonphys.sum() + nonphys2.sum(), min_dt)
-            dpdu_new = st.dpdu(lib, lay, v_new)
+            dpdu_new = nsd2.dpdu
             q_new, turb_rms, outs = sst.sst_step(
                 lay, mesh, scfg, bcs, q, v_new, grad_new,
                 trans_new.mu, mu_t, strain, dist, rho_old, dt,

@@ -71,10 +71,14 @@ def node_transport(lib: ChemLib, lay: Layout, v: jax.Array) -> Transport:
     return Transport(mu=mu, kappa=kappa, dij=dij)
 
 
-def ns_gradient_vars(lib: ChemLib, lay: Layout, v: jax.Array) -> jax.Array:
+def ns_gradient_vars(lib: ChemLib, lay: Layout, v: jax.Array,
+                     xs: jax.Array | None = None) -> jax.Array:
     """[T, u, v, (w), P, X_1..X_Ns] — NS gradient set with MOLE fractions
-    (CReactiveNSSolver gradient routines, solver_direct_reactive.cpp:4784)."""
-    xs = cl.molar_from_mass(lib, v[:, lay.YS:lay.YS + lay.ns])
+    (CReactiveNSSolver gradient routines, solver_direct_reactive.cpp:4784).
+    Pass precomputed mole fractions (fused node-state kernel) to skip the
+    conversion."""
+    if xs is None:
+        xs = cl.molar_from_mass(lib, v[:, lay.YS:lay.YS + lay.ns])
     return jnp.concatenate([
         v[:, lay.T:lay.T + 1], v[:, lay.VX:lay.VX + lay.ndim],
         v[:, lay.P:lay.P + 1], xs], axis=1)

@@ -1,0 +1,364 @@
+"""Fused per-node state kernel: Cons2Prim + dT/dU + dP/dU + Wilke transport.
+
+One pallas pass over node tiles replaces the hottest per-node chains of the
+coupled step (each run TWICE per outer iteration):
+
+  - Cons2PrimVar with the secant temperature solve and the 32-round
+    bisection fallback (reference: variable_direct_reactive.cpp:325-561;
+    tolerances :385-390).  Built from XLA ops the fallback costs ~5 ms per
+    trigger on the 9k-cell case because every round re-evaluates the
+    mixture-enthalpy spline over all cells; in-kernel the spline tables are
+    VMEM-resident, rounds are per-tile, and tiles whose cells all converged
+    by secant skip the fallback entirely.
+  - dT/dU and dP/dU analytics (CalcdTdU/CalcdPdU, :786-849).
+  - Wilke viscosity / Wasilewska conductivity mixing
+    (ComputeEta/ComputeLambda, reacting_model_library.cpp:634-696).
+  - mole fractions X_i for the NS gradient set (SetMolarFromMass, :84-93).
+
+Spline lookups use the one-hot MXU contraction of pallas/thermo.py.  Two
+stacked tables ride in VMEM: b_h (4S, nT) = [yl; yc; y2l; y2c] of the
+enthalpy splines (the secant/bisection inner evaluation), and b_all
+(16S, nT) = [yl(h,cp,mu,ka); yc(..); y2l(..); y2c(..)] so the
+final-temperature evaluation of all four families is one matmul.
+
+Everything is feature-major (features on sublanes, nodes on lanes) like the
+fused edge kernel.  Masks are f32 (Mosaic cannot carry bool vectors through
+scf.while), and 3D (S,S,tile) reductions are unrolled over the middle axis
+(Mosaic limitation, see ops/viscous_t.py).  The jnp fallback path is the
+existing state.py / library.py chain, so numerics agree across backends to
+f32 rounding; interpret-mode parity is pinned in tests/test_node_state.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+EPS = 1e-16          # state.py EPS
+_Y_FLOOR = 1.0e-30
+
+
+def _stack4(y, y2):
+    """(S, nT) tables -> ([yl], [yc], [y2l], [y2c]) each (S, nT)."""
+    y_prev = jnp.concatenate([y[:, :1], y[:, :-1]], axis=1)
+    y2_prev = jnp.concatenate([y2[:, :1], y2[:, :-1]], axis=1)
+    return y_prev, y, y2_prev, y2
+
+
+def _tables(lib, dtype):
+    """(b_h (4S, nT), b_all (16S, nT)) stacked spline tables."""
+    fams = [_stack4(lib.h_y, lib.h_y2), _stack4(lib.cp_y, lib.cp_y2),
+            _stack4(lib.mu_y, lib.mu_y2), _stack4(lib.ka_y, lib.ka_y2)]
+    b_h = jnp.concatenate(fams[0], axis=0).astype(dtype)
+    b_all = jnp.concatenate(
+        [fams[f][k] for k in range(4) for f in range(4)], axis=0
+    ).astype(dtype)
+    return b_h, b_all
+
+
+def _pad_cols(x, npad):
+    extra = npad - x.shape[-1]
+    if extra == 0:
+        return x
+    rep = jnp.broadcast_to(x[..., :1], x.shape[:-1] + (extra,))
+    return jnp.concatenate([x, rep], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def cons2prim_fused(lay, tp, nt_meta, u_t, t_guess, tke, b_h, b_all, mm, ri,
+                    wk_cmass, wk_cden, wk_cdoff):
+    """u_t: (nVar, N) feature-major conserved state; t_guess, tke: (N,).
+
+    tp: state.TSolveParams (static).  nt_meta: (t0, dt, nT) static.
+    b_h/b_all: stacked spline tables (see module doc); mm, ri: (S, 1);
+    wk_*: (S, S) static Wilke pair matrices (cdoff = 1.065*cden*(1-eye)).
+
+    The secant constants c1 = (-rhoE + rho k + rho|v|^2/2)/(rho R) and
+    c2 = 1/R plus the enthalpy weights w_h = Y_s/M_s ride in as dedicated
+    kernel inputs: Mosaic mis-relayouts values sliced out of the 2-D state
+    block when they flow through scf.while loop carries, so everything the
+    T-solve loops touch must originate from its own (row-0) input ref.
+
+    Returns feature-major (uclip_t, v_t, nonphys, dtdu_t, dpdu_t, mu,
+    kappa, xs_t); nonphys/mu/kappa are (1, N)-squeezed to (N,).
+    """
+    t0, dtg, nt = nt_meta
+    nd, ns, nvar, nprim = lay.ndim, lay.ns, lay.nvar, lay.nprim
+    n = u_t.shape[-1]
+    dtype = u_t.dtype
+    tile = 512 if n >= 512 else max(128, n)
+    npad = -(-n // tile) * tile
+
+    # ---- XLA pre-pass: exactly the cons2prim head (state.py:183-204) ----
+    rho_s0 = u_t[lay.RHOS:lay.RHOS + ns]
+    rho_s0 = jnp.where(rho_s0 < 0.0, _Y_FLOOR, rho_s0)
+    rho0 = jnp.maximum(u_t[lay.RHO], EPS)
+    ys0 = rho_s0 / rho0[None, :]
+    vel0 = u_t[lay.RHOVX:lay.RHOVX + nd] / rho0[None, :]
+    sqvel0 = jnp.sum(vel0 * vel0, axis=0)
+    rho_e0 = u_t[lay.RHOE] - rho0 * tke
+    rgas0 = jnp.sum(jnp.asarray(ri)[:, 0][:, None] * ys0, axis=0)
+    c1_in = (-rho_e0 + 0.5 * rho0 * sqvel0) / (rho0 * rgas0)
+    c2_in = 1.0 / rgas0
+    wh_in = ys0 * (1.0 / jnp.asarray(mm))        # (S, N) enthalpy weights
+
+    ins = [_pad_cols(u_t, npad), _pad_cols(t_guess[None], npad),
+           _pad_cols(tke[None], npad), _pad_cols(c1_in[None], npad),
+           _pad_cols(c2_in[None], npad), _pad_cols(wh_in, npad),
+           b_h, b_all, mm, ri, wk_cmass, wk_cden, wk_cdoff]
+
+    def kernel(u_ref, tg_ref, tke_ref, c1_ref, c2_ref, wh_ref,
+               bh_ref, ba_ref, mm_ref, ri_ref,
+               cm_ref, cd_ref, cdo_ref,
+               uc_ref, v_ref, np_ref, dt_ref, dp_ref, mu_ref, ka_ref,
+               xs_ref):
+        u = u_ref[...]
+        mmc = mm_ref[...]                     # (S, 1)
+        ric = ri_ref[...]
+
+        rho_s = u[lay.RHOS:lay.RHOS + ns]
+        nonphys = jnp.max((rho_s < 0.0).astype(dtype), axis=0)
+        rho_s = jnp.where(rho_s < 0.0, _Y_FLOOR, rho_s)
+        rho = u[lay.RHO]
+        nonphys = jnp.maximum(nonphys, (rho < EPS).astype(dtype))
+        rho = jnp.maximum(rho, EPS)
+        ys = rho_s / rho[None, :]
+        nonphys = jnp.maximum(
+            nonphys, (jnp.abs(jnp.sum(ys, axis=0) - 1.0) > 0.1).astype(dtype))
+        vel = u[lay.RHOVX:lay.RHOVX + nd] / rho[None, :]
+        sqvel = jnp.sum(vel * vel, axis=0)
+        rgas = jnp.sum(ric * ys, axis=0)
+
+        tmax_tab = t0 + (nt - 1) * dtg
+
+        def lookup(tab_ref, nrows, t):
+            """One-hot spline eval; tab rows grouped [yl; yc; y2l; y2c] with
+            nrows//4 species rows per group.  Returns (nrows//4, tile)."""
+            tc = jnp.clip(t, t0, tmax_tab)
+            klo = jnp.clip(((tc - t0) / dtg).astype(jnp.int32) + 1, 1, nt - 1)
+            rows = jax.lax.broadcasted_iota(jnp.int32, (nt, t.shape[0]), 0)
+            oh = (rows == klo[None, :]).astype(dtype)
+            # HIGHEST: exact selection (Mosaic supports only DEFAULT and
+            # HIGHEST dot precisions; DEFAULT would round the tables to
+            # bf16)
+            g = jnp.dot(tab_ref[...], oh,
+                        preferred_element_type=dtype,
+                        precision=jax.lax.Precision.HIGHEST)
+            s4 = nrows // 4
+            xk = t0 + klo.astype(dtype) * dtg
+            a = ((xk - tc) / dtg)[None, :]
+            b = ((tc - (xk - dtg)) / dtg)[None, :]
+            yl, yc = g[:s4], g[s4:2 * s4]
+            y2l, y2c = g[2 * s4:3 * s4], g[3 * s4:]
+            return a * yl + b * yc \
+                + ((a ** 3 - a) * y2l + (b ** 3 - b) * y2c) * (dtg * dtg) / 6.0
+
+        wh = wh_ref[...]                            # (S, tile) Y_s/M_s
+
+        def h_mix2(t2):
+            """(1, tile) -> (1, tile).  All loop-carried per-cell scalars
+            stay 2-D and originate from input refs (see docstring)."""
+            h_mol = lookup(bh_ref, 4 * ns, t2[0])   # (S, tile) molar
+            return jnp.sum(wh * h_mol, axis=0, keepdims=True)
+
+        # ---- temperature solve: secant then bisection fallback
+        #      (solve_temperature, state.py; ref :398-502).  Fixed-trip
+        #      fori loops with per-cell masking — converged cells are
+        #      frozen, so results are identical to the early-exit while
+        #      formulation (Mosaic cannot legalize the scf.while chains
+        #      this kernel would need: sequential whiles mis-relayout). ----
+        c12 = c1_ref[...]
+        c22 = c2_ref[...]
+        tg = tg_ref[...]                            # (1, tile)
+        t_old0 = tg + 1.0
+
+        def _concrete(x):
+            """Bit-exact layout pin: reduction outputs carry a replicated
+            sublane layout; loop-carry inits must match the body yields'
+            concrete layout (Mosaic can only relayout replicated->concrete,
+            and unifies toward the init)."""
+            return jnp.where(tg == tg, x, tg)
+
+        h_old0 = _concrete(h_mix2(t_old0))
+
+        def sec_body(_, c):
+            t, t_old, h_old, sdone = c
+            dmask = sdone > 0.5
+            f = t - c12 - c22 * h_mix2(t)
+            f_old = t_old - c12 - c22 * h_old
+            df = f - f_old
+            safe_df = jnp.where(df == 0.0, 1.0, df)
+            t_new = t - f * (t - t_old) / safe_df
+            t_new = jnp.where(df == 0.0, t, t_new)
+            conv_s = jnp.abs(t_new - t) < tp.secant_tol
+            sdone_n = jnp.maximum(sdone, conv_s.astype(dtype))
+            t_n = jnp.where(dmask | conv_s, t, t_new)
+            told_n = jnp.where(dmask, t_old, t)
+            h_n = jnp.where(dmask, h_old, (t - c12 - f) / c22)
+            return t_n, told_n, h_n, sdone_n
+
+        t_sec2, _, _, sec_done2 = jax.lax.fori_loop(
+            0, tp.secant_iters, sec_body,
+            (tg, t_old0, h_old0, jnp.zeros_like(tg)))
+        sec_ok = sec_done2[0] > 0.5
+
+        ta0 = jnp.full_like(tg, tp.tmin)
+        tb0 = jnp.full_like(tg, tp.tmax)
+        # skip all bisection work when the whole tile converged by secant
+        # (masking makes the rounds no-ops for converged cells either way)
+        bdone0 = _concrete(jnp.zeros_like(tg)
+                           + (jnp.min(sec_done2) > 0.5).astype(dtype))
+
+        def bis_cond(c):
+            it, ta, tb, tbis, bdone = c
+            return (it < tp.bisect_iters) & (jnp.min(bdone) < 0.5)
+
+        def bis_body(c):
+            it, ta, tb, tbis, bdone = c
+            bmask = bdone > 0.5
+            tm = 0.5 * (ta + tb)
+            fb = tm - c12 - c22 * h_mix2(tm)
+            conv_b = jnp.abs(fb) < tp.bisect_tol
+            frozen = bmask | conv_b
+            go_low = fb > 0.0
+            ta_n = jnp.where(frozen, ta, jnp.where(go_low, tm, ta))
+            tb_n = jnp.where(frozen, tb, jnp.where(go_low, tb, tm))
+            tbis_n = jnp.where(bmask, tbis, tm)
+            return (it + 1, ta_n, tb_n, tbis_n,
+                    jnp.maximum(bdone, conv_b.astype(dtype)))
+
+        _, _, _, tbis2, _ = jax.lax.while_loop(
+            bis_cond, bis_body,
+            (jnp.asarray(0, jnp.int32), _concrete(ta0), _concrete(tb0),
+             _concrete(0.5 * (ta0 + tb0)), bdone0))
+        t = jnp.where(sec_ok, t_sec2[0], tbis2[0])
+
+        # ---- primitives (cons2prim, state.py:208-237) ----
+        nonphys = jnp.maximum(
+            nonphys, ((t < tp.tmin) | (t > tp.tmax)).astype(dtype))
+        t = jnp.clip(t, tp.tmin, tp.tmax)
+        press = rho * rgas * t
+        nonphys = jnp.maximum(nonphys, (press < EPS).astype(dtype))
+        press = jnp.maximum(press, EPS)
+
+        # one matmul for h/cp/mu/kappa at the final T
+        allq = lookup(ba_ref, 16 * ns, t)         # (4S, tile) molar rows
+        h_mol = allq[:ns]
+        cp_mol = allq[ns:2 * ns]
+        mu_s = allq[2 * ns:3 * ns]
+        ka_s = allq[3 * ns:]
+
+        cp_s = cp_mol / mmc                       # specific, matches /lib.mm
+        h_sp = h_mol / mmc
+        cp_mix = jnp.sum(ys * cp_s, axis=0)
+        gamma = cp_mix / (cp_mix - rgas)
+        sound = jnp.sqrt(gamma * press / rho)
+        nonphys = jnp.maximum(nonphys, (sound < EPS).astype(dtype))
+        sound = jnp.maximum(sound, EPS)
+        htot = (u[lay.RHOE] + press) / rho
+
+        v_ref[lay.T, :] = t
+        v_ref[lay.VX:lay.VX + nd, :] = vel
+        v_ref[lay.P, :] = press
+        v_ref[lay.PRHO, :] = rho
+        v_ref[lay.H, :] = htot
+        v_ref[lay.A, :] = sound
+        v_ref[lay.YS:lay.YS + ns, :] = ys
+
+        uc_ref[...] = u
+        uc_ref[lay.RHOS:lay.RHOS + ns, :] = rho_s
+        uc_ref[lay.RHO, :] = rho
+        np_ref[0, :] = nonphys
+
+        # ---- dT/dU, dP/dU (state.py:254-291) ----
+        e_s = h_sp - ric * t[None, :]
+        cv = cp_mix - rgas
+        rho_cv = rho * cv
+        dt_ref[lay.RHO, :] = 0.5 * sqvel / rho_cv
+        dt_ref[lay.RHOVX:lay.RHOVX + nd, :] = -vel / rho_cv[None, :]
+        dt_ref[lay.RHOE, :] = 1.0 / rho_cv
+        dt_ref[lay.RHOS:lay.RHOS + ns, :] = -e_s / rho_cv[None, :]
+
+        gm1 = gamma - 1.0
+        dp_ref[lay.RHO, :] = gm1 * 0.5 * sqvel
+        dp_ref[lay.RHOVX:lay.RHOVX + nd, :] = (1.0 - gamma)[None, :] * vel
+        dp_ref[lay.RHOE, :] = gm1
+        dp_ref[lay.RHOS:lay.RHOS + ns, :] = ric * t[None, :] \
+            - gm1[None, :] * e_s
+
+        # ---- Wilke mu / Wasilewska kappa (library.py:284-318); middle-axis
+        #      sums unrolled over species (Mosaic 3D-reduce limitation) ----
+        yom = ys / mmc                             # (S, tile)
+        r = jnp.sqrt(mu_s)
+        cm = cm_ref[...]
+        cd = cd_ref[...]
+        cdo = cdo_ref[...]
+        phi_mu = jnp.zeros_like(yom)
+        phi_ka = yom
+        for k in range(ns):
+            ratio_k = r / r[k][None, :]            # (S, tile)
+            num_k = 1.0 + ratio_k * cm[:, k][:, None]
+            pair_k = num_k * num_k
+            phi_mu = phi_mu + pair_k * cd[:, k][:, None] * yom[k][None, :]
+            phi_ka = phi_ka + pair_k * cdo[:, k][:, None] * yom[k][None, :]
+        mu_ref[0, :] = jnp.sum(mu_s * yom / phi_mu, axis=0)
+        ka_ref[0, :] = jnp.sum(ka_s * yom / phi_ka, axis=0)
+
+        # ---- mole fractions (molar_from_mass, library.py) ----
+        xs = ys / mmc
+        xs_ref[...] = xs * (jnp.sum(ys, axis=0)
+                            / jnp.sum(xs, axis=0))[None, :]
+
+    grid = (npad // tile,)
+    interpret = jax.devices()[0].platform != "tpu"
+    bs = lambda w: pl.BlockSpec((w, tile), lambda i: (0, i))
+    fb = lambda a, b: pl.BlockSpec((a, b), lambda i: (0, 0))
+    s = lay.ns
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        interpret=interpret,
+        in_specs=[bs(nvar), bs(1), bs(1), bs(1), bs(1), bs(s),
+                  fb(4 * s, nt), fb(16 * s, nt),
+                  fb(s, 1), fb(s, 1), fb(s, s), fb(s, s), fb(s, s)],
+        out_specs=[bs(nvar), bs(nprim), bs(1), bs(nvar), bs(nvar),
+                   bs(1), bs(1), bs(s)],
+        out_shape=[
+            jax.ShapeDtypeStruct((nvar, npad), dtype),
+            jax.ShapeDtypeStruct((nprim, npad), dtype),
+            jax.ShapeDtypeStruct((1, npad), dtype),
+            jax.ShapeDtypeStruct((nvar, npad), dtype),
+            jax.ShapeDtypeStruct((nvar, npad), dtype),
+            jax.ShapeDtypeStruct((1, npad), dtype),
+            jax.ShapeDtypeStruct((1, npad), dtype),
+            jax.ShapeDtypeStruct((s, npad), dtype),
+        ],
+    )(*ins)
+    uc, v, nonp, dtdu, dpdu, mu, ka, xs = outs
+    return (uc[:, :n], v[:, :n], nonp[0, :n], dtdu[:, :n], dpdu[:, :n],
+            mu[0, :n], ka[0, :n], xs[:, :n])
+
+
+def node_state(lib, lay, tp, u, t_guess, turb_ke=None):
+    """Row-major wrapper: run the fused kernel on (N, nVar) conserved state.
+
+    Returns (u_clip, v, nonphys_bool, dtdu, dpdu, mu, kappa, xs), all
+    row-major."""
+    mmn = np.asarray(lib.mm)
+    wk_cmass = (mmn[None, :] / mmn[:, None]) ** 0.25
+    wk_cden = 1.0 / np.sqrt(8.0 * (1.0 + mmn[:, None] / mmn[None, :]))
+    wk_cdoff = 1.065 * wk_cden * (1.0 - np.eye(lay.ns))
+    b_h, b_all = _tables(lib, u.dtype)
+    tke = jnp.zeros_like(t_guess) if turb_ke is None else turb_ke
+    uc, v, nonp, dtdu, dpdu, mu, ka, xs = cons2prim_fused(
+        lay, tp, (float(lib.t0), float(lib.dt), int(lib.nt)),
+        u.T, t_guess, tke, b_h, b_all,
+        jnp.asarray(lib.mm, u.dtype)[:, None],
+        jnp.asarray(lib.ri, u.dtype)[:, None],
+        jnp.asarray(wk_cmass, u.dtype), jnp.asarray(wk_cden, u.dtype),
+        jnp.asarray(wk_cdoff, u.dtype))
+    return (uc.T, v.T, nonp > 0.5, dtdu.T, dpdu.T, mu, ka, xs.T)

@@ -101,19 +101,23 @@ def viscous_lambda(lib: ChemLib, mesh: MeshArrays, lay: Layout, prm: NSParams,
 def ns_assemble(lib: ChemLib, lay: Layout, mesh: MeshArrays, prm: NSParams,
                 bcs, v, dt=None, implicit=False,
                 turb: TurbFlowData | None = None, omega_turb=None,
-                sigma_k_edge=None, want_lambdas=False):
+                sigma_k_edge=None, want_lambdas=False, nsd=None):
     """Full NS residual (and Jacobian when implicit): convective + viscous +
     BC + chemistry source + strong wall treatment.
 
     want_lambdas (explicit only): additionally return (lam_inv, lam_visc)
     interior-edge spectral-radius sums when the fused pallas edge kernel
     produced them for free, else None — callers add boundary terms via
-    timestep.boundary_lambda_inv / viscous_lambda_boundary."""
+    timestep.boundary_lambda_inv / viscous_lambda_boundary.
+
+    nsd: optional st.NodeState from the fused node-state kernel — reuses
+    its dP/dU, dT/dU, mu/kappa and mole fractions instead of recomputing."""
     n = v.shape[0]
     nd, ns_ = lay.ndim, lay.ns
 
     # gradients of the NS variable set [T, u.., P, X..]
-    q = viscous.ns_gradient_vars(lib, lay, v)
+    q = viscous.ns_gradient_vars(lib, lay, v,
+                                 xs=None if nsd is None else nsd.xs)
     grad = es.compute_gradients(mesh, prm, q)
     if prm.use_limiter:
         qlim = es.gradient_vars(lay, v)
@@ -126,9 +130,17 @@ def ns_assemble(lib: ChemLib, lay: Layout, mesh: MeshArrays, prm: NSParams,
     else:
         lim = jnp.ones((n, 2 + nd), dtype=v.dtype)
 
-    dpdu_full = st.dpdu(lib, lay, v)
-    dtdu_full = st.dtdu(lib, lay, v)
-    trans = viscous.node_transport(lib, lay, v)
+    if nsd is None:
+        dpdu_full = st.dpdu(lib, lay, v)
+        dtdu_full = st.dtdu(lib, lay, v)
+        trans = viscous.node_transport(lib, lay, v)
+    else:
+        dpdu_full = nsd.dpdu
+        dtdu_full = nsd.dtdu
+        trans = viscous.Transport(
+            mu=nsd.mu, kappa=nsd.kappa,
+            dij=cl.binary_diffusion(lib, v[:, lay.T],
+                                    v[:, lay.P] / 101325.0) / 1.0e4)
     turb_ke = turb.tke if turb is not None else None
 
     # --- interior edges: convective + viscous (+ Jacobians if implicit) ---

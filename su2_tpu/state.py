@@ -237,6 +237,55 @@ def cons2prim(lib: ChemLib, lay: Layout, u: jax.Array, t_guess: jax.Array,
     return u_clipped, v, nonphys
 
 
+@dataclass(frozen=True)
+class NodeState:
+    """Bundle of all per-node derived state one preprocessing pass produces
+    (SetPrimitive_Variables + CalcdTdU/CalcdPdU + transport properties,
+    solver_direct_reactive.cpp:985-1038 + variable_direct_reactive.cpp)."""
+    u: jax.Array        # clipped conserved (N, nVar)
+    v: jax.Array        # primitives (N, nPrim)
+    nonphys: jax.Array  # (N,) bool
+    dtdu: jax.Array     # (N, nVar)
+    dpdu: jax.Array     # (N, nVar)
+    mu: jax.Array       # (N,) laminar viscosity
+    kappa: jax.Array    # (N,) conductivity
+    xs: jax.Array       # (N, S) mole fractions
+
+
+jax.tree_util.register_dataclass(
+    NodeState, data_fields=["u", "v", "nonphys", "dtdu", "dpdu", "mu",
+                            "kappa", "xs"], meta_fields=[])
+
+# "xla" composes the individual state.py/library.py functions; "pallas"
+# runs the fused node-state TPU kernel (pallas/node_state.py).
+_NODE_STATE_MODE = "xla"
+
+
+def set_node_state_mode(mode: str) -> None:
+    global _NODE_STATE_MODE
+    assert mode in ("xla", "pallas")
+    _NODE_STATE_MODE = mode
+
+
+def node_state(lib: ChemLib, lay: Layout, u: jax.Array, t_guess: jax.Array,
+               p: TSolveParams, turb_ke: jax.Array | None = None) -> NodeState:
+    """One preprocessing pass: Cons2Prim + dT/dU + dP/dU + Wilke transport +
+    mole fractions.  Under jit, unused fields are dead-code-eliminated on
+    the XLA path, so callers can always use this entry point."""
+    if _NODE_STATE_MODE == "pallas" and not p.clip_temp:
+        from su2_tpu.pallas import node_state as nst
+        uc, v, nonphys, dtdu_a, dpdu_a, mu, kappa, xs = nst.node_state(
+            lib, lay, p, u, t_guess, turb_ke=turb_ke)
+        return NodeState(uc, v, nonphys, dtdu_a, dpdu_a, mu, kappa, xs)
+    uc, v, nonphys = cons2prim(lib, lay, u, t_guess, p, turb_ke=turb_ke)
+    t = v[:, lay.T]
+    ys = v[:, lay.YS:lay.YS + lay.ns]
+    return NodeState(
+        uc, v, nonphys, dtdu(lib, lay, v), dpdu(lib, lay, v),
+        cl.mixture_viscosity(lib, t, ys), cl.mixture_conductivity(lib, t, ys),
+        cl.molar_from_mass(lib, ys))
+
+
 def prim2cons(lib: ChemLib, lay: Layout, v: jax.Array) -> jax.Array:
     """Prim2ConsVar (variable_direct_reactive.cpp:861-880)."""
     n = v.shape[0]
