@@ -66,6 +66,29 @@ class MeshArrays:
                                                   jnp.zeros_like(ei)))
         return sel.sum(axis=1)
 
+    def scatter_edges_mixed(self, signed_vals: jax.Array,
+                            abs_vals: jax.Array):
+        """One gather+sum for a signed block and an unsigned block.
+
+        signed_vals: (nE, k) accumulated with +/- orientation (like
+        scatter_edges); abs_vals: (nE, m) accumulated unsigned (like
+        sum_edges_abs).  Returns ((nP, k), (nP, m)).  Fuses the residual
+        scatter and the two spectral-radius accumulations of the fused edge
+        kernel into a single node-edge gather."""
+        k = signed_vals.shape[1]
+        vals = jnp.concatenate([signed_vals, abs_vals], axis=1)
+        pad = jnp.zeros((1, vals.shape[1]), dtype=vals.dtype)
+        ext = jnp.concatenate([vals, pad], axis=0)
+        gathered = ext[self.node_edges]                       # (nP, D, k+m)
+        sign = self.node_sign[:, :, None]
+        mult = jnp.concatenate(
+            [jnp.broadcast_to(sign, sign.shape[:2] + (k,)),
+             jnp.broadcast_to(jnp.abs(sign),
+                              sign.shape[:2] + (vals.shape[1] - k,))],
+            axis=2)
+        out = (gathered * mult).sum(axis=1)
+        return out[:, :k], out[:, k:]
+
     def sum_edges_abs(self, edge_vals: jax.Array) -> jax.Array:
         """out[i] = sum over incident edges of edge_vals (no sign)."""
         pad = jnp.zeros((1,) + edge_vals.shape[1:], dtype=edge_vals.dtype)

@@ -12,6 +12,14 @@ lanes-as-edges layout) in ONE pallas_call, returning
     lam_conv   (E,)  inviscid spectral radius  (|v_mean.N| + a_mean)*Area
     lam_visc   (E,)  viscous spectral radius   (SetTime_Step NS branch)
 
+All per-node inputs ride in ONE stacked feature-major matrix F (48, nP)
+so the edge endpoints are TWO gathers (F[:, i], F[:, j]) instead of a
+dozen — XLA materializes each separate gather+transpose as its own
+fusion, which used to cost ~10x the kernel itself.  The species
+enthalpy/cp at the edge-mean temperature are evaluated IN-KERNEL from the
+VMEM-resident spline tables (same one-hot MXU contraction as
+pallas/node_state.py) instead of a separate XLA spline sweep.
+
 Reference semantics: Upwind_Residual + Viscous_Residual + SetTime_Step
 (solver_direct_reactive.cpp:2535, :5305, :5057).
 """
@@ -38,50 +46,93 @@ def _pad_cols(x, npad):
     return jnp.concatenate([x, rep], axis=-1)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
-def fused_edge_flux_pallas(lay, m_infty, prandtl_turb, lewis_turb,
-                           prandtl_lam, sc,
-                           v_i, v_j, g_i, g_j, normal, evec,
-                           mu2, ka2, mut2, tke2, gk_i, gk_j, sigma_k,
-                           h_s, cp_s, gamma_i):
-    """All edge arrays feature-major with trailing edge axis (module doc).
+def _hcp_tables(lib, dtype):
+    """(8S, nT) stacked h+cp spline tables grouped
+    [yl(h,cp); yc(h,cp); y2l(h,cp); y2c(h,cp)] for one-matmul lookup."""
+    def stack4(y, y2):
+        y_prev = jnp.concatenate([y[:, :1], y[:, :-1]], axis=1)
+        y2_prev = jnp.concatenate([y2[:, :1], y2[:, :-1]], axis=1)
+        return y_prev, y, y2_prev, y2
+    h4 = stack4(lib.h_y, lib.h_y2)
+    c4 = stack4(lib.cp_y, lib.cp_y2)
+    return jnp.concatenate(
+        [jnp.concatenate([h4[k], c4[k]], axis=0) for k in range(4)],
+        axis=0).astype(dtype)
 
-    sc: viscous_t.SpeciesConsts (tiny static matrices, passed through as
-    kernel inputs — pallas kernels may not capture non-scalar constants).
-    mu2/ka2/mut2/tke2: (2, E) [node-i row, node-j row]; gamma_i: (1, E).
-    g_*: (G*d, E) gradients of [T, u.., X..] flattened row-major (g, d).
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
+def fused_edge_flux_pallas(lay, m_infty, prandtl_turb, lewis_turb,
+                           prandtl_lam, nt_meta, sc,
+                           f_i, f_j, normal, evec, b_hcp, mm):
+    """f_*: (48, E) stacked node rows gathered to edge endpoints:
+
+      [ v (nPrim=16) | grad[T,u..,X..] flattened (g,d) (24) | mu | kappa |
+        mu_t | tke | grad_k (d) | gamma | sigma_k ]
+
+    normal/evec: (d, E); b_hcp: (8S, nT); mm: (S, 1).
+    nt_meta: (t0, dt, nT) static.  sc: viscous_t.SpeciesConsts.
     """
+    t0, dtg, nt = nt_meta
     nd, ns, nvar, nprim = lay.ndim, lay.ns, lay.nvar, lay.nprim
-    gd = g_i.shape[0]
-    ne = v_i.shape[-1]
+    gd = (1 + nd + ns) * nd
+    ne = f_i.shape[-1]
     tile = 512 if ne >= 512 else max(128, ne)
     npad = -(-ne // tile) * tile
     mm_sum = sc.mm_sum
 
-    ins = [_pad_cols(x, npad) for x in
-           (v_i, v_j, g_i, g_j, normal, evec, mu2, ka2, mut2, tke2,
-            gk_i, gk_j, sigma_k, h_s, cp_s, gamma_i)] \
-        + [sc.mm_col, sc.sm_den]
+    ins = [_pad_cols(x, npad) for x in (f_i, f_j, normal, evec)] \
+        + [b_hcp, sc.mm_col, sc.sm_den]
 
-    def kernel(vi_ref, vj_ref, gi_ref, gj_ref, nm_ref, ev_ref,
-               mu_ref, ka_ref, mut_ref, tke_ref, gki_ref, gkj_ref,
-               sk_ref, hs_ref, cps_ref, gam_ref, mm_ref, den_ref,
+    r_g = nprim                   # gradient rows start
+    r_mu = r_g + gd
+    r_ka = r_mu + 1
+    r_mut = r_ka + 1
+    r_tke = r_mut + 1
+    r_gk = r_tke + 1
+    r_gam = r_gk + nd
+    r_sk = r_gam + 1
+
+    def kernel(fi_ref, fj_ref, nm_ref, ev_ref, tab_ref, mm_ref, den_ref,
                flux_ref, lc_ref, lv_ref):
-        vi = vi_ref[...]
-        vj = vj_ref[...]
+        fi = fi_ref[...]
+        fj = fj_ref[...]
         nm = nm_ref[...]
         scs = SpeciesConsts(mm_col=mm_ref[...], sm_den=den_ref[...],
                             mm_sum=mm_sum)
+        vi = fi[:nprim]
+        vj = fj[:nprim]
         conv = ausm_t.ausm_flux_t(lay, vi, vj, nm, m_infty)
+
+        # species h/cp at Tmean from the VMEM tables (one-hot matmul;
+        # same arithmetic as chemistry.spline.spline_eval + /mm)
+        tmean = 0.5 * (vi[lay.T] + vj[lay.T])
+        tmax_tab = t0 + (nt - 1) * dtg
+        tc = jnp.clip(tmean, t0, tmax_tab)
+        klo = jnp.clip(((tc - t0) / dtg).astype(jnp.int32) + 1, 1, nt - 1)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (nt, tile), 0)
+        oh = (rows == klo[None, :]).astype(vi.dtype)
+        g = jnp.dot(tab_ref[...], oh, preferred_element_type=vi.dtype,
+                    precision=jax.lax.Precision.HIGHEST)   # (8S, tile)
+        xk = t0 + klo.astype(vi.dtype) * dtg
+        a = ((xk - tc) / dtg)[None, :]
+        b = ((tc - (xk - dtg)) / dtg)[None, :]
+        s2 = 2 * ns
+        yl, yc = g[:s2], g[s2:2 * s2]
+        y2l, y2c = g[2 * s2:3 * s2], g[3 * s2:]
+        q_mol = a * yl + b * yc \
+            + ((a ** 3 - a) * y2l + (b ** 3 - b) * y2c) * (dtg * dtg) / 6.0
+        h_s = q_mol[:ns] / mm_ref[...]
+        cp_s = q_mol[ns:] / mm_ref[...]
+
         visc = viscous_t.viscous_flux_t(
             lay, scs, vi, vj,
-            gi_ref[...].reshape(gd // nd, nd, tile),
-            gj_ref[...].reshape(gd // nd, nd, tile),
+            fi[r_g:r_mu].reshape(gd // nd, nd, tile),
+            fj[r_g:r_mu].reshape(gd // nd, nd, tile),
             nm, ev_ref[...],
-            mu_ref[0], mu_ref[1], ka_ref[0], ka_ref[1],
-            mut_ref[0], mut_ref[1], tke_ref[0], tke_ref[1],
-            gki_ref[...], gkj_ref[...], sk_ref[0],
-            hs_ref[...], cps_ref[...], prandtl_turb, lewis_turb)
+            fi[r_mu], fj[r_mu], fi[r_ka], fj[r_ka],
+            fi[r_mut], fj[r_mut], fi[r_tke], fj[r_tke],
+            fi[r_gk:r_gk + nd], fj[r_gk:r_gk + nd], fi[r_sk],
+            h_s, cp_s, prandtl_turb, lewis_turb)
         flux_ref[...] = conv - visc
 
         # spectral radii (ops/timestep.py::max_lambda_inv + ns.viscous_lambda)
@@ -93,11 +144,11 @@ def fused_edge_flux_pallas(lay, m_infty, prandtl_turb, lewis_turb,
         lc_ref[0, :] = (jnp.abs(proj) + a_mean) * area
 
         mean_rho = 0.5 * (vi[lay.PRHO] + vj[lay.PRHO])
-        mean_mu = 0.5 * (mu_ref[0] + mu_ref[1])
-        mean_mut = 0.5 * (mut_ref[0] + mut_ref[1])
+        mean_mu = 0.5 * (fi[r_mu] + fj[r_mu])
+        mean_mut = 0.5 * (fi[r_mut] + fj[r_mut])
         lam1 = 4.0 / 3.0 * (mean_mu + mean_mut)
         lam2 = (1.0 + (prandtl_lam / prandtl_turb) * (mean_mut / mean_mu)) \
-            * (gam_ref[0] * mean_mu / prandtl_lam)
+            * (fi[r_gam] * mean_mu / prandtl_lam)
         lv_ref[0, :] = (lam1 + lam2) * area * area / mean_rho
 
     grid = (npad // tile,)
@@ -108,61 +159,55 @@ def fused_edge_flux_pallas(lay, m_infty, prandtl_turb, lewis_turb,
         kernel,
         grid=grid,
         interpret=interpret,
-        in_specs=[bs(nprim), bs(nprim), bs(gd), bs(gd), bs(nd), bs(nd),
-                  bs(2), bs(2), bs(2), bs(2), bs(nd), bs(nd), bs(1),
-                  bs(ns), bs(ns), bs(1), fb(ns, 1), fb(ns, ns)],
+        in_specs=[bs(r_sk + 1), bs(r_sk + 1), bs(nd), bs(nd),
+                  fb(8 * ns, nt), fb(ns, 1), fb(ns, ns)],
         out_specs=[bs(nvar), bs(1), bs(1)],
         out_shape=[
-            jax.ShapeDtypeStruct((nvar, npad), v_i.dtype),
-            jax.ShapeDtypeStruct((1, npad), v_i.dtype),
-            jax.ShapeDtypeStruct((1, npad), v_i.dtype),
+            jax.ShapeDtypeStruct((nvar, npad), f_i.dtype),
+            jax.ShapeDtypeStruct((1, npad), f_i.dtype),
+            jax.ShapeDtypeStruct((1, npad), f_i.dtype),
         ],
     )(*ins)
     return flux[:, :ne], lc[0, :ne], lv[0, :ne]
 
 
 def fused_interior_terms(lib, lay, mesh, prm, v, grad, trans, turb,
-                         sigma_k_edge, dpdu_e):
-    """Gather feature-major edge inputs and run the fused kernel.
+                         sigma_k, dpdu_e):
+    """Stack all per-node inputs feature-major, gather both edge endpoints
+    in one gather each, and run the fused kernel.
+
+    sigma_k: (nP,) per-node blended sigma_k (the edge value is node i's,
+    matching the XLA path's sigma_k_edge = sigma_k[edges[:, 0]]).
 
     Returns (res_interior (nP, nVar), lam_conv_nodes, lam_visc_nodes) —
     the interior-edge parts of the residual and the two spectral radii
     (boundary-vertex contributions are added by the caller).
     """
-    from su2_tpu.chemistry import library as cl
-
     i, j = mesh.edges[:, 0], mesh.edges[:, 1]
     nd, ns = lay.ndim, lay.ns
+    npoints = v.shape[0]
 
-    vt = v.T
-    v_i, v_j = vt[:, i], vt[:, j]
-    ng = 1 + nd + ns
     # gradient rows of the AVGGRAD set [T, u.., X..] (pressure row dropped)
     sel = np.concatenate([np.arange(0, 1 + nd),
                           np.arange(2 + nd, 2 + nd + ns)])
-    gsel = grad[:, sel, :].reshape(v.shape[0], ng * nd).T      # (G*d, nP)
-    g_i, g_j = gsel[:, i], gsel[:, j]
+    gsel = grad[:, sel, :].reshape(npoints, (1 + nd + ns) * nd)
+    f_all = jnp.concatenate([
+        v, gsel, trans.mu[:, None], trans.kappa[:, None],
+        turb.mu_t[:, None], turb.tke[:, None], turb.grad_tke,
+        (dpdu_e + 1.0)[:, None], sigma_k[:, None]], axis=1).T   # (48, nP)
+    f_i, f_j = f_all[:, i], f_all[:, j]
+
     normal = mesh.edge_normal.T
     evec = (mesh.coords[j] - mesh.coords[i]).T
-    mu2 = jnp.stack([trans.mu[i], trans.mu[j]])
-    ka2 = jnp.stack([trans.kappa[i], trans.kappa[j]])
-    mut2 = jnp.stack([turb.mu_t[i], turb.mu_t[j]])
-    tke2 = jnp.stack([turb.tke[i], turb.tke[j]])
-    gk_i, gk_j = turb.grad_tke[i].T, turb.grad_tke[j].T
-    sk = sigma_k_edge[None]
-    tmean = 0.5 * (v[i, lay.T] + v[j, lay.T])
-    h_s = cl.species_enthalpy(lib, tmean).T        # (S, nE) mass-specific
-    cp_s = cl.species_cp(lib, tmean).T
-    gamma_i = (dpdu_e[i] + 1.0)[None]
 
     sc = viscous_t.species_consts(np.asarray(lib.mm),
                                   np.asarray(lib.diff_vol), v.dtype)
     flux, lc, lv = fused_edge_flux_pallas(
         lay, prm.m_infty, prm.prandtl_turb, prm.lewis_turb, prm.prandtl_lam,
-        sc, v_i, v_j, g_i, g_j, normal, evec, mu2, ka2, mut2, tke2,
-        gk_i, gk_j, sk, h_s, cp_s, gamma_i)
+        (float(lib.t0), float(lib.dt), int(lib.nt)), sc,
+        f_i, f_j, normal, evec, _hcp_tables(lib, v.dtype),
+        jnp.asarray(lib.mm, v.dtype)[:, None])
 
-    res = mesh.scatter_edges(flux.T)
-    lam_c = mesh.sum_edges_abs(lc)
-    lam_v = mesh.sum_edges_abs(lv)
-    return res, lam_c, lam_v
+    res, lams = mesh.scatter_edges_mixed(
+        flux.T, jnp.stack([lc, lv], axis=1))
+    return res, lams[:, 0], lams[:, 1]

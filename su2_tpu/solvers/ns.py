@@ -154,7 +154,7 @@ def ns_assemble(lib: ChemLib, lay: Layout, mesh: MeshArrays, prm: NSParams,
         # + spectral radii) — see pallas/edge_fused.py
         from su2_tpu.pallas import edge_fused
         res, lam_c, lam_v = edge_fused.fused_interior_terms(
-            lib, lay, mesh, prm, v, grad, trans, turb, sigma_k_edge,
+            lib, lay, mesh, prm, v, grad, trans, turb, turb.sigma_k,
             dpdu_full[:, lay.RHOE])
         lambdas = (lam_c, lam_v)
         diag = off_ij = off_ji = None
