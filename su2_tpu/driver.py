@@ -473,7 +473,17 @@ class Simulation:
                                  turb_ke=tke)
             u_new, v_new, nonphys2 = nsd2.u, nsd2.v, nsd2.nonphys
             qgrad = vis.ns_gradient_vars(lib, lay, v_new, xs=nsd2.xs)
-            grad_new = es.compute_gradients(mesh, prm, qgrad)
+            # ride the (k, omega) gradients in the same WLS/GG sweep when
+            # the methods match (per-variable math is independent)
+            merge_gq = is_sst and scfg.grad_method == cfg.num_method_grad
+            if merge_gq:
+                nq = qgrad.shape[1]
+                gall = es.compute_gradients(
+                    mesh, prm, jnp.concatenate([qgrad, q], axis=1))
+                grad_new, gq_turb = gall[:, :nq, :], gall[:, nq:, :]
+            else:
+                grad_new = es.compute_gradients(mesh, prm, qgrad)
+                gq_turb = None
             strain, vort = sst.strain_and_vorticity(lay, grad_new)
             trans_new = vis.Transport(mu=nsd2.mu, kappa=nsd2.kappa, dij=None)
             if cfg.kind_turb_model == "SA":
@@ -505,7 +515,8 @@ class Simulation:
                 lay, mesh, scfg, bcs, q, v_new, grad_new,
                 trans_new.mu, mu_t, strain, dist, rho_old, dt,
                 self.kine_inf, self.omega_inf,
-                lib=lib, dpdu_e=dpdu_new[:, lay.RHOE], tke_inf=prm.tke_inf)
+                lib=lib, dpdu_e=dpdu_new[:, lay.RHOE], tke_inf=prm.tke_inf,
+                gq=gq_turb)
             return (u_new, v_new[:, lay.T], q_new, outs["mu_t"],
                     outs["grad_k"], outs["sigma_k"], rms, rmax, turb_rms,
                     nonphys.sum() + nonphys2.sum(), min_dt)

@@ -37,6 +37,10 @@ class MeshArrays:
     bnd_accum_normal: jax.Array  # (nP, d) sum of vertex normals over markers
     markers: dict            # tag -> (nodes (nV,) int32, normal (nV, d))
     marker_nn: dict          # tag -> (nV,) int32 normal-neighbor node ids
+    # (nP, D) index into concat([off_ij, off_ji, pad]): slot with sign>0 ->
+    # edge id, sign<0 -> edge id + nE, pad -> 2nE.  One gather replaces the
+    # two-gather + select in blockcsr.gather_offdiag.
+    node_edges_sel: jax.Array = None
 
     def scatter_edges(self, edge_vals: jax.Array) -> jax.Array:
         """Accumulate per-edge values to nodes with +/- orientation.
@@ -103,7 +107,8 @@ jax.tree_util.register_dataclass(
     MeshArrays,
     data_fields=["coords", "volume", "edges", "edge_normal", "edge_area",
                  "node_edges", "node_sign", "node_nbrs", "nbr_mask",
-                 "n_neighbors", "bnd_accum_normal", "markers", "marker_nn"],
+                 "n_neighbors", "bnd_accum_normal", "markers", "marker_nn",
+                 "node_edges_sel"],
     meta_fields=["ndim", "npoint", "nedge", "max_degree"],
 )
 
@@ -122,6 +127,11 @@ def mesh_arrays(grid: DualGrid, dtype=jnp.float64) -> MeshArrays:
     area = np.linalg.norm(grid.edge_normal, axis=1)
     nnb = (grid.node_edges < grid.nedge).sum(axis=1)
 
+    ne = grid.nedge
+    sel_idx = np.where(grid.node_edge_sign > 0.5, grid.node_edges,
+                       np.where(grid.node_edge_sign < -0.5,
+                                grid.node_edges + ne, 2 * ne))
+
     return MeshArrays(
         ndim=grid.ndim, npoint=grid.npoint, nedge=grid.nedge,
         max_degree=grid.max_degree,
@@ -132,4 +142,5 @@ def mesh_arrays(grid: DualGrid, dtype=jnp.float64) -> MeshArrays:
         nbr_mask=f((grid.node_edges < grid.nedge).astype(np.float64)),
         n_neighbors=i(nnb),
         bnd_accum_normal=f(bnd_accum), markers=markers, marker_nn=marker_nn,
+        node_edges_sel=i(sel_idx),
     )

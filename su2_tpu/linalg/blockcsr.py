@@ -114,6 +114,10 @@ def greedy_coloring(node_nbrs) -> "np.ndarray":
 
 def gather_offdiag(mesh: MeshArrays, jac: BlockJacobian) -> jax.Array:
     """(nP, D, v, v) per-(node, slot) neighbor blocks (see matvec)."""
+    if mesh.node_edges_sel is not None:
+        pad = jnp.zeros((1,) + jac.off_ij.shape[1:], dtype=jac.off_ij.dtype)
+        stacked = jnp.concatenate([jac.off_ij, jac.off_ji, pad], axis=0)
+        return stacked[mesh.node_edges_sel]
     pad = jnp.zeros((1,) + jac.off_ij.shape[1:], dtype=jac.off_ij.dtype)
     oij = jnp.concatenate([jac.off_ij, pad], axis=0)[mesh.node_edges]
     oji = jnp.concatenate([jac.off_ji, pad], axis=0)[mesh.node_edges]

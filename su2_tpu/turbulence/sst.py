@@ -113,12 +113,14 @@ class SSTConfig:
 def sst_step(lay: Layout, mesh: MeshArrays, scfg: SSTConfig, bcs,
              q, v, flow_grad, mu, mu_t_node, strain_mag, dist,
              rho_old, dt, kine_inf, omega_inf,
-             lib=None, dpdu_e=None, tke_inf: float = 0.0):
+             lib=None, dpdu_e=None, tke_inf: float = 0.0, gq=None):
     """One implicit Euler iteration of the SST system.
 
     q: (N, 2) primitive (k, omega); v: flow primitives; flow_grad: NS
     gradient set; mu: laminar viscosity; mu_t_node: current eddy viscosity;
-    rho_old: density used in the conservative update.  Returns
+    rho_old: density used in the conservative update.  gq: optional
+    precomputed (k, omega) gradients (the driver rides them in the flow
+    gradient sweep when both use the same method).  Returns
     (q_new, rms, turb outputs dict).
     """
     n = q.shape[0]
@@ -127,10 +129,11 @@ def sst_step(lay: Layout, mesh: MeshArrays, scfg: SSTConfig, bcs,
     vel = v[:, lay.VX:lay.VX + lay.ndim]
 
     # gradients of (k, omega)
-    if scfg.grad_method == "GREEN_GAUSS":
-        gq = gradients.green_gauss(mesh, q)
-    else:
-        gq = gradients.weighted_least_squares(mesh, q)
+    if gq is None:
+        if scfg.grad_method == "GREEN_GAUSS":
+            gq = gradients.green_gauss(mesh, q)
+        else:
+            gq = gradients.weighted_least_squares(mesh, q)
     grad_k = gq[:, 0, :]
     grad_w = gq[:, 1, :]
 
@@ -144,13 +147,9 @@ def sst_step(lay: Layout, mesh: MeshArrays, scfg: SSTConfig, bcs,
     a0 = 0.5 * (qij + jnp.abs(qij))
     a1c = 0.5 * (qij - jnp.abs(qij))
     flux = a0[:, None] * rho[i, None] * q[i] + a1c[:, None] * rho[j, None] * q[j]
-    res = mesh.scatter_edges(flux)
     eye2 = jnp.eye(2, dtype=dtype)
     jac_ci = a0[:, None, None] * eye2
     jac_cj = a1c[:, None, None] * eye2
-    diag = mesh.accumulate_sides(a0, -a1c)[:, None, None] * eye2
-    off_ij = jac_cj
-    off_ji = -jac_ci
 
     # ---- viscous edges (CAvgGrad_TurbSST, uncorrected variant) ----
     diff_k = mu + sigma_k_blend * mu_t_node
@@ -160,7 +159,8 @@ def sst_step(lay: Layout, mesh: MeshArrays, scfg: SSTConfig, bcs,
     gmean = 0.5 * (gq[i] + gq[j])                                # (nE, 2, d)
     proj = jnp.einsum("egd,ed->eg", gmean, mesh.edge_normal)
     vflux = jnp.stack([dk * proj[:, 0], dw * proj[:, 1]], axis=1)
-    res = res - mesh.scatter_edges(vflux)
+    # one edge scatter for conv - visc
+    res = mesh.scatter_edges(flux - vflux)
     evec = mesh.coords[j] - mesh.coords[i]
     dist2 = jnp.sum(evec * evec, axis=1)
     pvec = jnp.einsum("ed,ed->e", evec, mesh.edge_normal) / \
@@ -171,9 +171,13 @@ def sst_step(lay: Layout, mesh: MeshArrays, scfg: SSTConfig, bcs,
     # subtracted, so diag gets +diag(dvi) at i etc.
     vji = dvi[:, :, None] * eye2
     vjj = dvj[:, :, None] * eye2
-    diag = diag + mesh.accumulate_sides(dvi, dvj)[:, :, None] * eye2
-    off_ij = off_ij - vjj
-    off_ji = off_ji - vji
+    # one side-accumulation for the convective + viscous diagonal blocks
+    acc = mesh.accumulate_sides(
+        jnp.concatenate([a0[:, None], dvi], axis=1),
+        jnp.concatenate([-a1c[:, None], dvj], axis=1))          # (nP, 3)
+    diag = acc[:, 0, None, None] * eye2 + acc[:, 1:, None] * eye2
+    off_ij = jac_cj - vjj
+    off_ji = -jac_ci - vji
 
     # ---- source (CSourcePieceWise_TurbSST) ----
     gvel = flow_grad[:, 1:1 + lay.ndim, :]
