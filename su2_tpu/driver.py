@@ -237,6 +237,9 @@ class Simulation:
     # ------------------------------------------------------------------
     def _make_explicit_step(self):
         lib, lay, mesh, prm, bcs = self.lib, self.lay, self.mesh, self.params, self.bcs
+        # padded multi-device meshes: RMS divisor uses REAL node count
+        # (padded dummy rows carry zero residual)
+        rms_scale = float(np.sqrt(self.mesh.npoint / self.raw.npoint))
         tparams = self.tparams
         lower, upper = self.lower, self.upper
         color_masks = self.color_masks
@@ -285,12 +288,14 @@ class Simulation:
                     lay, mesh, u_old, res, dt, lower, upper, alpha=alpha)
             if viscous_mode:
                 u_new = ns.enforce_wall_velocity(lay, u_new, wall_mask)
-            return u_new, t_cur, rms, rmax, nonphys.sum(), min_dt
+            return (u_new, t_cur, rms_scale * rms, rmax,
+                    nonphys.sum(), min_dt)
 
         return step
 
     def _make_implicit_step(self):
         lib, lay, mesh, prm, bcs = self.lib, self.lay, self.mesh, self.params, self.bcs
+        rms_scale = float(np.sqrt(self.mesh.npoint / self.raw.npoint))
         tparams = self.tparams
         lower, upper = self.lower, self.upper
         color_masks = self.color_masks
@@ -339,7 +344,8 @@ class Simulation:
                     linear_tol=cfg.linear_solver_error,
                     precond=cfg.linear_solver_prec,
                     color_masks=color_masks)
-            return u_new, v[:, lay.T], rms, rmax, nonphys.sum(), min_dt
+            return (u_new, v[:, lay.T], rms_scale * rms, rmax,
+                    nonphys.sum(), min_dt)
 
         return step
 
@@ -351,6 +357,9 @@ class Simulation:
         from su2_tpu.ops import viscous as vis
 
         lib, lay, mesh, prm, bcs = self.lib, self.lay, self.mesh, self.params, self.bcs
+        # padded multi-device meshes: RMS divisor uses REAL node count
+        # (padded dummy rows carry zero residual)
+        rms_scale = float(np.sqrt(self.mesh.npoint / self.raw.npoint))
         tparams = self.tparams
         lower, upper = self.lower, self.upper
         color_masks = self.color_masks
@@ -508,7 +517,8 @@ class Simulation:
                 q_new = jnp.stack([nu_new, jnp.zeros_like(nu_new)], axis=1)
                 turb_rms = jnp.concatenate([turb_rms, turb_rms])
                 return (u_new, v_new[:, lay.T], q_new, mu_t_new,
-                        lm_state, sigma_k, rms, rmax, turb_rms,
+                        lm_state, sigma_k, rms_scale * rms, rmax,
+                        rms_scale * turb_rms,
                         nonphys.sum() + nonphys2.sum(), min_dt)
             dpdu_new = nsd2.dpdu
             q_new, turb_rms, outs = sst.sst_step(
@@ -518,7 +528,8 @@ class Simulation:
                 lib=lib, dpdu_e=dpdu_new[:, lay.RHOE], tke_inf=prm.tke_inf,
                 gq=gq_turb)
             return (u_new, v_new[:, lay.T], q_new, outs["mu_t"],
-                    outs["grad_k"], outs["sigma_k"], rms, rmax, turb_rms,
+                    outs["grad_k"], outs["sigma_k"], rms_scale * rms, rmax,
+                    rms_scale * turb_rms,
                     nonphys.sum() + nonphys2.sum(), min_dt)
 
         return step
