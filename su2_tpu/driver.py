@@ -605,6 +605,15 @@ class Simulation:
                 _os.path.join(base, self.cfg.volume_flow_filename + ".uns"),
                 self.raw, fields, mach=self.cfg.mach_number,
                 aoa=self.cfg.aoa, reynolds=self.cfg.reynolds_number)
+        elif self.cfg.output_format == "TECPLOT_BINARY":
+            out.write_tecplot_binary_volume(
+                _os.path.join(base, self.cfg.volume_flow_filename + ".plt"),
+                self.raw, fields)
+        elif self.cfg.output_format == "CGNS_SOL":
+            from su2_tpu.io.cgns_out import write_cgns_volume
+            write_cgns_volume(
+                _os.path.join(base, self.cfg.volume_flow_filename + ".cgns"),
+                self.raw, fields)
         else:
             out.write_tecplot_volume(
                 _os.path.join(base, self.cfg.volume_flow_filename + ".dat"),

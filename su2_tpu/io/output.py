@@ -112,6 +112,96 @@ def write_tecplot_volume(path: str, raw_mesh, fields: dict) -> None:
             f.write("\t".join(str(x) for x in nn) + "\n")
 
 
+def write_tecplot_binary_volume(path: str, raw_mesh, fields: dict,
+                                title: str = "Visualization of the volume "
+                                "solution") -> None:
+    """Binary Tecplot file, classic TDV112 layout (the capability of
+    output_tecplot.cpp's TecIO branch, SetTecplotBinary_DomainSolution,
+    written directly — no TecIO in this image).
+
+    2D cells are written as an FEQUADRILATERAL zone (triangles degenerate,
+    like the reference's ASCII path); 3D as FEBRICK with the standard
+    degenerate-node replication for tet/prism/pyramid.
+    """
+    import struct
+
+    coords = raw_mesh.coords
+    n = coords.shape[0]
+    nd = coords.shape[1]
+    names = (["x", "y"] + (["z"] if nd == 3 else [])) + list(fields)
+    cols = [coords[:, k] for k in range(nd)] + \
+        [np.asarray(c, np.float64) for c in fields.values()]
+    elems = raw_mesh.elem_nodes
+    ne = elems.shape[0]
+
+    def _ints(f, *vals):
+        f.write(struct.pack("<" + "i" * len(vals), *vals))
+
+    def _string(f, s):
+        # tecplot strings: each char as int32, null-terminated
+        f.write(np.asarray([ord(c) for c in s] + [0],
+                           np.int32).tobytes())
+
+    # connectivity (zero-based), degenerate padding
+    if nd == 2:
+        ztype, width = 3, 4                  # FEQUADRILATERAL
+    else:
+        ztype, width = 5, 8                  # FEBRICK
+    conn = np.empty((ne, width), np.int32)
+    for k, (row, t) in enumerate(zip(elems, raw_mesh.elem_types)):
+        nn = row[row >= 0]
+        c = len(nn)
+        if nd == 2:
+            conn[k] = [nn[0], nn[1], nn[2], nn[2]] if c == 3 else nn[:4]
+        else:
+            if c == 4:      # tet -> brick
+                conn[k] = [nn[0], nn[1], nn[2], nn[2], nn[3], nn[3],
+                           nn[3], nn[3]]
+            elif c == 5:    # pyramid
+                conn[k] = [nn[0], nn[1], nn[2], nn[3], nn[4], nn[4],
+                           nn[4], nn[4]]
+            elif c == 6:    # prism
+                conn[k] = [nn[0], nn[1], nn[2], nn[2], nn[3], nn[4],
+                           nn[5], nn[5]]
+            else:
+                conn[k] = nn[:8]
+
+    with open(path, "wb") as f:
+        f.write(b"#!TDV112")
+        _ints(f, 1)                          # byte-order magic
+        _ints(f, 0)                          # FileType: full
+        _string(f, title)
+        _ints(f, len(names))
+        for nm in names:
+            _string(f, nm)
+        # --- zone header ---
+        f.write(struct.pack("<f", 299.0))
+        _string(f, "Zone")
+        _ints(f, -1)                         # parent zone
+        _ints(f, -2)                         # strand id (static)
+        f.write(struct.pack("<d", 0.0))      # solution time
+        _ints(f, -1)                         # not used
+        _ints(f, ztype)
+        _ints(f, 0)                          # var location: all nodal
+        _ints(f, 0)                          # raw local face neighbors
+        _ints(f, 0)                          # misc face neighbors
+        _ints(f, n, ne)
+        _ints(f, 0, 0, 0)                    # ICellDim/JCellDim/KCellDim
+        _ints(f, 0)                          # no auxiliary data
+        f.write(struct.pack("<f", 357.0))    # end of header
+        # --- zone data ---
+        f.write(struct.pack("<f", 299.0))
+        _ints(f, *([2] * len(names)))        # all vars double
+        _ints(f, 0)                          # no passive vars
+        _ints(f, 0)                          # no var sharing
+        _ints(f, -1)                         # no connectivity sharing
+        for c in cols:
+            f.write(struct.pack("<dd", float(np.min(c)), float(np.max(c))))
+        for c in cols:                       # block packing
+            f.write(np.asarray(c, "<f8").tobytes())
+        f.write(conn.astype("<i4").tobytes())
+
+
 def write_paraview_volume(path: str, raw_mesh, fields: dict) -> None:
     """Legacy VTK ASCII file (output_paraview.cpp equivalent)."""
     coords = raw_mesh.coords

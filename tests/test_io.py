@@ -58,3 +58,101 @@ def test_fieldview_writer(tmp_path):
     elems = [t for t in txt if t.startswith("2\t1\t")]
     assert len(elems) == raw.nelem
     assert all(len(e.split("\t")) == 10 for e in elems)
+
+
+def test_tecplot_binary_writer(tmp_path):
+    """Binary Tecplot (classic TDV112, output_tecplot.cpp TecIO-branch
+    capability): header magic, variable registry, zone record, block data
+    and degenerate-quad connectivity all parse back."""
+    import struct
+    import numpy as np
+    from su2_tpu.geometry.structured import channel_mesh
+    from su2_tpu.io.output import write_tecplot_binary_volume
+
+    raw = channel_mesh(5, 4)
+    rho = np.linspace(1.0, 2.0, raw.npoint)
+    fields = {"Density": rho,
+              "Pressure": np.full(raw.npoint, 101325.0)}
+    p = tmp_path / "flow.plt"
+    write_tecplot_binary_volume(str(p), raw, fields)
+    buf = p.read_bytes()
+    assert buf[:8] == b"#!TDV112"
+    off = 8
+
+    def ints(k):
+        nonlocal off
+        out = struct.unpack_from(f"<{k}i", buf, off)
+        off += 4 * k
+        return out
+
+    def string():
+        nonlocal off
+        chars = []
+        while True:
+            (c,) = struct.unpack_from("<i", buf, off)
+            off += 4
+            if c == 0:
+                return "".join(map(chr, chars))
+            chars.append(c)
+
+    assert ints(1) == (1,)          # byte order
+    assert ints(1) == (0,)          # full file
+    string()                        # title
+    (nvar,) = ints(1)
+    names = [string() for _ in range(nvar)]
+    assert names == ["x", "y", "Density", "Pressure"]
+    (marker,) = struct.unpack_from("<f", buf, off); off += 4
+    assert marker == 299.0
+    assert string() == "Zone"
+    assert ints(2) == (-1, -2)      # parent, strand
+    off += 8                        # solution time
+    ints(1)                         # not used
+    assert ints(1) == (3,)          # FEQUADRILATERAL
+    ints(3)
+    npts, nelem = ints(2)
+    assert (npts, nelem) == (raw.npoint, raw.nelem)
+    ints(3); ints(1)
+    (eoh,) = struct.unpack_from("<f", buf, off); off += 4
+    assert eoh == 357.0
+    (marker,) = struct.unpack_from("<f", buf, off); off += 4
+    assert marker == 299.0
+    assert ints(nvar) == (2,) * nvar       # doubles
+    assert ints(3) == (0, 0, -1)
+    minmax = struct.unpack_from(f"<{2*nvar}d", buf, off); off += 16 * nvar
+    assert minmax[4] == 1.0 and minmax[5] == 2.0      # Density range
+    data = np.frombuffer(buf, "<f8", nvar * npts, off)
+    off += 8 * nvar * npts
+    np.testing.assert_array_equal(data[2 * npts:3 * npts], rho)
+    conn = np.frombuffer(buf, "<i4", 4 * nelem, off)
+    off += 16 * nelem
+    assert conn.min() == 0 and conn.max() == raw.npoint - 1
+    assert off == len(buf)
+
+
+def test_cgns_writer(tmp_path):
+    """CGNS HDF5-flavor volume file (output_cgns.cpp capability): the SIDS
+    node tree, coordinates, MIXED connectivity and solution arrays read
+    back with h5py."""
+    import numpy as np
+    import h5py
+    from su2_tpu.geometry.structured import channel_mesh
+    from su2_tpu.io.cgns_out import write_cgns_volume
+
+    raw = channel_mesh(5, 4)
+    rho = np.linspace(1.0, 2.0, raw.npoint)
+    p = tmp_path / "flow.cgns"
+    write_cgns_volume(str(p), raw, {"Density": rho})
+    with h5py.File(p, "r") as f:
+        assert f["Base"].attrs["label"].startswith(b"CGNSBase_t")
+        zdata = f["Base/Zone/ data"][...]
+        assert zdata[0, 0] == raw.npoint and zdata[1, 0] == raw.nelem
+        assert bytes(f["Base/Zone/ZoneType/ data"][...]) == b"Unstructured"
+        x = f["Base/Zone/GridCoordinates/CoordinateX/ data"][...]
+        np.testing.assert_array_equal(x, raw.coords[:, 0])
+        conn = f["Base/Zone/Elements/ElementConnectivity/ data"][...]
+        # QUAD_4 (=7) typed rows of 5 ints each
+        assert conn.size == raw.nelem * 5
+        assert (conn[::5] == 7).all()
+        assert conn.max() == raw.npoint       # 1-based
+        sol = f["Base/Zone/FlowSolution/Density/ data"][...]
+        np.testing.assert_array_equal(sol, rho)
