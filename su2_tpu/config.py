@@ -88,15 +88,46 @@ def _parse_marker_periodic(s: str) -> dict:
     return out
 
 
-def _parse_dv_param(s: str) -> list[list[float]]:
-    """DV_PARAM = ( 1, 0.5 ); ( 1, 0.7 ) — per-DV parameter groups."""
+def _parse_dv_param(s: str) -> list[list]:
+    """DV_PARAM = ( 1, 0.5 ); ( 1, 0.7 ) — per-DV parameter groups.
+    FFD variables carry a leading string tag: ( MAIN_BOX, 2, 0, 0.0, 1.0 )."""
     groups = s.split(";")
     out = []
     for g in groups:
         toks = _split_list(g)
         if not toks or toks == ["NONE"]:
             continue
-        out.append([float(t) for t in toks])
+        row = []
+        for t in toks:
+            try:
+                row.append(float(t))
+            except ValueError:
+                row.append(t)
+        out.append(row)
+    return out
+
+
+def _parse_ffd_definition(s: str) -> list[tuple[str, list[float]]]:
+    """FFD_DEFINITION = (BOX_TAG, x1,y1,z1, ..., x8,y8,z8); (...)
+    (addFFDDefOption, config_structure.cpp:1788).  2D boxes list 8 coords
+    (4 corners), 3D 24."""
+    out = []
+    for g in s.split(";"):
+        toks = _split_list(g)
+        if not toks or toks == ["NONE"]:
+            continue
+        out.append((toks[0], [float(t) for t in toks[1:]]))
+    return out
+
+
+def _parse_ffd_degree(s: str) -> list[list[int]]:
+    """FFD_DEGREE = (di, dj, dk); (...) per box."""
+    out = []
+    for g in s.split(";"):
+        toks = _split_list(g)
+        if not toks or toks == ["NONE"]:
+            continue
+        out.append([int(float(t)) for t in toks])
     return out
 
 
@@ -339,6 +370,11 @@ _REGISTRY: dict[str, _Opt] = {
     "DV_MARKER": _Opt(_parse_marker_names, []),
     "DV_PARAM": _Opt(_parse_dv_param, [[1.0, 0.5]]),
     "DV_VALUE": _Opt(_parse_double_list, [0.0]),
+    "FFD_DEFINITION": _Opt(_parse_ffd_definition, []),
+    "FFD_DEGREE": _Opt(_parse_ffd_degree, []),
+    "FFD_SCALE": _d(1.0),
+    "FFD_ITERATIONS": _i(500),
+    "FFD_TOLERANCE": _d(1e-10),
     "DEFORM_LINEAR_ITER": _i(500),
     "KIND_ADAPT": _enum("FULL"),
     "DEFORM_STIFFNESS_TYPE": _enum("INVERSE_VOLUME"),

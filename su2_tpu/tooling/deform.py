@@ -25,10 +25,13 @@ def run(cfg: Config, raw=None):
     grid = build_dual_grid(raw)
     mesh = mesh_arrays(grid)
     dvs, tags = deform.parse_dv_options(cfg)
+    boxes = deform.build_ffd_boxes(cfg, raw.ndim)
     disp = np.zeros_like(raw.coords)
     for tag in tags:
         nodes = np.asarray(grid.bnd_nodes[tag])
-        disp += deform.surface_displacement(raw.coords, nodes, dvs)
+        disp += deform.surface_displacement(raw.coords, nodes, dvs,
+                                            ffd_boxes=boxes,
+                                            ffd_scale=cfg.ffd_scale)
     new_coords = np.asarray(deform.deform_coords(
         mesh, disp, n_iter=cfg.deform_linear_iter,
         method=cfg.deform_method, raw=raw,

@@ -27,13 +27,16 @@ def run(cfg: Config, sens_file: str = "surface_sensitivity.npz", raw=None,
     if sens is None:
         sens = np.load(sens_file)["sensitivity"]
     dvs, tags = deform.parse_dv_options(cfg)
+    boxes = deform.build_ffd_boxes(cfg, raw.ndim)
     grads = []
     for dv in dvs:
         disp = np.zeros_like(raw.coords)
         unit_dv = dict(dv, value=1.0)
         for tag in tags:
             nodes = np.asarray(grid.bnd_nodes[tag])
-            disp += deform.surface_displacement(raw.coords, nodes, [unit_dv])
+            disp += deform.surface_displacement(raw.coords, nodes, [unit_dv],
+                                                ffd_boxes=boxes,
+                                                ffd_scale=cfg.ffd_scale)
         grads.append(float((disp * sens).sum()))
     with open("of_grad.dat", "w") as f:
         f.write('VARIABLES="VARIABLE","GRADIENT","FINDIFF_STEP"\n')

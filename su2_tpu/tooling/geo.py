@@ -72,9 +72,12 @@ def run(cfg: Config, raw=None):
     dvs, _ = deform.parse_dv_options(cfg)
     if dvs and any(abs(dv["value"]) >= 0 for dv in dvs):
         eps = 1e-6
+        boxes = deform.build_ffd_boxes(cfg, raw.ndim)
         for k, dv in enumerate(dvs):
             disp = deform.surface_displacement(raw.coords, nodes,
-                                               [dict(dv, value=eps)])
+                                               [dict(dv, value=eps)],
+                                               ffd_boxes=boxes,
+                                               ffd_scale=cfg.ffd_scale)
             f_p = section_properties(raw.coords + disp, nodes)
             grads[k] = {name: (f_p[name] - funcs[name]) / eps
                         for name in funcs}

@@ -51,12 +51,14 @@ class ShapeProblem:
     def _unit_fields(self):
         """dx_surf/dalpha_k for each DV (surface only)."""
         fields = []
+        boxes = deform.build_ffd_boxes(self.cfg, self.raw0.ndim)
         for dv in self.dvs:
             disp = np.zeros_like(self.raw0.coords)
             for tag in self.tags:
                 nodes = np.asarray(self.grid0.bnd_nodes[tag])
                 disp += deform.surface_displacement(
-                    self.raw0.coords, nodes, [dict(dv, value=1.0)])
+                    self.raw0.coords, nodes, [dict(dv, value=1.0)],
+                    ffd_boxes=boxes, ffd_scale=self.cfg.ffd_scale)
             fields.append(disp)
         return fields
 
