@@ -4,6 +4,11 @@ Runs the flagship coupled REACTIVE_RANS step (reactive NS + SST + PaSR,
 9 species / 13 flow vars + 2 turb vars, 9000-cell mesh) and reports throughput
 as one JSON line.
 
+The timed loop is the driver's on-device multi-step program
+(Simulation.rans_multistep: lax.scan over K coupled iterations), i.e. the
+same code path a production run uses — host dispatch is amortized across the
+chunk exactly like run(chunk=K).
+
 Baseline: the reference SU2_CFD binary was built from source and timed on
 this exact case (serial, one core, restart-chained like combustion.sh):
 8.6 s/iter = 0.00105 Mcell/s.  The fork's reactive files only compile
@@ -21,36 +26,36 @@ import jax
 import jax.numpy as jnp
 
 CPU_CORE_BASELINE_MCELLS = 0.0032  # measured 0.00105 at -O0, x3 allowance
+CHUNK = 10
+N_CHUNKS = 5
 
 
 def main():
     import __graft_entry__ as g
 
     platform = jax.devices()[0].platform
-    fn, args = g.entry()
-    jfn = jax.jit(fn)
-    out = jfn(*args)
-    jax.block_until_ready(out)
-
-    # steady-state stepping: feed outputs back in (realistic data flow)
-    ignite = args[-1]
+    sim = g._flagship_sim(jnp.float32 if platform == "tpu" else jnp.float64)
+    q0, mu_t0, grad_k0, sigma_k0 = sim.initial_turb_state()
+    ignites = jnp.zeros((CHUNK,), bool)
 
     def advance(state):
-        o = jfn(*state)
-        return (o[0], o[1], o[2], o[3], o[4], o[5], ignite)
+        carry, _ = sim.rans_multistep(*state, ignites)
+        return carry
 
-    state = args
-    state = advance(state)          # second compile-free call, warm caches
+    state = (sim.u0, sim.t0, q0, mu_t0, grad_k0, sigma_k0)
+    state = advance(state)          # compile
+    jax.block_until_ready(state[0])
+    state = advance(state)          # warm caches, steady-state data flow
     jax.block_until_ready(state[0])
 
-    n_iter = 50
     t0 = time.time()
-    for _ in range(n_iter):
+    for _ in range(N_CHUNKS):
         state = advance(state)
     jax.block_until_ready(state[0])
     dt = time.time() - t0
 
-    ncells = int(args[0].shape[0])
+    n_iter = CHUNK * N_CHUNKS
+    ncells = int(sim.u0.shape[0])
     mcells = ncells * n_iter / dt / 1e6
     result = {
         "metric": "Mcell-updates/sec/chip (coupled reactive-RANS step)",

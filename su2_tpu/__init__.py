@@ -17,6 +17,17 @@ Architecture (TPU-first, not a port):
   - MPI halo exchange -> jax.sharding.Mesh + shard_map + ppermute
 """
 
+import jax as _jax
+
+# XLA:TPU's DEFAULT matmul precision rounds f32 einsum/dot inputs to bf16.
+# Every contraction in this solver is a small physics contraction (WLS
+# gradient 3x3 systems, flux projections, Jacobian blocks) where 8-bit
+# mantissas are NOT acceptable: the f32 flagship case diverges at ~iter 27
+# from bf16 WLS gradients.  These contractions are tiny (2-13 wide) and
+# bandwidth-bound, so full f32 costs nothing measurable; the hot Pallas
+# kernels set their own dot precision explicitly.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from su2_tpu.version import __version__
 
 __all__ = ["__version__"]

@@ -22,6 +22,20 @@ def _norm(a):
     return jnp.sqrt(jnp.real(_dot(a, a)))
 
 
+def _pow2_scale(b):
+    """Power-of-two magnitude of b, for overflow-safe solves.
+
+    The SST system can carry residual entries ~1e21 in f32 (omega ~ 1/d^2
+    near walls); ||b||^2 then overflows and the Krylov iteration turns the
+    whole solution to NaN.  Dividing b by an exact power of two introduces
+    NO rounding (exponent shift only), so f64 validation trajectories are
+    bit-identical while f32 stays inside range."""
+    absmax = jnp.max(jnp.abs(b))
+    ex = jnp.floor(jnp.log2(jnp.maximum(absmax, 1e-300)))
+    s = jnp.exp2(jnp.clip(ex, -120.0, 120.0)).astype(b.dtype)
+    return jnp.where(absmax > 0, s, jnp.ones_like(s))
+
+
 def _lstsq_small(h, e1):
     """min ||e1 - h y|| for a tiny static (r, c) Hessenberg block via normal
     equations (jnp.linalg.lstsq lowers to SVD — slow on TPU)."""
@@ -43,7 +57,9 @@ def fgmres(matvec, precond, b, x0=None, max_iter: int = 5, tol: float = 1e-6):
 
     Returns (x, final_relative_residual, iters_used).
     """
-    x = jnp.zeros_like(b) if x0 is None else x0
+    s = _pow2_scale(b)
+    b = b / s
+    x = jnp.zeros_like(b) if x0 is None else x0 / s
     r = b - matvec(x)
     beta = _norm(r)
     norm0 = jnp.maximum(_norm(b), 1e-300)
@@ -79,12 +95,14 @@ def fgmres(matvec, precond, b, x0=None, max_iter: int = 5, tol: float = 1e-6):
     y = _lstsq_small(h, e1)
     dx = sum(y[j] * zs[j] for j in range(m))
     x = x + dx
-    return x, res_hist / norm0, iters
+    return x * s, res_hist / norm0, iters
 
 
 def bcgstab(matvec, precond, b, x0=None, max_iter: int = 5, tol: float = 1e-6):
     """Preconditioned BiCGSTAB (CSysSolve::BCGSTAB_LinSolver)."""
-    x = jnp.zeros_like(b) if x0 is None else x0
+    s = _pow2_scale(b)
+    b = b / s
+    x = jnp.zeros_like(b) if x0 is None else x0 / s
     r = b - matvec(x)
     r0 = r
     norm0 = jnp.maximum(_norm(b), 1e-300)
@@ -116,13 +134,15 @@ def bcgstab(matvec, precond, b, x0=None, max_iter: int = 5, tol: float = 1e-6):
     x, r, *_ = jax.lax.fori_loop(
         0, max_iter, body,
         (x, r, rho, alpha, omega, v, p, jnp.asarray(False)))
-    return x, _norm(r) / norm0, jnp.asarray(max_iter, jnp.int32)
+    return x * s, _norm(r) / norm0, jnp.asarray(max_iter, jnp.int32)
 
 
 def cg(matvec, precond, b, x0=None, max_iter: int = 5, tol: float = 1e-6):
     """Preconditioned conjugate gradient (CSysSolve::CG_LinSolver) — for SPD
     systems (not the flow Jacobian; provided for capability parity)."""
-    x = jnp.zeros_like(b) if x0 is None else x0
+    s = _pow2_scale(b)
+    b = b / s
+    x = jnp.zeros_like(b) if x0 is None else x0 / s
     r = b - matvec(x)
     z = precond(r)
     p = z
@@ -148,4 +168,4 @@ def cg(matvec, precond, b, x0=None, max_iter: int = 5, tol: float = 1e-6):
 
     x, r, *_ = jax.lax.fori_loop(0, max_iter, body,
                                  (x, r, p, rz, jnp.asarray(False)))
-    return x, _norm(r) / norm0, jnp.asarray(max_iter, jnp.int32)
+    return x * s, _norm(r) / norm0, jnp.asarray(max_iter, jnp.int32)

@@ -175,6 +175,10 @@ def cons2prim_fused(lay, tp, nt_meta, u_t, t_guess, tke, b_h, b_all, mm, ri,
         c22 = c2_ref[...]
         tg = tg_ref[...]                            # (1, tile)
         t_old0 = tg + 1.0
+        # dtype-aware tolerance floor (see state.solve_temperature): the
+        # reference's 1e-6 K is unreachable in f32 and would force the
+        # bisection fallback on every tile
+        eps4 = 4.0 * float(jnp.finfo(dtype).eps)
 
         def _concrete(x):
             """Bit-exact layout pin: reduction outputs carry a replicated
@@ -194,7 +198,11 @@ def cons2prim_fused(lay, tp, nt_meta, u_t, t_guess, tke, b_h, b_all, mm, ri,
             safe_df = jnp.where(df == 0.0, 1.0, df)
             t_new = t - f * (t - t_old) / safe_df
             t_new = jnp.where(df == 0.0, t, t_new)
-            conv_s = jnp.abs(t_new - t) < tp.secant_tol
+            # bound the iterate (see state.solve_temperature): keeps the
+            # spline cubic finite in f32 for blown-up cells
+            t_new = jnp.clip(t_new, -1.0e8, 1.0e8)
+            conv_s = jnp.abs(t_new - t) \
+                < jnp.maximum(tp.secant_tol, eps4 * jnp.abs(t_new))
             sdone_n = jnp.maximum(sdone, conv_s.astype(dtype))
             t_n = jnp.where(dmask | conv_s, t, t_new)
             told_n = jnp.where(dmask, t_old, t)
@@ -222,7 +230,8 @@ def cons2prim_fused(lay, tp, nt_meta, u_t, t_guess, tke, b_h, b_all, mm, ri,
             bmask = bdone > 0.5
             tm = 0.5 * (ta + tb)
             fb = tm - c12 - c22 * h_mix2(tm)
-            conv_b = jnp.abs(fb) < tp.bisect_tol
+            conv_b = (jnp.abs(fb) < tp.bisect_tol) \
+                | ((tb - ta) < eps4 * jnp.abs(tm))
             frozen = bmask | conv_b
             go_low = fb > 0.0
             ta_n = jnp.where(frozen, ta, jnp.where(go_low, tm, ta))

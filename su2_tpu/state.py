@@ -123,6 +123,11 @@ def solve_temperature(lib: ChemLib, c1: jax.Array, c2: jax.Array, ys: jax.Array,
         it, t, t_old, h_old, done = carry
         return (it < p.secant_iters) & ~jnp.all(done)
 
+    # the reference's 1e-6 K tolerance is unreachable in f32 (ulp at 300 K
+    # is ~3e-5), which would push EVERY cell into the 32-round bisection
+    # fallback; widen to a few ulps of T in low precision (no-op in f64)
+    eps4 = 4.0 * float(jnp.finfo(t_init.dtype).eps)
+
     def secant_body(carry):
         it, t, t_old, h_old, done = carry
         f = t - c1 - c2 * cl.mixture_enthalpy(lib, t, ys)
@@ -131,7 +136,14 @@ def solve_temperature(lib: ChemLib, c1: jax.Array, c2: jax.Array, ys: jax.Array,
         safe_df = jnp.where(df == 0.0, 1.0, df)
         t_new = t - f * (t - t_old) / safe_df
         t_new = jnp.where(df == 0.0, t, t_new)
-        converged = jnp.abs(t_new - t) < p.secant_tol
+        # bound the iterate to the representable spline domain: a blown-up
+        # cell (rho at the clip floor, |e| ~ 1e22) otherwise drives t_new to
+        # ~1e31 and the cubic's (a^3 - a) term overflows f32 to NaN; such
+        # cells simply fail secant and land in the clipped bisection, which
+        # is the reference's fallback for wild states too (:433)
+        t_new = jnp.clip(t_new, -1.0e8, 1.0e8)
+        converged = jnp.abs(t_new - t) \
+            < jnp.maximum(p.secant_tol, eps4 * jnp.abs(t_new))
         new_done = done | converged
         t_next = jnp.where(done | converged, t, t_new)
         t_old_next = jnp.where(done, t_old, t)
@@ -153,7 +165,11 @@ def solve_temperature(lib: ChemLib, c1: jax.Array, c2: jax.Array, ys: jax.Array,
             ta, tb, tbis, bis_done = carry
             tm = 0.5 * (ta + tb)
             f = f_of(tm)
-            converged = jnp.abs(f) < p.bisect_tol
+            # |f| test is the reference criterion; the interval-collapse
+            # test stops in low precision where the f-tolerance is below
+            # roundoff of c2*h (f32: ~25 rounds would otherwise be no-ops)
+            converged = (jnp.abs(f) < p.bisect_tol) \
+                | ((tb - ta) < eps4 * jnp.abs(tm))
             go_low = f > 0.0
             ta_n = jnp.where(bis_done | converged, ta, jnp.where(go_low, tm, ta))
             tb_n = jnp.where(bis_done | converged, tb, jnp.where(go_low, tb, tm))
