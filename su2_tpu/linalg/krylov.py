@@ -65,32 +65,59 @@ def fgmres(matvec, precond, b, x0=None, max_iter: int = 5, tol: float = 1e-6):
     norm0 = jnp.maximum(_norm(b), 1e-300)
     m = max_iter
 
-    # Arnoldi with modified Gram-Schmidt (unrolled: m is small & static)
+    # Arnoldi with modified Gram-Schmidt (unrolled: m is small & static).
+    # The per-iteration residual comes from the classical Givens-rotation
+    # recurrence on the Hessenberg column (|g_{j+1}| — the same quantity
+    # the reference's FGMRES tracks, linear_solvers_structure.cpp:309):
+    # pure scalar bookkeeping that XLA fuses into a handful of ops, where
+    # a per-iteration dense lstsq was ~70 tiny device ops per solve.
     vs = [r / jnp.maximum(beta, 1e-300)]
     zs = []
-    h = jnp.zeros((m + 1, m), dtype=b.dtype)
+    cols = []                    # unrotated Hessenberg columns (scalars)
+    cs, sn = [], []
+    g = [beta]
     active = beta / norm0 >= tol
     iters = jnp.asarray(0, dtype=jnp.int32)
     res_hist = beta
+    one = jnp.ones_like(beta)
+    zero = jnp.zeros_like(beta)
     for j in range(m):
         z = precond(vs[j])
         w = matvec(z)
         zs.append(z)
+        col = []
         for i in range(j + 1):
             hij = _dot(vs[i], w)
-            h = h.at[i, j].set(jnp.where(active, hij, (i == j) * 1.0))
+            hij = jnp.where(active, hij, one * (i == j))
+            col.append(hij)
             w = w - jnp.where(active, hij, 0.0) * vs[i]
         hj1 = _norm(w)
-        h = h.at[j + 1, j].set(jnp.where(active, hj1, 0.0))
+        hj1 = jnp.where(active, hj1, 0.0)
         vs.append(jnp.where(active, w / jnp.maximum(hj1, 1e-300), vs[j]))
         iters = iters + active.astype(jnp.int32)
-        # current residual estimate via least squares on the small system
-        e1 = jnp.zeros(j + 2, dtype=b.dtype).at[0].set(beta)
-        y = _lstsq_small(h[:j + 2, :j + 1], e1)
-        cur = _norm(e1 - h[:j + 2, :j + 1] @ y)
+        rc = list(col) + [hj1]
+        for i in range(j):
+            t = cs[i] * rc[i] + sn[i] * rc[i + 1]
+            rc[i + 1] = -sn[i] * rc[i] + cs[i] * rc[i + 1]
+            rc[i] = t
+        denom = jnp.sqrt(rc[j] * rc[j] + rc[j + 1] * rc[j + 1])
+        safe = jnp.maximum(denom, 1e-300)
+        cj = jnp.where(denom == 0.0, one, rc[j] / safe)
+        sj = jnp.where(denom == 0.0, zero, rc[j + 1] / safe)
+        cs.append(cj)
+        sn.append(sj)
+        gj1 = -sj * g[j]
+        g[j] = cj * g[j]
+        g.append(gj1)
+        cur = jnp.abs(gj1)
         res_hist = jnp.where(active, cur, res_hist)
         active = active & (cur / norm0 >= tol)
+        cols.append(col + [hj1])
 
+    # final correction from the small least squares, as before
+    h = jnp.stack(
+        [jnp.stack(c + [zero] * (m - 1 - j)) for j, c in enumerate(cols)],
+        axis=1)
     e1 = jnp.zeros(m + 1, dtype=b.dtype).at[0].set(beta)
     y = _lstsq_small(h, e1)
     dx = sum(y[j] * zs[j] for j in range(m))

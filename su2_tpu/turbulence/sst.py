@@ -141,32 +141,48 @@ def sst_step(lay: Layout, mesh: MeshArrays, scfg: SSTConfig, bcs,
     sigma_k_blend = f1 * SIGMA_K1 + (1.0 - f1) * SIGMA_K2
     sigma_w_blend = f1 * SIGMA_OM1 + (1.0 - f1) * SIGMA_OM2
 
-    # ---- convective upwind edges (CUpwSca_TurbSST) ----
+    # ---- convective + viscous edges (CUpwSca_TurbSST + CAvgGrad_TurbSST,
+    #      uncorrected variant).  All node fields ride in ONE stacked
+    #      (nP, K) matrix gathered once per edge side: XLA's TPU gather
+    #      emitter moves ~0.6 GB/s on scalar (nE,) gathers but vectorizes
+    #      multi-column rows, and six separate scalar gathers were ~0.7 ms
+    #      of the 9k-cell coupled step. ----
     i, j = mesh.edges[:, 0], mesh.edges[:, 1]
-    qij = 0.5 * jnp.einsum("ed,ed->e", vel[i] + vel[j], mesh.edge_normal)
+    d = lay.ndim
+    diff_k = mu + sigma_k_blend * mu_t_node
+    diff_w = mu + sigma_w_blend * mu_t_node
+    feats = jnp.concatenate([
+        vel,                                   # [0:d]
+        rho[:, None],                          # [d]
+        rho[:, None] * q,                      # [d+1 : d+3]
+        gq.reshape(q.shape[0], 2 * d),         # [d+3 : 3d+3]
+        diff_k[:, None], diff_w[:, None],      # [3d+3], [3d+4]
+        mesh.coords,                           # [3d+5 : 4d+5]
+    ], axis=1)
+    fi, fj = feats[i], feats[j]
+    qij = 0.5 * jnp.einsum("ed,ed->e", fi[:, :d] + fj[:, :d],
+                           mesh.edge_normal)
     a0 = 0.5 * (qij + jnp.abs(qij))
     a1c = 0.5 * (qij - jnp.abs(qij))
-    flux = a0[:, None] * rho[i, None] * q[i] + a1c[:, None] * rho[j, None] * q[j]
+    flux = a0[:, None] * fi[:, d + 1:d + 3] + a1c[:, None] * fj[:, d + 1:d + 3]
     eye2 = jnp.eye(2, dtype=dtype)
     jac_ci = a0[:, None, None] * eye2
     jac_cj = a1c[:, None, None] * eye2
 
-    # ---- viscous edges (CAvgGrad_TurbSST, uncorrected variant) ----
-    diff_k = mu + sigma_k_blend * mu_t_node
-    diff_w = mu + sigma_w_blend * mu_t_node
-    dk = 0.5 * (diff_k[i] + diff_k[j])
-    dw = 0.5 * (diff_w[i] + diff_w[j])
-    gmean = 0.5 * (gq[i] + gq[j])                                # (nE, 2, d)
+    dk = 0.5 * (fi[:, 3 * d + 3] + fj[:, 3 * d + 3])
+    dw = 0.5 * (fi[:, 3 * d + 4] + fj[:, 3 * d + 4])
+    gmean = 0.5 * (fi[:, d + 3:3 * d + 3]
+                   + fj[:, d + 3:3 * d + 3]).reshape(-1, 2, d)   # (nE, 2, d)
     proj = jnp.einsum("egd,ed->eg", gmean, mesh.edge_normal)
     vflux = jnp.stack([dk * proj[:, 0], dw * proj[:, 1]], axis=1)
     # one edge scatter for conv - visc
     res = mesh.scatter_edges(flux - vflux)
-    evec = mesh.coords[j] - mesh.coords[i]
+    evec = fj[:, 3 * d + 5:4 * d + 5] - fi[:, 3 * d + 5:4 * d + 5]
     dist2 = jnp.sum(evec * evec, axis=1)
     pvec = jnp.einsum("ed,ed->e", evec, mesh.edge_normal) / \
         jnp.where(dist2 == 0.0, 1.0, dist2)
-    dvi = jnp.stack([dk * pvec / rho[i], dw * pvec / rho[i]], axis=1)
-    dvj = jnp.stack([dk * pvec / rho[j], dw * pvec / rho[j]], axis=1)
+    dvi = jnp.stack([dk * pvec / fi[:, d], dw * pvec / fi[:, d]], axis=1)
+    dvj = jnp.stack([dk * pvec / fj[:, d], dw * pvec / fj[:, d]], axis=1)
     # viscous jacobians: J_i = -diag(dvi), J_j = +diag(dvj); residual is
     # subtracted, so diag gets +diag(dvi) at i etc.
     vji = dvi[:, :, None] * eye2
