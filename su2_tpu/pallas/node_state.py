@@ -50,14 +50,30 @@ def _stack4(y, y2):
 
 
 def _tables(lib, dtype):
-    """(b_h (4S, nT), b_all (16S, nT)) stacked spline tables."""
+    """(b_h (4S, nTp), b_all (16S, nTp)) stacked spline tables, with the
+    knot axis padded to a multiple of the 128-lane chunk (padding repeats
+    the last knot; never selected — klo is clipped to nt-1)."""
     fams = [_stack4(lib.h_y, lib.h_y2), _stack4(lib.cp_y, lib.cp_y2),
             _stack4(lib.mu_y, lib.mu_y2), _stack4(lib.ka_y, lib.ka_y2)]
     b_h = jnp.concatenate(fams[0], axis=0).astype(dtype)
     b_all = jnp.concatenate(
         [fams[f][k] for k in range(4) for f in range(4)], axis=0
     ).astype(dtype)
+    nt = b_h.shape[1]
+    ntp = -(-nt // _CHUNK) * _CHUNK
+    if ntp != nt:
+        b_h = _pad_cols_last(b_h, ntp)
+        b_all = _pad_cols_last(b_all, ntp)
     return b_h, b_all
+
+
+_CHUNK = 128
+
+
+def _pad_cols_last(x, npad):
+    extra = npad - x.shape[-1]
+    rep = jnp.broadcast_to(x[..., -1:], x.shape[:-1] + (extra,))
+    return jnp.concatenate([x, rep], axis=-1)
 
 
 def _pad_cols(x, npad):
@@ -137,17 +153,35 @@ def cons2prim_fused(lay, tp, nt_meta, u_t, t_guess, tke, b_h, b_all, mm, ri,
 
         def lookup(tab_ref, nrows, t):
             """One-hot spline eval; tab rows grouped [yl; yc; y2l; y2c] with
-            nrows//4 species rows per group.  Returns (nrows//4, tile)."""
+            nrows//4 species rows per group.  Returns (nrows//4, tile).
+
+            The knot axis is processed in 128-lane chunks and a chunk's
+            one-hot contraction only runs when some cell's knot falls in it
+            (lax.cond -> scf.if): tile temperatures are spatially coherent,
+            so typically 1-3 of the ~10 chunks are live — the full-width
+            HIGHEST-precision dot was the dominant kernel cost."""
             tc = jnp.clip(t, t0, tmax_tab)
             klo = jnp.clip(((tc - t0) / dtg).astype(jnp.int32) + 1, 1, nt - 1)
-            rows = jax.lax.broadcasted_iota(jnp.int32, (nt, t.shape[0]), 0)
-            oh = (rows == klo[None, :]).astype(dtype)
-            # HIGHEST: exact selection (Mosaic supports only DEFAULT and
-            # HIGHEST dot precisions; DEFAULT would round the tables to
-            # bf16)
-            g = jnp.dot(tab_ref[...], oh,
+            ntp = tab_ref.shape[1]
+            tile_n = t.shape[0]
+            g = jnp.zeros((nrows, tile_n), dtype)
+            for c in range(ntp // _CHUNK):
+                base = c * _CHUNK
+                hit = jnp.any((klo >= base) & (klo < base + _CHUNK))
+
+                def live(gc, base=base):
+                    rows = jax.lax.broadcasted_iota(
+                        jnp.int32, (_CHUNK, tile_n), 0) + base
+                    ohc = (rows == klo[None, :]).astype(dtype)
+                    # HIGHEST: exact selection (Mosaic supports only
+                    # DEFAULT and HIGHEST dot precisions; DEFAULT would
+                    # round the tables to bf16)
+                    return gc + jnp.dot(
+                        tab_ref[:, base:base + _CHUNK], ohc,
                         preferred_element_type=dtype,
                         precision=jax.lax.Precision.HIGHEST)
+
+                g = jax.lax.cond(hit, live, lambda gc: gc, g)
             s4 = nrows // 4
             xk = t0 + klo.astype(dtype) * dtg
             a = ((xk - tc) / dtg)[None, :]
@@ -332,7 +366,7 @@ def cons2prim_fused(lay, tp, nt_meta, u_t, t_guess, tke, b_h, b_all, mm, ri,
         grid=grid,
         interpret=interpret,
         in_specs=[bs(nvar), bs(1), bs(1), bs(1), bs(1), bs(s),
-                  fb(4 * s, nt), fb(16 * s, nt),
+                  fb(4 * s, b_h.shape[1]), fb(16 * s, b_all.shape[1]),
                   fb(s, 1), fb(s, 1), fb(s, s), fb(s, s), fb(s, s)],
         out_specs=[bs(nvar), bs(nprim), bs(1), bs(nvar), bs(nvar),
                    bs(1), bs(1), bs(s)],
