@@ -36,24 +36,19 @@ def main():
 
     for rawm in meshes:
         sim = Simulation(cfg, dtype=jnp.float32, raw_mesh=rawm)
-        fn = sim._make_rans_step()
         q0, mu_t0, grad_k0, sigma_k0 = sim.initial_turb_state()
-        jfn = jax.jit(fn)
-        args = (sim.u0, sim.t0, q0, mu_t0, grad_k0, sigma_k0,
-                jnp.asarray(False))
-        out = jfn(*args)
-        jax.block_until_ready(out)
-        ignite = args[-1]
+        ignites = jnp.zeros((10,), bool)
 
         def advance(state):
-            o = jfn(*state)
-            return (o[0], o[1], o[2], o[3], o[4], o[5], ignite)
+            carry, _ = sim.rans_multistep(*state, ignites)
+            return carry
 
-        state = advance(args)
+        state = (sim.u0, sim.t0, q0, mu_t0, grad_k0, sigma_k0)
+        state = advance(state)
         jax.block_until_ready(state[0])
         n_iter = 30
         t0 = time.time()
-        for _ in range(n_iter):
+        for _ in range(n_iter // 10):
             state = advance(state)
         jax.block_until_ready(state[0])
         dt = (time.time() - t0) / n_iter

@@ -41,6 +41,16 @@ class MeshArrays:
     # edge id, sign<0 -> edge id + nE, pad -> 2nE.  One gather replaces the
     # two-gather + select in blockcsr.gather_offdiag.
     node_edges_sel: jax.Array = None
+    # slot-major flattened variants (D*nP,): gathers produce (D*nP, k) whose
+    # per-slot reduction is CONTIGUOUS row slices g[d*nP:(d+1)*nP] — the
+    # (nP, D, k) form forces an (expensive) relayout reshape before the
+    # axis-1 reduce on TPU (~0.9 ms per scatter at 142k cells).
+    node_edges_t: jax.Array = None   # (D*nP,) int32 = node_edges.T.ravel()
+    node_sign_t: jax.Array = None    # (D*nP,)
+
+    def _slot_slices(self, g):
+        n = self.npoint
+        return [g[d * n:(d + 1) * n] for d in range(self.max_degree)]
 
     def scatter_edges(self, edge_vals: jax.Array) -> jax.Array:
         """Accumulate per-edge values to nodes with +/- orientation.
@@ -49,9 +59,17 @@ class MeshArrays:
         """
         pad = jnp.zeros((1,) + edge_vals.shape[1:], dtype=edge_vals.dtype)
         ext = jnp.concatenate([edge_vals, pad], axis=0)           # (nE+1, ...)
-        gathered = ext[self.node_edges]                            # (nP, D, ...)
-        sign = self.node_sign.reshape(self.node_sign.shape + (1,) * (edge_vals.ndim - 1))
-        return (gathered * sign).sum(axis=1)
+        if self.node_edges_t is None:     # sharded / coarse meshes
+            gathered = ext[self.node_edges]                        # (nP, D, ...)
+            sign = self.node_sign.reshape(
+                self.node_sign.shape + (1,) * (edge_vals.ndim - 1))
+            return (gathered * sign).sum(axis=1)
+        gathered = ext[self.node_edges_t]                          # (D*nP, ...)
+        sign = self.node_sign_t.reshape(
+            self.node_sign_t.shape + (1,) * (edge_vals.ndim - 1))
+        g = gathered * sign
+        out = self._slot_slices(g)
+        return sum(out[1:], out[0])
 
     def accumulate_sides(self, val_i: jax.Array, val_j: jax.Array) -> jax.Array:
         """out[p] = sum over incident edges e of val_i[e] where p is the edge's
@@ -62,13 +80,22 @@ class MeshArrays:
         programs; this is a pure gather+sum.
         """
         pad = jnp.zeros((1,) + val_i.shape[1:], dtype=val_i.dtype)
-        ei = jnp.concatenate([val_i, pad], axis=0)[self.node_edges]
-        ej = jnp.concatenate([val_j, pad], axis=0)[self.node_edges]
-        sign = self.node_sign.reshape(
-            self.node_sign.shape + (1,) * (val_i.ndim - 1))
+        if self.node_edges_t is None:
+            ei = jnp.concatenate([val_i, pad], axis=0)[self.node_edges]
+            ej = jnp.concatenate([val_j, pad], axis=0)[self.node_edges]
+            sign = self.node_sign.reshape(
+                self.node_sign.shape + (1,) * (val_i.ndim - 1))
+            sel = jnp.where(sign > 0.5, ei, jnp.where(sign < -0.5, ej,
+                                                      jnp.zeros_like(ei)))
+            return sel.sum(axis=1)
+        ei = jnp.concatenate([val_i, pad], axis=0)[self.node_edges_t]
+        ej = jnp.concatenate([val_j, pad], axis=0)[self.node_edges_t]
+        sign = self.node_sign_t.reshape(
+            self.node_sign_t.shape + (1,) * (val_i.ndim - 1))
         sel = jnp.where(sign > 0.5, ei, jnp.where(sign < -0.5, ej,
                                                   jnp.zeros_like(ei)))
-        return sel.sum(axis=1)
+        out = self._slot_slices(sel)
+        return sum(out[1:], out[0])
 
     def scatter_edges_mixed(self, signed_vals: jax.Array,
                             abs_vals: jax.Array):
@@ -83,24 +110,43 @@ class MeshArrays:
         vals = jnp.concatenate([signed_vals, abs_vals], axis=1)
         pad = jnp.zeros((1, vals.shape[1]), dtype=vals.dtype)
         ext = jnp.concatenate([vals, pad], axis=0)
-        gathered = ext[self.node_edges]                       # (nP, D, k+m)
-        sign = self.node_sign[:, :, None]
+        if self.node_edges_t is None:
+            gathered = ext[self.node_edges]                   # (nP, D, k+m)
+            sign = self.node_sign[:, :, None]
+            mult = jnp.concatenate(
+                [jnp.broadcast_to(sign, sign.shape[:2] + (k,)),
+                 jnp.broadcast_to(jnp.abs(sign),
+                                  sign.shape[:2] + (vals.shape[1] - k,))],
+                axis=2)
+            out = (gathered * mult).sum(axis=1)
+            return out[:, :k], out[:, k:]
+        gathered = ext[self.node_edges_t]                     # (D*nP, k+m)
+        sign = self.node_sign_t[:, None]
         mult = jnp.concatenate(
-            [jnp.broadcast_to(sign, sign.shape[:2] + (k,)),
+            [jnp.broadcast_to(sign, (sign.shape[0], k)),
              jnp.broadcast_to(jnp.abs(sign),
-                              sign.shape[:2] + (vals.shape[1] - k,))],
-            axis=2)
-        out = (gathered * mult).sum(axis=1)
-        return out[:, :k], out[:, k:]
+                              (sign.shape[0], vals.shape[1] - k))],
+            axis=1)
+        g = gathered * mult
+        out = self._slot_slices(g)
+        tot = sum(out[1:], out[0])
+        return tot[:, :k], tot[:, k:]
 
     def sum_edges_abs(self, edge_vals: jax.Array) -> jax.Array:
         """out[i] = sum over incident edges of edge_vals (no sign)."""
         pad = jnp.zeros((1,) + edge_vals.shape[1:], dtype=edge_vals.dtype)
         ext = jnp.concatenate([edge_vals, pad], axis=0)
-        gathered = ext[self.node_edges]
-        mask = jnp.abs(self.node_sign).reshape(
-            self.node_sign.shape + (1,) * (edge_vals.ndim - 1))
-        return (gathered * mask).sum(axis=1)
+        if self.node_edges_t is None:
+            gathered = ext[self.node_edges]
+            mask = jnp.abs(self.node_sign).reshape(
+                self.node_sign.shape + (1,) * (edge_vals.ndim - 1))
+            return (gathered * mask).sum(axis=1)
+        gathered = ext[self.node_edges_t]
+        mask = jnp.abs(self.node_sign_t).reshape(
+            self.node_sign_t.shape + (1,) * (edge_vals.ndim - 1))
+        g = gathered * mask
+        out = self._slot_slices(g)
+        return sum(out[1:], out[0])
 
 
 jax.tree_util.register_dataclass(
@@ -108,7 +154,7 @@ jax.tree_util.register_dataclass(
     data_fields=["coords", "volume", "edges", "edge_normal", "edge_area",
                  "node_edges", "node_sign", "node_nbrs", "nbr_mask",
                  "n_neighbors", "bnd_accum_normal", "markers", "marker_nn",
-                 "node_edges_sel"],
+                 "node_edges_sel", "node_edges_t", "node_sign_t"],
     meta_fields=["ndim", "npoint", "nedge", "max_degree"],
 )
 
@@ -143,4 +189,6 @@ def mesh_arrays(grid: DualGrid, dtype=jnp.float64) -> MeshArrays:
         n_neighbors=i(nnb),
         bnd_accum_normal=f(bnd_accum), markers=markers, marker_nn=marker_nn,
         node_edges_sel=i(sel_idx),
+        node_edges_t=i(grid.node_edges.T.reshape(-1)),
+        node_sign_t=f(grid.node_edge_sign.T.reshape(-1)),
     )
