@@ -47,6 +47,8 @@ class MeshArrays:
     # axis-1 reduce on TPU (~0.9 ms per scatter at 142k cells).
     node_edges_t: jax.Array = None   # (D*nP,) int32 = node_edges.T.ravel()
     node_sign_t: jax.Array = None    # (D*nP,)
+    node_nbrs_t: jax.Array = None    # (D*nP,) int32 = node_nbrs.T.ravel()
+    node_edges_sel_t: jax.Array = None  # (D*nP,) int32, slot-major sel
 
     def _slot_slices(self, g):
         n = self.npoint
@@ -154,7 +156,8 @@ jax.tree_util.register_dataclass(
     data_fields=["coords", "volume", "edges", "edge_normal", "edge_area",
                  "node_edges", "node_sign", "node_nbrs", "nbr_mask",
                  "n_neighbors", "bnd_accum_normal", "markers", "marker_nn",
-                 "node_edges_sel", "node_edges_t", "node_sign_t"],
+                 "node_edges_sel", "node_edges_t", "node_sign_t",
+                 "node_nbrs_t", "node_edges_sel_t"],
     meta_fields=["ndim", "npoint", "nedge", "max_degree"],
 )
 
@@ -191,4 +194,6 @@ def mesh_arrays(grid: DualGrid, dtype=jnp.float64) -> MeshArrays:
         node_edges_sel=i(sel_idx),
         node_edges_t=i(grid.node_edges.T.reshape(-1)),
         node_sign_t=f(grid.node_edge_sign.T.reshape(-1)),
+        node_nbrs_t=i(grid.node_nbrs.T.reshape(-1)),
+        node_edges_sel_t=i(sel_idx.T.reshape(-1)),
     )

@@ -59,9 +59,7 @@ def matvec(mesh: MeshArrays, jac: BlockJacobian, x: jax.Array,
     # neighbor contributions: node p with sign +1 on edge e=(p, q) uses
     # off_ij[e] @ x[q]; with sign -1 (p == j) uses off_ji[e] @ x[q].
     sel = gather_offdiag(mesh, jac) if offdiag is None else offdiag
-    xn = x[mesh.node_nbrs]                                             # (nP,D,v)
-    y = y + _bmv(sel, xn).sum(axis=1)
-    return y
+    return y + _offdiag_apply(mesh, sel, x)
 
 
 def block_jacobi_factor(jac: BlockJacobian) -> jax.Array:
@@ -121,8 +119,29 @@ def greedy_coloring(node_nbrs) -> "np.ndarray":
     return colors
 
 
+def _offdiag_apply(mesh: MeshArrays, sel: jax.Array, x: jax.Array):
+    """sum_d sel[p,d] @ x[nbr(p,d)] for sel from gather_offdiag (either the
+    slot-major (D*nP, v, v) flat form or the (nP, D, v, v) form)."""
+    n = mesh.npoint
+    if sel.ndim == 3:                       # slot-major flat
+        xn = x[mesh.node_nbrs_t]                                  # (D*nP, v)
+        prod = _bmv(sel, xn)                                      # (D*nP, v)
+        parts = [prod[d * n:(d + 1) * n] for d in range(mesh.max_degree)]
+        return sum(parts[1:], parts[0])
+    xn = x[mesh.node_nbrs]                                        # (nP,D,v)
+    return _bmv(sel, xn).sum(axis=1)
+
+
 def gather_offdiag(mesh: MeshArrays, jac: BlockJacobian) -> jax.Array:
-    """(nP, D, v, v) per-(node, slot) neighbor blocks (see matvec)."""
+    """Per-(node, slot) neighbor blocks for matvec/SGS: slot-major
+    (D*nP, v, v) when the mesh carries flattened index lists (single-device
+    path — avoids the gather relayout copy), else (nP, D, v, v)."""
+    # the slot-major form wins once relayout-copy cost dominates the extra
+    # slice/add ops (~16k nodes); small systems keep the fused reduce
+    if mesh.node_edges_sel_t is not None and mesh.npoint >= 16384:
+        pad = jnp.zeros((1,) + jac.off_ij.shape[1:], dtype=jac.off_ij.dtype)
+        stacked = jnp.concatenate([jac.off_ij, jac.off_ji, pad], axis=0)
+        return stacked[mesh.node_edges_sel_t]
     if mesh.node_edges_sel is not None:
         pad = jnp.zeros((1,) + jac.off_ij.shape[1:], dtype=jac.off_ij.dtype)
         stacked = jnp.concatenate([jac.off_ij, jac.off_ji, pad], axis=0)
@@ -148,7 +167,7 @@ def multicolor_sgs_apply(mesh: MeshArrays, jac: BlockJacobian,
     z = jnp.zeros_like(r)
 
     def color_update(z, mask):
-        nz = _bmv(sel, z[mesh.node_nbrs]).sum(axis=1)
+        nz = _offdiag_apply(mesh, sel, z)
         znew = _bmv(dinv, r - nz)
         return jnp.where(mask[:, None], znew, z)
 
