@@ -17,7 +17,22 @@ Architecture (TPU-first, not a port):
   - MPI halo exchange -> jax.sharding.Mesh + shard_map + ppermute
 """
 
+import os as _os
+
 import jax as _jax
+
+# Persistent XLA compilation cache: the flagship coupled step is a large
+# program (~0.5-3 min TPU compile); cache executables across processes so
+# benchmarks, tests, and production restarts skip recompilation.
+try:
+    _cache_dir = _os.environ.get(
+        "SU2_TPU_JAX_CACHE",
+        _os.path.join(_os.path.dirname(_os.path.dirname(
+            _os.path.abspath(__file__))), ".jax_cache"))
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # pragma: no cover - cache is best-effort
+    pass
 
 # XLA:TPU's DEFAULT matmul precision rounds f32 einsum/dot inputs to bf16.
 # Every contraction in this solver is a small physics contraction (WLS
