@@ -82,6 +82,7 @@ class Simulation:
         raw = raw_mesh if raw_mesh is not None \
             else read_su2_mesh(cfg.resolve(cfg.mesh_filename))
         self.raw = raw
+        self.perm = None
         if ndevices is not None and ndevices > 1:
             # RCB reorder for contiguous per-device blocks + pad to multiples
             from su2_tpu.parallel import sharding as shd
@@ -91,10 +92,33 @@ class Simulation:
             self.mesh = shd.shard_mesh_arrays(
                 mesh_arrays(self.grid, dtype), self.dmesh)
         else:
-            self.grid = build_dual_grid(raw)
-            if cfg.marker_periodic:
-                from su2_tpu.geometry.periodic import apply_periodic_markers
-                self.grid = apply_periodic_markers(self.grid, cfg)
+            def _build(r):
+                g = build_dual_grid(r)
+                if cfg.marker_periodic:
+                    from su2_tpu.geometry.periodic import \
+                        apply_periodic_markers
+                    g = apply_periodic_markers(g, cfg)
+                return g
+
+            self.grid = _build(raw)
+            # static-stencil renumbering (geometry/stencil.py): when the
+            # as-read node order has no small neighbor-offset set but the
+            # mesh is logically structured, renumber row-major so the
+            # implicit solves run gather-free.  State arrays then live in
+            # the renumbered order (like the multi-device RCB path);
+            # self.perm maps back to file order at the IO boundaries.
+            from su2_tpu.geometry import stencil as stn
+            if cfg.extra.get("STENCIL_ORDERING", "YES") != "NO" \
+                    and len(stn.edge_offsets(self.grid.edges)) \
+                    > stn.MAX_OFFSETS:
+                sperm = stn.structured_order(raw)
+                if sperm is not None:
+                    from su2_tpu.parallel.partition import permute_raw_mesh
+                    raw2 = permute_raw_mesh(raw, sperm)
+                    grid2 = _build(raw2)
+                    if 0 < len(stn.edge_offsets(grid2.edges)) \
+                            <= stn.MAX_OFFSETS:
+                        raw, self.grid, self.perm = raw2, grid2, sperm
             self.dmesh = None
             self.mesh = mesh_arrays(self.grid, dtype)
         self.lay = Layout(self.grid.ndim, cfg.nspecies)
@@ -568,7 +592,7 @@ class Simulation:
         path = self.cfg.resolve(self.cfg.solution_flow_filename)
         nturb = 2 if self.cfg.turbulent else 0
         u, turb = rio.read_restart(path, self.lay.ndim, self.lay.nvar, nturb)
-        if hasattr(self, "perm") and self.ndevices:
+        if getattr(self, "perm", None) is not None:
             u = u[self.perm]
             turb = turb[self.perm] if turb is not None else None
         n = self.mesh.npoint
@@ -576,6 +600,18 @@ class Simulation:
             pad = np.asarray(self.u0[u.shape[0]:n])
             u = np.vstack([u, pad])
         return jnp.asarray(u, dtype=self.dtype), turb
+
+    def to_file_order(self, arr):
+        """Map a per-node state array from the internal (renumbered/padded)
+        node order back to the mesh-file order — the order all external
+        artifacts (restart files, reference fixtures, surface data) use."""
+        arr = np.asarray(arr)
+        n_real = self.raw.npoint
+        if getattr(self, "perm", None) is not None:
+            out_arr = np.empty((n_real,) + arr.shape[1:], arr.dtype)
+            out_arr[self.perm] = arr[:n_real]
+            return out_arr
+        return arr[:n_real]
 
     def enable_output(self, out_dir: str | None = None):
         """Turn on history/restart/volume/surface writing (COutput role)."""
@@ -598,17 +634,8 @@ class Simulation:
         u2, v, _ = st_.cons2prim(
             self.lib, self.lay, u, t_guess, self.tparams,
             turb_ke=turb[0][:, 0] if turb is not None else None)
-        n_real = self.raw.npoint
         coords = self.raw.coords
-
-        def unpermute(arr):
-            arr = np.asarray(arr)
-            if hasattr(self, "perm") and self.ndevices:
-                out_arr = np.empty((n_real,) + arr.shape[1:], arr.dtype)
-                out_arr[self.perm] = arr[:n_real]
-                return out_arr
-            return arr[:n_real]
-
+        unpermute = self.to_file_order
         un = unpermute(u2)
         turb_np = unpermute(turb[0]) if turb is not None else None
         rname = self.cfg.restart_flow_filename
@@ -647,7 +674,7 @@ class Simulation:
         nodes = np.unique(np.concatenate(
             [np.asarray(self.mesh.markers[t][0]) for t in plot_markers
              if t in self.mesh.markers])) if plot_markers else np.array([], int)
-        if hasattr(self, "perm") and self.ndevices and len(nodes):
+        if getattr(self, "perm", None) is not None and len(nodes):
             nodes = np.sort(self.perm[nodes])   # back to original numbering
         if len(nodes):
             out.write_surface_csv(

@@ -49,6 +49,12 @@ class MeshArrays:
     node_sign_t: jax.Array = None    # (D*nP,)
     node_nbrs_t: jax.Array = None    # (D*nP,) int32 = node_nbrs.T.ravel()
     node_edges_sel_t: jax.Array = None  # (D*nP,) int32, slot-major sel
+    # static-stencil form (geometry/stencil.py): when every neighbor sits at
+    # one of K static index offsets, stencil_sel[k, p] indexes the block of
+    # row p / column p+offsets[k] in concat([off_ij, off_ji, zero]) and the
+    # sparse neighbor product becomes K roll+multiply passes (no gathers).
+    stencil_sel: jax.Array = None       # (K, nP) int32, or None
+    stencil_offsets: tuple = None       # static K signed offsets, or None
 
     def _slot_slices(self, g):
         n = self.npoint
@@ -157,14 +163,26 @@ jax.tree_util.register_dataclass(
                  "node_edges", "node_sign", "node_nbrs", "nbr_mask",
                  "n_neighbors", "bnd_accum_normal", "markers", "marker_nn",
                  "node_edges_sel", "node_edges_t", "node_sign_t",
-                 "node_nbrs_t", "node_edges_sel_t"],
-    meta_fields=["ndim", "npoint", "nedge", "max_degree"],
+                 "node_nbrs_t", "node_edges_sel_t", "stencil_sel"],
+    meta_fields=["ndim", "npoint", "nedge", "max_degree", "stencil_offsets"],
 )
 
 
 def mesh_arrays(grid: DualGrid, dtype=jnp.float64) -> MeshArrays:
     f = lambda x: jnp.asarray(x, dtype=dtype)
     i = lambda x: jnp.asarray(x, dtype=jnp.int32)
+
+    # static-stencil form of the node adjacency (geometry/stencil.py):
+    # discovered from the final edge list so periodic merging etc. is seen
+    from su2_tpu.geometry import stencil as stn
+    offsets = stn.edge_offsets(grid.edges)
+    if 0 < len(offsets) <= stn.MAX_OFFSETS:
+        stencil_offsets = tuple(int(o) for o in offsets)
+        stencil_sel = i(stn.stencil_select(grid.edges, grid.npoint,
+                                           stencil_offsets))
+    else:
+        stencil_offsets = None
+        stencil_sel = None
 
     bnd_accum = np.zeros_like(grid.coords)
     for tag in grid.bnd_nodes:
@@ -196,4 +214,6 @@ def mesh_arrays(grid: DualGrid, dtype=jnp.float64) -> MeshArrays:
         node_sign_t=f(grid.node_edge_sign.T.reshape(-1)),
         node_nbrs_t=i(grid.node_nbrs.T.reshape(-1)),
         node_edges_sel_t=i(sel_idx.T.reshape(-1)),
+        stencil_sel=stencil_sel,
+        stencil_offsets=stencil_offsets,
     )

@@ -120,9 +120,18 @@ def greedy_coloring(node_nbrs) -> "np.ndarray":
 
 
 def _offdiag_apply(mesh: MeshArrays, sel: jax.Array, x: jax.Array):
-    """sum_d sel[p,d] @ x[nbr(p,d)] for sel from gather_offdiag (either the
-    slot-major (D*nP, v, v) flat form or the (nP, D, v, v) form)."""
+    """sum_d sel[p,d] @ x[nbr(p,d)] for sel from gather_offdiag: the static
+    stencil (K, nP, v, v) form, the slot-major (D*nP, v, v) flat form, or
+    the (nP, D, v, v) form."""
     n = mesh.npoint
+    if (mesh.stencil_offsets is not None and sel.ndim == 4
+            and sel.shape[0] == len(mesh.stencil_offsets)):
+        # static-stencil: neighbor access is a lane shift, not a gather
+        # (geometry/stencil.py) — kills the per-application gather relayout
+        # copies that dominated the turb FGMRES/SGS cost
+        parts = [_bmv(sel[k], jnp.roll(x, -o, axis=0))
+                 for k, o in enumerate(mesh.stencil_offsets)]
+        return sum(parts[1:], parts[0])
     if sel.ndim == 3:                       # slot-major flat
         xn = x[mesh.node_nbrs_t]                                  # (D*nP, v)
         prod = _bmv(sel, xn)                                      # (D*nP, v)
@@ -133,9 +142,14 @@ def _offdiag_apply(mesh: MeshArrays, sel: jax.Array, x: jax.Array):
 
 
 def gather_offdiag(mesh: MeshArrays, jac: BlockJacobian) -> jax.Array:
-    """Per-(node, slot) neighbor blocks for matvec/SGS: slot-major
-    (D*nP, v, v) when the mesh carries flattened index lists (single-device
-    path — avoids the gather relayout copy), else (nP, D, v, v)."""
+    """Per-(node, slot) neighbor blocks for matvec/SGS: the static-stencil
+    (K, nP, v, v) form when the mesh has one (ONE gather per solve; every
+    application is then gather-free), else slot-major (D*nP, v, v) for large
+    meshes, else (nP, D, v, v)."""
+    if mesh.stencil_sel is not None:
+        pad = jnp.zeros((1,) + jac.off_ij.shape[1:], dtype=jac.off_ij.dtype)
+        stacked = jnp.concatenate([jac.off_ij, jac.off_ji, pad], axis=0)
+        return stacked[mesh.stencil_sel]                  # (K, nP, v, v)
     # the slot-major form wins once relayout-copy cost dominates the extra
     # slice/add ops (~16k nodes); small systems keep the fused reduce
     if mesh.node_edges_sel_t is not None and mesh.npoint >= 16384:

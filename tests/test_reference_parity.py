@@ -132,7 +132,9 @@ def test_pasr_50_iteration_fields_match_reference(combustion_dir, tmp_path):
         _os.chdir(cwd)
     assert hist[-1][sim.lay.RHO] == pytest.approx(-3.366962, abs=5e-4)
     assert hist[-1][sim.lay.RHOE] == pytest.approx(2.239833, abs=5e-4)
-    ua = np.asarray(u)
+    # internal state may live in a renumbered node order (stencil ordering);
+    # the reference fixture is in mesh-file order
+    ua = sim.to_file_order(u)
     ref_u = ref50["u"]
     for k in range(4):                      # rho, rho u, rho v, rho E
         scale = np.abs(ref_u[:, k]).max()
@@ -141,7 +143,7 @@ def test_pasr_50_iteration_fields_match_reference(combustion_dir, tmp_path):
         scale = max(np.abs(ref_u[:, k]).max(), 1e-30)
         assert np.abs(ua[:, k] - ref_u[:, k]).max() / scale < 3e-3, k
     # turbulence columns in the same storage the restart files use
-    qa = np.asarray(q)
+    qa = sim.to_file_order(q)
     ref_t = ref50["turb"]
     for k in range(2):
         scale = np.abs(ref_t[:, k]).max()
