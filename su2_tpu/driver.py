@@ -195,7 +195,9 @@ class Simulation:
 
         # multicolor masks for the LU_SGS-class preconditioners
         self.color_masks = None
-        if cfg.implicit_flow and cfg.linear_solver_prec != "JACOBI":
+        any_implicit = cfg.implicit_flow or (self.turbulent
+                                             and cfg.implicit_turb)
+        if any_implicit and cfg.linear_solver_prec != "JACOBI":
             from su2_tpu.linalg import blockcsr
             colors = blockcsr.greedy_coloring(self.grid.node_nbrs)
             masks = [jnp.asarray(colors == c)

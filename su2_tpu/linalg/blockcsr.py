@@ -192,6 +192,35 @@ def multicolor_sgs_apply(mesh: MeshArrays, jac: BlockJacobian,
     return z
 
 
+def make_solver_ops(mesh: MeshArrays, jac: BlockJacobian,
+                    kind: str = "JACOBI", color_masks=None):
+    """(matvec, precond, precond_matvec|None) for a Krylov solve.
+
+    On static-stencil meshes with small blocks the SGS-class preconditioner
+    and the matvec run as single fused pallas kernels (VMEM-resident sweep,
+    pallas/stencil_solve.py); precond_matvec computes (z, A z) in one launch
+    for FGMRES.  Elsewhere this is the gather-based XLA path.
+    """
+    dinv = block_jacobi_factor(jac)
+    v = jac.diag.shape[-1]
+    sgs = kind in ("LU_SGS", "ILU0", "LINELET") and color_masks is not None
+    if sgs and mesh.stencil_sel is not None:
+        from su2_tpu.pallas import stencil_solve as stks
+        if stks.supported(mesh, v, jac.diag.dtype):
+            sel = gather_offdiag(mesh, jac)
+            ops = stks.StencilSolveOps(mesh, sel, dinv, jac.diag,
+                                       color_masks)
+            return ops.matvec, ops.precond, ops.precond_matvec
+    sel = gather_offdiag(mesh, jac)
+    mv = lambda x: matvec(mesh, jac, x, sel)
+    if sgs:
+        pc = lambda r: multicolor_sgs_apply(mesh, jac, dinv, color_masks, r,
+                                            offdiag=sel)
+    else:
+        pc = lambda r: block_jacobi_apply(dinv, r)
+    return mv, pc, None
+
+
 def make_preconditioner(mesh: MeshArrays, jac: BlockJacobian,
                         kind: str = "JACOBI", color_masks=None):
     """Factor once, return the apply closure (CSysSolve preconditioner

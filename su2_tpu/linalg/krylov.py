@@ -50,17 +50,25 @@ def _lstsq_small(h, e1):
     return y
 
 
-def fgmres(matvec, precond, b, x0=None, max_iter: int = 5, tol: float = 1e-6):
+def fgmres(matvec, precond, b, x0=None, max_iter: int = 5, tol: float = 1e-6,
+           precond_matvec=None):
     """Flexible GMRES (right preconditioning), single cycle of `max_iter`
     Krylov vectors (matches the reference usage: FGMRES with a small fixed
     iteration budget, tolerance `tol` relative to ||b||).
+
+    `precond_matvec`, when given, computes (z, A z) = (precond(v),
+    matvec(precond(v))) in one fused application (pallas stencil path).
 
     Returns (x, final_relative_residual, iters_used).
     """
     s = _pow2_scale(b)
     b = b / s
-    x = jnp.zeros_like(b) if x0 is None else x0 / s
-    r = b - matvec(x)
+    if x0 is None:
+        x = jnp.zeros_like(b)
+        r = b
+    else:
+        x = x0 / s
+        r = b - matvec(x)
     beta = _norm(r)
     norm0 = jnp.maximum(_norm(b), 1e-300)
     m = max_iter
@@ -82,8 +90,11 @@ def fgmres(matvec, precond, b, x0=None, max_iter: int = 5, tol: float = 1e-6):
     one = jnp.ones_like(beta)
     zero = jnp.zeros_like(beta)
     for j in range(m):
-        z = precond(vs[j])
-        w = matvec(z)
+        if precond_matvec is not None:
+            z, w = precond_matvec(vs[j])
+        else:
+            z = precond(vs[j])
+            w = matvec(z)
         zs.append(z)
         col = []
         for i in range(j + 1):

@@ -1,0 +1,185 @@
+"""Fused Krylov building blocks for static-stencil meshes (one pallas pass).
+
+On a structured-ordered mesh (geometry/stencil.py) the off-diagonal block
+product is K lane-rotates + elementwise block math.  For small block sizes
+the whole preconditioner application fits in VMEM, so the multicolor
+symmetric block-Gauss-Seidel sweep (the TPU form of the reference's LU-SGS,
+Common/src/matrix_structure.cpp:479) and the following matvec collapse into
+a single kernel launch instead of ~10 color updates x ~6 XLA ops each —
+the implicit SST solve is op-dispatch bound at 9k-140k cells.
+
+Layout: everything feature-major.  Blocks ride as (v*v, npad) rows
+[m_00, m_01, .., m_{v-1,v-1}]; states as (v, npad).  npad is the node count
+rounded up to the 128-lane boundary with zeroed pad columns: rolled-in
+garbage is always multiplied by a zero off-diagonal block (stencil_select
+routes missing neighbors to the zero pad block), and pad cells keep z = 0
+because their dinv rows are zero.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# VMEM budget for the resident sel blocks (bytes); beyond this the XLA
+# gather/roll path is used instead.
+_VMEM_SEL_BUDGET = 6 * 1024 * 1024
+
+
+def _pad_lanes(x, npad):
+    extra = npad - x.shape[-1]
+    if extra == 0:
+        return x
+    return jnp.concatenate(
+        [x, jnp.zeros(x.shape[:-1] + (extra,), x.dtype)], axis=-1)
+
+
+def supported(mesh, v: int, dtype) -> bool:
+    if mesh.stencil_offsets is None:
+        return False
+    k = len(mesh.stencil_offsets)
+    npad = -(-mesh.npoint // 128) * 128
+    return k * v * v * npad * jnp.dtype(dtype).itemsize <= _VMEM_SEL_BUDGET
+
+
+def _roll(x, off):
+    """x[..., p] -> x[..., p + off] (wrap; wrapped lanes hit zero blocks).
+    pltpu.roll wants a non-negative shift, so wrap it mod the lane count."""
+    return pltpu.roll(x, (-off) % x.shape[-1], axis=x.ndim - 1)
+
+
+def _offdiag(sel, x, offsets, v):
+    """sum_k M_k x(p + o_k): sel (K*v*v, npad), x (v, npad) -> (v, npad)."""
+    out = None
+    for kk, off in enumerate(offsets):
+        xs = _roll(x, off)                          # (v, npad)
+        blk = sel[kk * v * v:(kk + 1) * v * v]      # (v*v, npad)
+        rows = [
+            sum(blk[a * v + b] * xs[b] for b in range(v)) for a in range(v)
+        ]
+        y = jnp.stack(rows, axis=0)
+        out = y if out is None else out + y
+    return out
+
+
+def _bapply(blocks, x, v):
+    """Block-diagonal product: blocks (v*v, npad), x (v, npad)."""
+    return jnp.stack(
+        [sum(blocks[a * v + b] * x[b] for b in range(v)) for a in range(v)],
+        axis=0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("offsets", "v", "ncolor", "interpret"))
+def _sgs_matvec_call(sel_t, dinv_t, diag_t, masks_t, r_t, *, offsets, v,
+                     ncolor, interpret):
+    npad = r_t.shape[-1]
+    dtype = r_t.dtype
+
+    def kernel(sel_ref, dinv_ref, diag_ref, masks_ref, r_ref, z_ref, w_ref):
+        sel = sel_ref[...]
+        dinv = dinv_ref[...]
+        masks = masks_ref[...]
+        r = r_ref[...]
+        z = jnp.zeros_like(r)
+        order = list(range(ncolor)) + list(range(ncolor - 1, -1, -1))
+        for c in order:
+            acc = r - _offdiag(sel, z, offsets, v)
+            zn = _bapply(dinv, acc, v)
+            m = masks[c][None, :]
+            z = jnp.where(m > 0.5, zn, z)
+        z_ref[...] = z
+        w_ref[...] = _bapply(diag_ref[...], z, v) + _offdiag(
+            sel, z, offsets, v)
+
+    full = lambda a: pl.BlockSpec(a.shape, lambda: (0,) * a.ndim)
+    z, w = pl.pallas_call(
+        kernel,
+        interpret=interpret,
+        in_specs=[full(sel_t), full(dinv_t), full(diag_t), full(masks_t),
+                  full(r_t)],
+        out_specs=[full(r_t), full(r_t)],
+        out_shape=[jax.ShapeDtypeStruct((v, npad), dtype)] * 2,
+    )(sel_t, dinv_t, diag_t, masks_t, r_t)
+    return z, w
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "v", "interpret"))
+def _matvec_call(sel_t, diag_t, x_t, *, offsets, v, interpret):
+    npad = x_t.shape[-1]
+    dtype = x_t.dtype
+
+    def kernel(sel_ref, diag_ref, x_ref, y_ref):
+        x = x_ref[...]
+        y_ref[...] = _bapply(diag_ref[...], x, v) + _offdiag(
+            sel_ref[...], x, offsets, v)
+
+    full = lambda a: pl.BlockSpec(a.shape, lambda: (0,) * a.ndim)
+    return pl.pallas_call(
+        kernel,
+        interpret=interpret,
+        in_specs=[full(sel_t), full(diag_t), full(x_t)],
+        out_specs=full(x_t),
+        out_shape=jax.ShapeDtypeStruct((v, npad), dtype),
+    )(sel_t, diag_t, x_t)
+
+
+def _interpret():
+    return jax.devices()[0].platform != "tpu"
+
+
+class StencilSolveOps:
+    """Per-solve fused operators: transpose/pad the block data once, then
+    every application is a single kernel launch.
+
+    sel: (K, nP, v, v) from blockcsr.gather_offdiag (stencil form);
+    dinv, diag: (nP, v, v); color_masks: list of (nP,) bool.
+    """
+
+    def __init__(self, mesh, sel, dinv, diag, color_masks):
+        k, n, v, _ = sel.shape
+        self.v = v
+        self.n = n
+        self.offsets = tuple(mesh.stencil_offsets)
+        npad = -(-n // 128) * 128
+        self.npad = npad
+        tt = lambda b: _pad_lanes(
+            b.transpose(1, 2, 0).reshape(v * v, n), npad)
+        self.sel_t = _pad_lanes(
+            sel.transpose(0, 2, 3, 1).reshape(k * v * v, n), npad)
+        self.dinv_t = tt(dinv)
+        self.diag_t = tt(diag)
+        self.masks_t = _pad_lanes(
+            jnp.stack([m.astype(sel.dtype) for m in color_masks]), npad)
+        self.ncolor = len(color_masks)
+
+    def _to_t(self, x):
+        return _pad_lanes(x.T, self.npad)
+
+    def _from_t(self, x_t):
+        return x_t[:, :self.n].T
+
+    def precond_matvec(self, r):
+        """(z, A z) with z = symmetric multicolor SGS sweep of r."""
+        z_t, w_t = _sgs_matvec_call(
+            self.sel_t, self.dinv_t, self.diag_t, self.masks_t,
+            self._to_t(r), offsets=self.offsets, v=self.v,
+            ncolor=self.ncolor, interpret=_interpret())
+        return self._from_t(z_t), self._from_t(w_t)
+
+    def precond(self, r):
+        z_t, _ = _sgs_matvec_call(
+            self.sel_t, self.dinv_t, self.diag_t, self.masks_t,
+            self._to_t(r), offsets=self.offsets, v=self.v,
+            ncolor=self.ncolor, interpret=_interpret())
+        return self._from_t(z_t)
+
+    def matvec(self, x):
+        y_t = _matvec_call(self.sel_t, self.diag_t, self._to_t(x),
+                           offsets=self.offsets, v=self.v,
+                           interpret=_interpret())
+        return self._from_t(y_t)

@@ -280,13 +280,14 @@ def sst_step(lay: Layout, mesh: MeshArrays, scfg: SSTConfig, bcs,
     diag = diag + delta[:, None, None] * eye2
     jac = BlockJacobian(diag=diag, off_ij=off_ij, off_ji=off_ji)
     rhs = -res
-    pc = blockcsr.make_preconditioner(mesh, jac, scfg.linear_prec,
-                                      scfg.color_masks)
-    _sel = blockcsr.gather_offdiag(mesh, jac)
-    solver = krylov.bcgstab if scfg.linear_solver == "BCGSTAB" else krylov.fgmres
-    sol, _, _ = solver(
-        lambda x: blockcsr.matvec(mesh, jac, x, _sel), pc,
-        rhs, max_iter=scfg.linear_iter, tol=scfg.linear_tol)
+    mv, pc, pm = blockcsr.make_solver_ops(mesh, jac, scfg.linear_prec,
+                                          scfg.color_masks)
+    if scfg.linear_solver == "BCGSTAB":
+        sol, _, _ = krylov.bcgstab(mv, pc, rhs, max_iter=scfg.linear_iter,
+                                   tol=scfg.linear_tol)
+    else:
+        sol, _, _ = krylov.fgmres(mv, pc, rhs, max_iter=scfg.linear_iter,
+                                  tol=scfg.linear_tol, precond_matvec=pm)
 
     # conservative update: q_new = (rho_old q_old + relax*d(rho q))/rho_new
     lower = jnp.asarray(LOWER, dtype=dtype)

@@ -148,6 +148,47 @@ def test_stencil_sgs_matches_gather_path():
                                rtol=1e-11, atol=1e-13)
 
 
+def test_stencil_solve_ops_match_xla_path():
+    """The fused pallas sweep (pallas/stencil_solve.py) must reproduce the
+    gather/roll XLA matvec and multicolor SGS exactly (interpret mode off
+    TPU)."""
+    mesh = _quad_grid(6, 7)
+    grid = build_dual_grid(mesh)
+    ma = mesh_arrays(grid)
+    assert ma.stencil_sel is not None
+
+    v = 2
+    rng = np.random.default_rng(5)
+    jac = blockcsr.BlockJacobian(
+        diag=jnp.asarray(rng.normal(0, .2, (ma.npoint, v, v))
+                         + 3 * np.eye(v)),
+        off_ij=jnp.asarray(rng.normal(0, .2, (ma.nedge, v, v))),
+        off_ji=jnp.asarray(rng.normal(0, .2, (ma.nedge, v, v))))
+    r = jnp.asarray(rng.normal(0, 1, (ma.npoint, v)))
+    colors = blockcsr.greedy_coloring(np.asarray(ma.node_nbrs))
+    masks = [jnp.asarray(colors == c) for c in range(colors.max() + 1)]
+
+    mv, pc, pm = blockcsr.make_solver_ops(ma, jac, "LU_SGS", masks)
+    assert pm is not None, "stencil pallas path not selected"
+
+    want_mv = blockcsr.matvec(ma, jac, r)
+    np.testing.assert_allclose(np.asarray(mv(r)), np.asarray(want_mv),
+                               rtol=1e-11, atol=1e-13)
+
+    dinv = blockcsr.block_jacobi_factor(jac)
+    want_z = blockcsr.multicolor_sgs_apply(ma, jac, dinv, masks, r)
+    z = pc(r)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(want_z),
+                               rtol=1e-11, atol=1e-13)
+
+    z2, w2 = pm(r)
+    np.testing.assert_allclose(np.asarray(z2), np.asarray(want_z),
+                               rtol=1e-11, atol=1e-13)
+    want_w = blockcsr.matvec(ma, jac, want_z)
+    np.testing.assert_allclose(np.asarray(w2), np.asarray(want_w),
+                               rtol=1e-11, atol=1e-13)
+
+
 def test_driver_renumbers_combustion_mesh(combustion_dir):
     """The shipped combustion mesh is a scrambled 90x100 logical grid; the
     driver should recover row-major order and run gather-free."""
