@@ -169,8 +169,7 @@ class Simulation:
                 from su2_tpu.parallel import sharding as shd
                 (self.wall_dist,) = shd.shard_state(self.dmesh, self.wall_dist)
             ys, t_inf, p_inf, rho_inf, vel_inf, _ = self.freestream_primitives()
-            mu_inf = float(cl.mixture_viscosity(
-                self.lib, jnp.asarray([t_inf], dtype=dtype), ys[None])[0])
+            mu_inf = self._fs_mu_inf
             self.kine_inf, self.omega_inf, self.mut_inf = sst.freestream(
                 cfg, rho_inf, vel_inf, mu_inf)
             if cfg.kind_turb_model == "SA":
@@ -233,18 +232,30 @@ class Simulation:
 
     # ------------------------------------------------------------------
     def freestream_primitives(self):
+        # one jitted evaluation + one readback: the eager op-by-op chain
+        # costs ~100s of network round-trips on a tunneled TPU backend
+        if getattr(self, "_fs_prims", None) is not None:
+            return self._fs_prims
         cfg = self.cfg
         ys = jnp.asarray(cfg.freestream_mass_frac, dtype=self.dtype)
         t_inf = cfg.freestream_temperature
         p_inf = cfg.freestream_pressure
-        rgas = float(cl.mixture_rgas(self.lib, ys[None])[0])
+
+        def scalars(ys_in):
+            t = jnp.full((1,), t_inf, dtype=self.dtype)
+            return (cl.mixture_rgas(self.lib, ys_in[None])[0],
+                    cl.mixture_enthalpy(self.lib, t, ys_in[None])[0],
+                    cl.mixture_viscosity(self.lib, t, ys_in[None])[0])
+
+        rgas, h, mu = jax.device_get(jax.jit(scalars)(ys))
+        rgas, h = float(rgas), float(h)
+        self._fs_mu_inf = float(mu)
         rho_inf = p_inf / (rgas * t_inf)
         vel_inf = np.array(cfg.freestream_velocity[:self.lay.ndim])
-        e_int = float(cl.mixture_enthalpy(
-            self.lib, jnp.asarray([t_inf], dtype=self.dtype), ys[None])[0]) \
-            - rgas * t_inf
+        e_int = h - rgas * t_inf
         energy_inf = e_int + 0.5 * float(vel_inf @ vel_inf)
-        return ys, t_inf, p_inf, rho_inf, vel_inf, energy_inf
+        self._fs_prims = (ys, t_inf, p_inf, rho_inf, vel_inf, energy_inf)
+        return self._fs_prims
 
     def freestream_solution(self):
         """SetFreeStream_Solution (solver_direct_reactive.cpp:2499-2521)."""
@@ -633,9 +644,13 @@ class Simulation:
         from su2_tpu import state as st_
 
         base = getattr(self, "out_dir", _os.getcwd())
-        u2, v, _ = st_.cons2prim(
-            self.lib, self.lay, u, t_guess, self.tparams,
-            turb_ke=turb[0][:, 0] if turb is not None else None)
+        if getattr(self, "_c2p_jit", None) is None:
+            self._c2p_jit = jax.jit(lambda uu, tt, ke: st_.cons2prim(
+                self.lib, self.lay, uu, tt, self.tparams, turb_ke=ke))
+            self._c2p_jit_nok = jax.jit(lambda uu, tt: st_.cons2prim(
+                self.lib, self.lay, uu, tt, self.tparams))
+        u2, v, _ = (self._c2p_jit(u, t_guess, turb[0][:, 0])
+                    if turb is not None else self._c2p_jit_nok(u, t_guess))
         coords = self.raw.coords
         unpermute = self.to_file_order
         un = unpermute(u2)
@@ -764,23 +779,31 @@ class Simulation:
         if getattr(self, "turb_restart", None) is not None \
                 and self.cfg.kind_turb_model == "SST":
             # recompute mu_t / blending / grad k from the restarted state
-            # (the reference's turb LoadRestart ends in Postprocessing)
+            # (the reference's turb LoadRestart ends in Postprocessing);
+            # jitted: the eager chain costs minutes of per-op round-trips
+            # on a tunneled TPU backend
             from su2_tpu.ops import viscous as vis
             lay = self.lay
-            u2, v, _ = st.cons2prim(self.lib, lay, self.u0, self.t0,
-                                    self.tparams, turb_ke=q0[:, 0])
-            grad = es.compute_gradients(
-                self.mesh, self.params, vis.ns_gradient_vars(self.lib, lay, v))
-            strain, _ = sst.strain_and_vorticity(lay, grad)
-            gq = es.compute_gradients(self.mesh, self.params, q0)
-            trans = vis.node_transport(self.lib, lay, v)
-            f1, f2, _ = sst.blending(q0[:, 0], q0[:, 1], gq[:, 0, :],
-                                     gq[:, 1, :], trans.mu, v[:, lay.PRHO],
-                                     self.wall_dist)
-            mu_t0 = sst.eddy_viscosity(v[:, lay.PRHO], q0[:, 0], q0[:, 1],
-                                       strain, f2)
-            grad_k0 = gq[:, 0, :]
-            sigma_k0 = f1 * sst.SIGMA_K1 + (1.0 - f1) * sst.SIGMA_K2
+
+            def _turb_post(u0, t0, q0):
+                u2, v, _ = st.cons2prim(self.lib, lay, u0, t0,
+                                        self.tparams, turb_ke=q0[:, 0])
+                grad = es.compute_gradients(
+                    self.mesh, self.params,
+                    vis.ns_gradient_vars(self.lib, lay, v))
+                strain, _ = sst.strain_and_vorticity(lay, grad)
+                gq = es.compute_gradients(self.mesh, self.params, q0)
+                trans = vis.node_transport(self.lib, lay, v)
+                f1, f2, _ = sst.blending(q0[:, 0], q0[:, 1], gq[:, 0, :],
+                                         gq[:, 1, :], trans.mu,
+                                         v[:, lay.PRHO], self.wall_dist)
+                mu_t = sst.eddy_viscosity(v[:, lay.PRHO], q0[:, 0], q0[:, 1],
+                                          strain, f2)
+                return (mu_t, gq[:, 0, :],
+                        f1 * sst.SIGMA_K1 + (1.0 - f1) * sst.SIGMA_K2)
+
+            mu_t0, grad_k0, sigma_k0 = jax.jit(_turb_post)(
+                self.u0, self.t0, q0)
         if self.dmesh is not None:
             from su2_tpu.parallel import sharding as shd
             return shd.shard_state(self.dmesh, q0, mu_t0, grad_k0, sigma_k0)
