@@ -65,6 +65,14 @@ class ChemLib:
     arr_a_b: jax.Array
     arr_beta_b: jax.Array
     arr_ta_b: jax.Array
+    # per-reaction equilibrium tables: ln Kc / ln Kp are pure functions of
+    # T, so they are tabulated on the shared grid at setup (exact at the
+    # knots where h, s equal their table values) — the runtime Keq becomes
+    # one (R, n) spline lookup instead of two (S, n) lookups + Gibbs math
+    lnkc_y: jax.Array = None     # (R, n)
+    lnkc_y2: jax.Array = None
+    lnkp_y: jax.Array = None
+    lnkp_y2: jax.Array = None
     # grid metadata (static)
     t0: float = 0.0
     dt: float = 0.0
@@ -81,7 +89,8 @@ jax.tree_util.register_dataclass(
                  "mu_y", "mu_y2", "ka_y", "ka_y2",
                  "stoich_r", "stoich_p", "exp_f", "exp_b", "reversible",
                  "arr_a", "arr_beta", "arr_ta", "has_backward",
-                 "arr_a_b", "arr_beta_b", "arr_ta_b"],
+                 "arr_a_b", "arr_beta_b", "arr_ta_b",
+                 "lnkc_y", "lnkc_y2", "lnkp_y", "lnkp_y2"],
     meta_fields=["t0", "dt", "nt", "nspecies", "nreactions", "species"],
 )
 
@@ -177,6 +186,16 @@ def build_library(files: LibraryFiles, dtype=jnp.float64) -> ChemLib:
                    arr_a_b=chem.arr_a_b, arr_beta_b=chem.arr_beta_b,
                    arr_ta_b=chem.arr_ta_b)
 
+    # ln Kc / ln Kp tables (exact at the knots: h, s are their table values
+    # there), splined on the same grid.  ComputeKeq (reacting_model_library
+    # .cpp:803-829) evaluated through h/s splines agrees to O(dt^4).
+    dcoeff = kin["stoich_p"] - kin["stoich_r"]                     # (S, R)
+    g = hh - t[None, :] * ss                                       # (S, n)
+    dg = np.einsum("sn,sr->rn", g, dcoeff)
+    dnu = dcoeff.sum(0)                                            # (R,)
+    lnkp = -dg / (R_UNGAS * t[None, :])
+    lnkc = lnkp - dnu[:, None] * np.log(R_UNGAS_ATM * t[None, :])
+
     a = lambda x: jnp.asarray(x, dtype=dtype)
     return ChemLib(
         mm=a(mix.molar_masses), ri=a(R_UNGAS / mix.molar_masses),
@@ -185,6 +204,8 @@ def build_library(files: LibraryFiles, dtype=jnp.float64) -> ChemLib:
         s_y=a(ss), s_y2=a(spl(ss)), mu_y=a(mu), mu_y2=a(spl(mu)),
         ka_y=a(ka), ka_y2=a(spl(ka)),
         **{k: a(v) for k, v in kin.items()},
+        lnkc_y=a(lnkc), lnkc_y2=a(spl(lnkc)),
+        lnkp_y=a(lnkp), lnkp_y2=a(spl(lnkp)),
         t0=float(t[0]), dt=float(h_step), nt=int(t.shape[0]),
         nspecies=ns, nreactions=nr, species=tuple(mix.species),
     )
@@ -368,10 +389,15 @@ def concentrations(lib: ChemLib, rho: jax.Array, ys: jax.Array) -> jax.Array:
 
 
 def equilibrium_constants(lib: ChemLib, t: jax.Array):
-    """(Kc, Kp) from Gibbs via h,s splines (ComputeKeq, :803-829).
+    """(Kc, Kp) from Gibbs (ComputeKeq, :803-829). Returns (..., R) arrays.
 
-    Returns (..., R) arrays. dG uses MOLAR spline values directly.
+    Via the per-reaction ln-K tables when the library carries them (one
+    small lookup; exact at the knots), else through the h, s splines.
     """
+    if lib.lnkc_y is not None:
+        ln_kc = spline_eval(lib.t0, lib.dt, lib.nt, lib.lnkc_y, lib.lnkc_y2, t)
+        ln_kp = spline_eval(lib.t0, lib.dt, lib.nt, lib.lnkp_y, lib.lnkp_y2, t)
+        return jnp.exp(ln_kc), jnp.exp(ln_kp)
     h_mol = spline_eval(lib.t0, lib.dt, lib.nt, lib.h_y, lib.h_y2, t)   # (..,S)
     s_mol = spline_eval(lib.t0, lib.dt, lib.nt, lib.s_y, lib.s_y2, t)
     dcoeff = lib.stoich_p - lib.stoich_r                                 # (S,R)

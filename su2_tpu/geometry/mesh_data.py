@@ -55,6 +55,17 @@ class MeshArrays:
     # sparse neighbor product becomes K roll+multiply passes (no gathers).
     stencil_sel: jax.Array = None       # (K, nP) int32, or None
     stencil_offsets: tuple = None       # static K signed offsets, or None
+    # Precomputed static-geometry factors for gather-free gradients on
+    # stencil meshes (see ops/gradients.py).  The WLS normal-equation
+    # inverse is pure geometry, so the whole gradient collapses to
+    #   grad[:, g, i] = sum_k wls_coeff[k, :, i] * (roll(q, -o_k) - q)[:, g]
+    # and Green-Gauss to rolls against per-offset SIGNED dual normals.
+    wls_coeff: jax.Array = None         # (K, nP, d), or None
+    gg_snormal: jax.Array = None        # (K, nP, d), or None
+    # (K, nP) static edge-projection factor (dx . n_signed)/|dx|^2 of the
+    # (p, p+o_k) edge (0 if absent) — side-invariant, so per-node-sided
+    # viscous Jacobian terms need no gather (see turbulence/sst.py)
+    stencil_pvec: jax.Array = None
 
     def _slot_slices(self, g):
         n = self.npoint
@@ -163,9 +174,83 @@ jax.tree_util.register_dataclass(
                  "node_edges", "node_sign", "node_nbrs", "nbr_mask",
                  "n_neighbors", "bnd_accum_normal", "markers", "marker_nn",
                  "node_edges_sel", "node_edges_t", "node_sign_t",
-                 "node_nbrs_t", "node_edges_sel_t", "stencil_sel"],
+                 "node_nbrs_t", "node_edges_sel_t", "stencil_sel",
+                 "wls_coeff", "gg_snormal", "stencil_pvec"],
     meta_fields=["ndim", "npoint", "nedge", "max_degree", "stencil_offsets"],
 )
+
+
+def _stencil_grad_geometry(offsets, edges, coords, npoint, ndim):
+    """Host precompute of the per-offset WLS gradient coefficients and the
+    per-offset signed dual normals (both (K, nP, d) float64).
+
+    WLS: the inverse-distance-weighted normal equations
+    (SetPrimitive_Gradient_LS, solver_direct_reactive.cpp:1170-1326) have a
+    purely geometric system matrix; folding its inverse into per-offset
+    coefficient vectors makes the runtime gradient K rolls + FMAs.
+    Missing neighbors carry zero coefficients, which also nulls the
+    wrapped lanes of the rolls.
+    """
+    k = len(offsets)
+    d = ndim
+    exists = np.zeros((k, npoint), dtype=bool)
+    kidx = {o: ki for ki, o in enumerate(offsets)}
+    ei, ej = edges[:, 0].astype(np.int64), edges[:, 1].astype(np.int64)
+    diff = ej - ei
+    for ki, o in enumerate(offsets):
+        if o > 0:
+            exists[ki, ei[diff == o]] = True
+        else:
+            exists[ki, ej[diff == -o]] = True
+
+    dx = np.zeros((k, npoint, d))
+    for ki, o in enumerate(offsets):
+        rolled = np.roll(coords, -o, axis=0)
+        dx[ki] = np.where(exists[ki][:, None], rolled - coords, 0.0)
+
+    w = (dx * dx).sum(axis=-1)                                 # (K, nP)
+    valid = exists & (w > 1e-16)
+    invw = np.where(valid, 1.0 / np.where(valid, w, 1.0), 0.0)
+    a = np.einsum("kp,kpi,kpj->pij", invw, dx, dx)             # (nP, d, d)
+    if d == 2:
+        # reference Cholesky-through-R guards (grad = 0 on singular R)
+        r11s, r12s, r22s = a[:, 0, 0], a[:, 0, 1], a[:, 1, 1]
+        r11 = np.where(r11s > 1e-16, np.sqrt(np.maximum(r11s, 0.0)), 0.0)
+        r12 = np.where(np.abs(r11) > 1e-16,
+                       r12s / np.where(r11 == 0, 1.0, r11), 0.0)
+        r22sq = r22s - r12 * r12
+        r22 = np.where(r22sq > 1e-16, np.sqrt(np.maximum(r22sq, 0.0)), 0.0)
+        det2 = (r11 * r22) ** 2
+        sing = np.abs(det2) < 1e-16
+        dets = np.where(sing, 1.0, det2)
+        s = np.zeros((npoint, 2, 2))
+        s[:, 0, 0] = np.where(sing, 0.0, (r12 * r12 + r22 * r22) / dets)
+        s[:, 0, 1] = s[:, 1, 0] = np.where(sing, 0.0, -r11 * r12 / dets)
+        s[:, 1, 1] = np.where(sing, 0.0, r11 * r11 / dets)
+    else:
+        det = np.linalg.det(a)
+        sing = np.abs(det) < 1e-16
+        a_safe = np.where(sing[:, None, None], np.eye(d)[None], a)
+        s = np.where(sing[:, None, None], 0.0, np.linalg.inv(a_safe))
+    coeff = np.einsum("pij,kpj->kpi", s, invw[:, :, None] * dx)
+    return coeff
+
+
+def _stencil_gg_snormal(offsets, edges, edge_normal, npoint, ndim):
+    """(K, nP, d) signed edge normal of the (p, p+o_k) edge (0 if absent)."""
+    k = len(offsets)
+    snormal = np.zeros((k, npoint, ndim))
+    kidx = {o: ki for ki, o in enumerate(offsets)}
+    ei, ej = edges[:, 0].astype(np.int64), edges[:, 1].astype(np.int64)
+    diff = ej - ei
+    for ki, o in enumerate(offsets):
+        if o > 0:
+            sel = diff == o
+            snormal[ki, ei[sel]] = edge_normal[sel]
+        else:
+            sel = diff == -o
+            snormal[ki, ej[sel]] = -edge_normal[sel]
+    return snormal
 
 
 def mesh_arrays(grid: DualGrid, dtype=jnp.float64) -> MeshArrays:
@@ -183,6 +268,22 @@ def mesh_arrays(grid: DualGrid, dtype=jnp.float64) -> MeshArrays:
     else:
         stencil_offsets = None
         stencil_sel = None
+    wls_coeff = gg_snormal = stencil_pvec = None
+    if stencil_offsets is not None:
+        e_np = np.asarray(grid.edges)
+        coords_np = np.asarray(grid.coords)
+        wls_coeff = f(_stencil_grad_geometry(
+            stencil_offsets, e_np, coords_np, grid.npoint, grid.ndim))
+        sn = _stencil_gg_snormal(
+            stencil_offsets, e_np, np.asarray(grid.edge_normal),
+            grid.npoint, grid.ndim)
+        gg_snormal = f(sn)
+        pvec = np.zeros((len(stencil_offsets), grid.npoint))
+        for ki, o in enumerate(stencil_offsets):
+            dxk = np.roll(coords_np, -o, axis=0) - coords_np
+            d2 = (dxk * dxk).sum(axis=1)
+            pvec[ki] = (dxk * sn[ki]).sum(axis=1) / np.where(d2 == 0, 1, d2)
+        stencil_pvec = f(pvec)
 
     bnd_accum = np.zeros_like(grid.coords)
     for tag in grid.bnd_nodes:
@@ -216,4 +317,7 @@ def mesh_arrays(grid: DualGrid, dtype=jnp.float64) -> MeshArrays:
         node_edges_sel_t=i(sel_idx.T.reshape(-1)),
         stencil_sel=stencil_sel,
         stencil_offsets=stencil_offsets,
+        wls_coeff=wls_coeff,
+        gg_snormal=gg_snormal,
+        stencil_pvec=stencil_pvec,
     )

@@ -63,14 +63,30 @@ def matvec(mesh: MeshArrays, jac: BlockJacobian, x: jax.Array,
 
 
 def block_jacobi_factor(jac: BlockJacobian) -> jax.Array:
-    """Batched inverse of the diagonal blocks, (nP, v, v).
+    return block_diag_inv(jac.diag)
+
+
+def block_diag_inv(diag: jax.Array) -> jax.Array:
+    """Batched inverse of (nP, v, v) diagonal blocks.
 
     Via the vectorized Gauss-Jordan solver against identity —
     jnp.linalg.inv lowers to per-matrix LU on TPU (slow for huge batches of
     small blocks, same pathology as linalg.solve)."""
     from su2_tpu.linalg.smallsolve import gauss_solve
 
+    jac = BlockJacobian(diag=diag, off_ij=diag, off_ji=diag)
     v = jac.diag.shape[-1]
+    if v == 2:
+        # closed-form adjugate: the Gauss-Jordan path's .at[].set rows
+        # lower to scatters that dominate the 2x2 turbulence factor
+        a = jac.diag[:, 0, 0]
+        b = jac.diag[:, 0, 1]
+        c = jac.diag[:, 1, 0]
+        d = jac.diag[:, 1, 1]
+        det = a * d - b * c
+        det = jnp.where(det == 0.0, 1.0, det)
+        inv = jnp.stack([d, -b, -c, a], axis=-1) / det[:, None]
+        return inv.reshape(jac.diag.shape)
     eye = jnp.broadcast_to(jnp.eye(v, dtype=jac.diag.dtype),
                            jac.diag.shape)
     return gauss_solve(jac.diag, eye, pivot=False)
@@ -216,6 +232,33 @@ def make_solver_ops(mesh: MeshArrays, jac: BlockJacobian,
     if sgs:
         pc = lambda r: multicolor_sgs_apply(mesh, jac, dinv, color_masks, r,
                                             offdiag=sel)
+    else:
+        pc = lambda r: block_jacobi_apply(dinv, r)
+    return mv, pc, None
+
+
+def make_solver_ops_fam(mesh: MeshArrays, diag: jax.Array, sel: jax.Array,
+                        kind: str = "JACOBI", color_masks=None):
+    """(matvec, precond, precond_matvec|None) from family-major blocks.
+
+    For assemblies that produce the off-diagonal blocks directly in the
+    static-stencil layout sel (K, nP, v, v) — sel[k, p] multiplies
+    x[p + offsets[k]] in row p — skipping BlockJacobian + gather_offdiag
+    entirely (the per-solve stacked gather was ~0.2 ms of the 9k coupled
+    step)."""
+    dinv = block_diag_inv(diag)
+    v = diag.shape[-1]
+    sgs = kind in ("LU_SGS", "ILU0", "LINELET") and color_masks is not None
+    if sgs:
+        from su2_tpu.pallas import stencil_solve as stks
+        if stks.supported(mesh, v, diag.dtype):
+            ops = stks.StencilSolveOps(mesh, sel, dinv, diag, color_masks)
+            return ops.matvec, ops.precond, ops.precond_matvec
+    mv = lambda x: _bmv(diag, x) + _offdiag_apply(mesh, sel, x)
+    if sgs:
+        z_jac = BlockJacobian(diag=diag, off_ij=diag, off_ji=diag)
+        pc = lambda r: multicolor_sgs_apply(mesh, z_jac, dinv, color_masks,
+                                            r, offdiag=sel)
     else:
         pc = lambda r: block_jacobi_apply(dinv, r)
     return mv, pc, None

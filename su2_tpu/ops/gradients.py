@@ -24,11 +24,21 @@ def green_gauss(mesh: MeshArrays, q: jnp.ndarray) -> jnp.ndarray:
     grad_i = (sum_edges sgn * 0.5(q_i+q_j) n_e  -  q_i * n_bnd,i) / Vol_i
     where n_bnd,i is the accumulated (inward) vertex normal.
     """
-    qi = q[mesh.edges[:, 0]]
-    qj = q[mesh.edges[:, 1]]
-    avg = 0.5 * (qi + qj)                                       # (nE, nG)
-    flux = avg[:, :, None] * mesh.edge_normal[:, None, :]       # (nE, nG, d)
-    acc = mesh.scatter_edges(flux)                              # (nP, nG, d)
+    if mesh.gg_snormal is not None:
+        # stencil meshes: per-offset signed dual normals make the whole
+        # edge sweep K rolls + FMAs (no gather, no scatter) — each edge's
+        # two side contributions are enumerated by the +-o offset pair
+        acc = None
+        for k, o in enumerate(mesh.stencil_offsets):
+            avg = 0.5 * (q + jnp.roll(q, -o, axis=0))           # (nP, nG)
+            part = avg[:, :, None] * mesh.gg_snormal[k][:, None, :]
+            acc = part if acc is None else acc + part
+    else:
+        qi = q[mesh.edges[:, 0]]
+        qj = q[mesh.edges[:, 1]]
+        avg = 0.5 * (qi + qj)                                   # (nE, nG)
+        flux = avg[:, :, None] * mesh.edge_normal[:, None, :]   # (nE, nG, d)
+        acc = mesh.scatter_edges(flux)                          # (nP, nG, d)
     acc = acc - q[:, :, None] * mesh.bnd_accum_normal[:, None, :]
     return acc / mesh.volume[:, None, None]
 
@@ -39,6 +49,17 @@ def weighted_least_squares(mesh: MeshArrays, q: jnp.ndarray) -> jnp.ndarray:
     Matches the reference's Cholesky-through-R formulation incl. its
     singular-matrix guards (gradient = 0 if R is singular).
     """
+    if mesh.wls_coeff is not None:
+        # stencil meshes: the normal-equation inverse is pure geometry and
+        # is folded into per-offset coefficient vectors at setup
+        # (mesh_data._stencil_grad_geometry) — runtime is K rolls + FMAs.
+        # Missing neighbors carry zero coefficients, nulling rolled wraps.
+        grad = None
+        for k, o in enumerate(mesh.stencil_offsets):
+            dq = jnp.roll(q, -o, axis=0) - q                    # (nP, nG)
+            part = mesh.wls_coeff[k][:, None, :] * dq[:, :, None]
+            grad = part if grad is None else grad + part
+        return grad
     if mesh.ndim == 3:
         return _wls_3d(mesh, q)
     assert mesh.ndim == 2

@@ -147,53 +147,90 @@ def sst_step(lay: Layout, mesh: MeshArrays, scfg: SSTConfig, bcs,
     #      emitter moves ~0.6 GB/s on scalar (nE,) gathers but vectorizes
     #      multi-column rows, and six separate scalar gathers were ~0.7 ms
     #      of the 9k-cell coupled step. ----
-    i, j = mesh.edges[:, 0], mesh.edges[:, 1]
     d = lay.ndim
     diff_k = mu + sigma_k_blend * mu_t_node
     diff_w = mu + sigma_w_blend * mu_t_node
-    feats = jnp.concatenate([
-        vel,                                   # [0:d]
-        rho[:, None],                          # [d]
-        rho[:, None] * q,                      # [d+1 : d+3]
-        gq.reshape(q.shape[0], 2 * d),         # [d+3 : 3d+3]
-        diff_k[:, None], diff_w[:, None],      # [3d+3], [3d+4]
-        mesh.coords,                           # [3d+5 : 4d+5]
-    ], axis=1)
-    fi, fj = feats[i], feats[j]
-    qij = 0.5 * jnp.einsum("ed,ed->e", fi[:, :d] + fj[:, :d],
-                           mesh.edge_normal)
-    a0 = 0.5 * (qij + jnp.abs(qij))
-    a1c = 0.5 * (qij - jnp.abs(qij))
-    flux = a0[:, None] * fi[:, d + 1:d + 3] + a1c[:, None] * fj[:, d + 1:d + 3]
     eye2 = jnp.eye(2, dtype=dtype)
-    jac_ci = a0[:, None, None] * eye2
-    jac_cj = a1c[:, None, None] * eye2
+    fam_off = None
+    if mesh.gg_snormal is not None:
+        # static-stencil meshes: enumerate per-node edge SIDES by offset.
+        # With the signed face mass flux qt = 0.5 (u_p + u_{p+o}) . n_signed
+        # both edge sides reduce to the same formulas, so the sweep is K
+        # rolls + FMAs (no gather/scatter) and the off-diagonal Jacobian
+        # blocks come out directly in the family-major layout the fused
+        # stencil solve consumes.  stencil_pvec is the side-invariant
+        # (dx . n)/|dx|^2 edge-projection factor.
+        rhoq = rho[:, None] * q
+        dkw = jnp.stack([diff_k, diff_w], axis=1)                # (nP, 2)
+        res = None
+        diag_c = None
+        offs = []
+        for k, o in enumerate(mesh.stencil_offsets):
+            ns = mesh.gg_snormal[k]                              # (nP, d)
+            pv = mesh.stencil_pvec[k]                            # (nP,)
+            qt = 0.5 * jnp.sum((vel + jnp.roll(vel, -o, axis=0)) * ns,
+                               axis=1)
+            a0p = 0.5 * (qt + jnp.abs(qt))
+            a1p = 0.5 * (qt - jnp.abs(qt))
+            conv = a0p[:, None] * rhoq + a1p[:, None] \
+                * jnp.roll(rhoq, -o, axis=0)
+            dm = 0.5 * (dkw + jnp.roll(dkw, -o, axis=0))         # (nP, 2)
+            gmean = 0.5 * (gq + jnp.roll(gq, -o, axis=0))        # (nP, 2, d)
+            vflux = dm * jnp.sum(gmean * ns[:, None, :], axis=2)
+            dvp = dm * (pv / rho)[:, None]
+            dvn = dm * (pv / jnp.roll(rho, -o))[:, None]
+            part = conv - vflux
+            res = part if res is None else res + part
+            dpart = a0p[:, None] + dvp
+            diag_c = dpart if diag_c is None else diag_c + dpart
+            offs.append(a1p[:, None] - dvn)
+        fam_off = jnp.stack(offs)                                # (K, nP, 2)
+        diag = diag_c[:, :, None] * eye2
+    else:
+        i, j = mesh.edges[:, 0], mesh.edges[:, 1]
+        feats = jnp.concatenate([
+            vel,                                   # [0:d]
+            rho[:, None],                          # [d]
+            rho[:, None] * q,                      # [d+1 : d+3]
+            gq.reshape(q.shape[0], 2 * d),         # [d+3 : 3d+3]
+            diff_k[:, None], diff_w[:, None],      # [3d+3], [3d+4]
+            mesh.coords,                           # [3d+5 : 4d+5]
+        ], axis=1)
+        fi, fj = feats[i], feats[j]
+        qij = 0.5 * jnp.einsum("ed,ed->e", fi[:, :d] + fj[:, :d],
+                               mesh.edge_normal)
+        a0 = 0.5 * (qij + jnp.abs(qij))
+        a1c = 0.5 * (qij - jnp.abs(qij))
+        flux = a0[:, None] * fi[:, d + 1:d + 3] \
+            + a1c[:, None] * fj[:, d + 1:d + 3]
+        jac_ci = a0[:, None, None] * eye2
+        jac_cj = a1c[:, None, None] * eye2
 
-    dk = 0.5 * (fi[:, 3 * d + 3] + fj[:, 3 * d + 3])
-    dw = 0.5 * (fi[:, 3 * d + 4] + fj[:, 3 * d + 4])
-    gmean = 0.5 * (fi[:, d + 3:3 * d + 3]
-                   + fj[:, d + 3:3 * d + 3]).reshape(-1, 2, d)   # (nE, 2, d)
-    proj = jnp.einsum("egd,ed->eg", gmean, mesh.edge_normal)
-    vflux = jnp.stack([dk * proj[:, 0], dw * proj[:, 1]], axis=1)
-    # one edge scatter for conv - visc
-    res = mesh.scatter_edges(flux - vflux)
-    evec = fj[:, 3 * d + 5:4 * d + 5] - fi[:, 3 * d + 5:4 * d + 5]
-    dist2 = jnp.sum(evec * evec, axis=1)
-    pvec = jnp.einsum("ed,ed->e", evec, mesh.edge_normal) / \
-        jnp.where(dist2 == 0.0, 1.0, dist2)
-    dvi = jnp.stack([dk * pvec / fi[:, d], dw * pvec / fi[:, d]], axis=1)
-    dvj = jnp.stack([dk * pvec / fj[:, d], dw * pvec / fj[:, d]], axis=1)
-    # viscous jacobians: J_i = -diag(dvi), J_j = +diag(dvj); residual is
-    # subtracted, so diag gets +diag(dvi) at i etc.
-    vji = dvi[:, :, None] * eye2
-    vjj = dvj[:, :, None] * eye2
-    # one side-accumulation for the convective + viscous diagonal blocks
-    acc = mesh.accumulate_sides(
-        jnp.concatenate([a0[:, None], dvi], axis=1),
-        jnp.concatenate([-a1c[:, None], dvj], axis=1))          # (nP, 3)
-    diag = acc[:, 0, None, None] * eye2 + acc[:, 1:, None] * eye2
-    off_ij = jac_cj - vjj
-    off_ji = -jac_ci - vji
+        dk = 0.5 * (fi[:, 3 * d + 3] + fj[:, 3 * d + 3])
+        dw = 0.5 * (fi[:, 3 * d + 4] + fj[:, 3 * d + 4])
+        gmean = 0.5 * (fi[:, d + 3:3 * d + 3]
+                       + fj[:, d + 3:3 * d + 3]).reshape(-1, 2, d)
+        proj = jnp.einsum("egd,ed->eg", gmean, mesh.edge_normal)
+        vflux = jnp.stack([dk * proj[:, 0], dw * proj[:, 1]], axis=1)
+        # one edge scatter for conv - visc
+        res = mesh.scatter_edges(flux - vflux)
+        evec = fj[:, 3 * d + 5:4 * d + 5] - fi[:, 3 * d + 5:4 * d + 5]
+        dist2 = jnp.sum(evec * evec, axis=1)
+        pvec = jnp.einsum("ed,ed->e", evec, mesh.edge_normal) / \
+            jnp.where(dist2 == 0.0, 1.0, dist2)
+        dvi = jnp.stack([dk * pvec / fi[:, d], dw * pvec / fi[:, d]], axis=1)
+        dvj = jnp.stack([dk * pvec / fj[:, d], dw * pvec / fj[:, d]], axis=1)
+        # viscous jacobians: J_i = -diag(dvi), J_j = +diag(dvj); residual is
+        # subtracted, so diag gets +diag(dvi) at i etc.
+        vji = dvi[:, :, None] * eye2
+        vjj = dvj[:, :, None] * eye2
+        # one side-accumulation for the convective + viscous diagonal blocks
+        acc = mesh.accumulate_sides(
+            jnp.concatenate([a0[:, None], dvi], axis=1),
+            jnp.concatenate([-a1c[:, None], dvj], axis=1))       # (nP, 3)
+        diag = acc[:, 0, None, None] * eye2 + acc[:, 1:, None] * eye2
+        off_ij = jac_cj - vjj
+        off_ji = -jac_ci - vji
 
     # ---- source (CSourcePieceWise_TurbSST) ----
     gvel = flow_grad[:, 1:1 + lay.ndim, :]
@@ -268,20 +305,28 @@ def sst_step(lay: Layout, mesh: MeshArrays, scfg: SSTConfig, bcs,
     res = jnp.where(wall_mask[:, None], 0.0, res)
     diag = jnp.where(wall_mask[:, None, None], jnp.eye(2, dtype=dtype)[None],
                      diag)
-    iw = wall_mask[mesh.edges[:, 0]]
-    jw = wall_mask[mesh.edges[:, 1]]
-    off_ij = jnp.where(iw[:, None, None], 0.0, off_ij)
-    off_ji = jnp.where(jw[:, None, None], 0.0, off_ji)
+    if fam_off is None:
+        iw = wall_mask[mesh.edges[:, 0]]
+        jw = wall_mask[mesh.edges[:, 1]]
+        off_ij = jnp.where(iw[:, None, None], 0.0, off_ij)
+        off_ji = jnp.where(jw[:, None, None], 0.0, off_ji)
+    else:
+        fam_off = jnp.where(wall_mask[None, :, None], 0.0, fam_off)
 
     # ---- implicit solve ----
     ok = dt > EPS
     delta = jnp.where(ok, mesh.volume / (scfg.cfl_red * jnp.where(ok, dt, 1.0)),
                       0.0)
     diag = diag + delta[:, None, None] * eye2
-    jac = BlockJacobian(diag=diag, off_ij=off_ij, off_ji=off_ji)
     rhs = -res
-    mv, pc, pm = blockcsr.make_solver_ops(mesh, jac, scfg.linear_prec,
-                                          scfg.color_masks)
+    if fam_off is not None:
+        sel = fam_off[:, :, :, None] * eye2                  # (K, nP, 2, 2)
+        mv, pc, pm = blockcsr.make_solver_ops_fam(
+            mesh, diag, sel, scfg.linear_prec, scfg.color_masks)
+    else:
+        jac = BlockJacobian(diag=diag, off_ij=off_ij, off_ji=off_ji)
+        mv, pc, pm = blockcsr.make_solver_ops(mesh, jac, scfg.linear_prec,
+                                              scfg.color_masks)
     if scfg.linear_solver == "BCGSTAB":
         sol, _, _ = krylov.bcgstab(mv, pc, rhs, max_iter=scfg.linear_iter,
                                    tol=scfg.linear_tol)

@@ -189,6 +189,29 @@ def test_stencil_solve_ops_match_xla_path():
                                rtol=1e-11, atol=1e-13)
 
 
+def test_stencil_gradients_match_gather_path():
+    """Roll-based WLS / Green-Gauss (precomputed per-offset geometry in
+    mesh_data) must match the gather-based formulations."""
+    from su2_tpu.ops import gradients
+
+    mesh = _quad_grid(8, 6)
+    grid = build_dual_grid(mesh)
+    ma = mesh_arrays(grid)
+    assert ma.wls_coeff is not None and ma.gg_snormal is not None
+    ma_g = ma.__class__(**{**{f: getattr(ma, f) for f in
+                              ma.__dataclass_fields__},
+                           "wls_coeff": None, "gg_snormal": None,
+                           "stencil_sel": None, "stencil_offsets": None})
+
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.normal(0, 1, (ma.npoint, 5)))
+    for fn in (gradients.weighted_least_squares, gradients.green_gauss):
+        g_roll = fn(ma, q)
+        g_gather = fn(ma_g, q)
+        np.testing.assert_allclose(np.asarray(g_roll), np.asarray(g_gather),
+                                   rtol=1e-10, atol=1e-12)
+
+
 def test_driver_renumbers_combustion_mesh(combustion_dir):
     """The shipped combustion mesh is a scrambled 90x100 logical grid; the
     driver should recover row-major order and run gather-free."""
