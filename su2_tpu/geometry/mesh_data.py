@@ -66,6 +66,14 @@ class MeshArrays:
     # (p, p+o_k) edge (0 if absent) — side-invariant, so per-node-sided
     # viscous Jacobian terms need no gather (see turbulence/sst.py)
     stencil_pvec: jax.Array = None
+    # family-major edge geometry over POSITIVE offsets: entry [k, p] is the
+    # (p, p+fam_offsets[k]) edge's area normal / node-to-node vector, zero
+    # where the edge is absent.  Lets the fused edge kernel read endpoint
+    # states as rolls of the node matrix and write the residual scatter as
+    # roll-subtracts (pallas/edge_fused.py family path).
+    fam_normal: jax.Array = None        # (Kh, nP, d)
+    fam_evec: jax.Array = None          # (Kh, nP, d)
+    fam_offsets: tuple = None           # Kh positive offsets
 
     def _slot_slices(self, g):
         n = self.npoint
@@ -175,8 +183,10 @@ jax.tree_util.register_dataclass(
                  "n_neighbors", "bnd_accum_normal", "markers", "marker_nn",
                  "node_edges_sel", "node_edges_t", "node_sign_t",
                  "node_nbrs_t", "node_edges_sel_t", "stencil_sel",
-                 "wls_coeff", "gg_snormal", "stencil_pvec"],
-    meta_fields=["ndim", "npoint", "nedge", "max_degree", "stencil_offsets"],
+                 "wls_coeff", "gg_snormal", "stencil_pvec",
+                 "fam_normal", "fam_evec"],
+    meta_fields=["ndim", "npoint", "nedge", "max_degree", "stencil_offsets",
+                 "fam_offsets"],
 )
 
 
@@ -284,6 +294,24 @@ def mesh_arrays(grid: DualGrid, dtype=jnp.float64) -> MeshArrays:
             d2 = (dxk * dxk).sum(axis=1)
             pvec[ki] = (dxk * sn[ki]).sum(axis=1) / np.where(d2 == 0, 1, d2)
         stencil_pvec = f(pvec)
+        # positive-offset family geometry for the fused edge kernel
+        pos = tuple(o for o in stencil_offsets if o > 0)
+        fam_offsets = pos
+        fnorm = np.zeros((len(pos), grid.npoint, grid.ndim))
+        fevec = np.zeros((len(pos), grid.npoint, grid.ndim))
+        e_np64 = e_np.astype(np.int64)
+        diff_e = e_np64[:, 1] - e_np64[:, 0]
+        en_np = np.asarray(grid.edge_normal)
+        for ki, o in enumerate(pos):
+            sel_e = diff_e == o
+            own = e_np64[sel_e, 0]
+            fnorm[ki, own] = en_np[sel_e]
+            fevec[ki, own] = coords_np[e_np64[sel_e, 1]] - coords_np[own]
+        fam_normal = f(fnorm)
+        fam_evec = f(fevec)
+    else:
+        fam_offsets = None
+        fam_normal = fam_evec = None
 
     bnd_accum = np.zeros_like(grid.coords)
     for tag in grid.bnd_nodes:
@@ -320,4 +348,7 @@ def mesh_arrays(grid: DualGrid, dtype=jnp.float64) -> MeshArrays:
         wls_coeff=wls_coeff,
         gg_snormal=gg_snormal,
         stencil_pvec=stencil_pvec,
+        fam_normal=fam_normal,
+        fam_evec=fam_evec,
+        fam_offsets=fam_offsets,
     )

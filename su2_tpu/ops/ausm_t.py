@@ -40,7 +40,10 @@ def ausm_flux_t(lay: Layout, v_i, v_j, normal, m_infty: float,
     """
     nd, ns, nvar = lay.ndim, lay.ns, lay.nvar
     area = jnp.sqrt(jnp.sum(normal * normal, axis=0))
-    unit = normal / area
+    # zero-area guard: family-padded edge slots carry a zero normal and
+    # must produce exactly zero flux (0/0 would poison the roll-scatter)
+    unit = normal / jnp.maximum(area, 1e-300 if area.dtype == jnp.float64
+                                else 1e-30)
 
     rho_i, rho_j = v_i[lay.PRHO], v_j[lay.PRHO]
     p_i, p_j = v_i[lay.P], v_j[lay.P]

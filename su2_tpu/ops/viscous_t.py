@@ -180,8 +180,11 @@ def viscous_flux_t(lay: Layout, sc: SpeciesConsts,
 
     gmean = 0.5 * (g_i + g_j)                                  # (G, d, E)
 
-    # edge-projection correction (CAvgGradReactive_Flow, :1507-1527)
-    dist2 = jnp.sum(evec * evec, axis=0)
+    # edge-projection correction (CAvgGradReactive_Flow, :1507-1527);
+    # zero-length guard: family-padded edge slots carry evec = 0 and their
+    # zero area normal already nulls every flux term
+    dist2 = jnp.maximum(jnp.sum(evec * evec, axis=0),
+                        1e-300 if v_i.dtype == jnp.float64 else 1e-30)
     xs_i = _molar_from_mass_t(mm_col, v_i[lay.YS:lay.YS + ns])
     xs_j = _molar_from_mass_t(mm_col, v_j[lay.YS:lay.YS + ns])
     diff = jnp.concatenate([

@@ -48,16 +48,22 @@ def _pad_cols(x, npad):
 
 def _hcp_tables(lib, dtype):
     """(8S, nT) stacked h+cp spline tables grouped
-    [yl(h,cp); yc(h,cp); y2l(h,cp); y2c(h,cp)] for one-matmul lookup."""
+    [yl(h,cp); yc(h,cp); y2l(h,cp); y2c(h,cp)] for one-matmul lookup.
+    For f32 the table rides as a 3-level bf16 split (3x rows; see
+    pallas/node_state._split3)."""
     def stack4(y, y2):
         y_prev = jnp.concatenate([y[:, :1], y[:, :-1]], axis=1)
         y2_prev = jnp.concatenate([y2[:, :1], y2[:, :-1]], axis=1)
         return y_prev, y, y2_prev, y2
     h4 = stack4(lib.h_y, lib.h_y2)
     c4 = stack4(lib.cp_y, lib.cp_y2)
-    return jnp.concatenate(
+    tab = jnp.concatenate(
         [jnp.concatenate([h4[k], c4[k]], axis=0) for k in range(4)],
         axis=0).astype(dtype)
+    if dtype == jnp.float32:
+        from su2_tpu.pallas.node_state import _split3
+        tab = _split3(tab)
+    return tab
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
@@ -110,9 +116,18 @@ def fused_edge_flux_pallas(lay, m_infty, prandtl_turb, lewis_turb,
         tc = jnp.clip(tmean, t0, tmax_tab)
         klo = jnp.clip(((tc - t0) / dtg).astype(jnp.int32) + 1, 1, nt - 1)
         rows = jax.lax.broadcasted_iota(jnp.int32, (nt, tile), 0)
-        oh = (rows == klo[None, :]).astype(vi.dtype)
-        g = jnp.dot(tab_ref[...], oh, preferred_element_type=vi.dtype,
-                    precision=jax.lax.Precision.HIGHEST)   # (8S, tile)
+        s8 = 8 * ns
+        if tab_ref.dtype == jnp.bfloat16:
+            # 3-level bf16 table split: one DEFAULT pass replaces the
+            # 6-pass HIGHEST f32 dot (see node_state._split3)
+            oh = (rows == klo[None, :]).astype(jnp.bfloat16)
+            g3 = jnp.dot(tab_ref[...], oh, preferred_element_type=vi.dtype,
+                         precision=jax.lax.Precision.DEFAULT)
+            g = g3[:s8] + g3[s8:2 * s8] + g3[2 * s8:]      # (8S, tile)
+        else:
+            oh = (rows == klo[None, :]).astype(vi.dtype)
+            g = jnp.dot(tab_ref[...], oh, preferred_element_type=vi.dtype,
+                        precision=jax.lax.Precision.HIGHEST)   # (8S, tile)
         xk = t0 + klo.astype(vi.dtype) * dtg
         a = ((xk - tc) / dtg)[None, :]
         b = ((tc - (xk - dtg)) / dtg)[None, :]
@@ -160,7 +175,7 @@ def fused_edge_flux_pallas(lay, m_infty, prandtl_turb, lewis_turb,
         grid=grid,
         interpret=interpret,
         in_specs=[bs(r_sk + 1), bs(r_sk + 1), bs(nd), bs(nd),
-                  fb(8 * ns, nt), fb(ns, 1), fb(ns, ns)],
+                  fb(b_hcp.shape[0], nt), fb(ns, 1), fb(ns, ns)],
         out_specs=[bs(nvar), bs(1), bs(1)],
         out_shape=[
             jax.ShapeDtypeStruct((nvar, npad), f_i.dtype),
@@ -183,7 +198,6 @@ def fused_interior_terms(lib, lay, mesh, prm, v, grad, trans, turb,
     the interior-edge parts of the residual and the two spectral radii
     (boundary-vertex contributions are added by the caller).
     """
-    i, j = mesh.edges[:, 0], mesh.edges[:, 1]
     nd, ns = lay.ndim, lay.ns
     npoints = v.shape[0]
 
@@ -195,18 +209,48 @@ def fused_interior_terms(lib, lay, mesh, prm, v, grad, trans, turb,
         v, gsel, trans.mu[:, None], trans.kappa[:, None],
         turb.mu_t[:, None], turb.tke[:, None], turb.grad_tke,
         (dpdu_e + 1.0)[:, None], sigma_k[:, None]], axis=1).T   # (48, nP)
-    f_i, f_j = f_all[:, i], f_all[:, j]
-
-    normal = mesh.edge_normal.T
-    evec = (mesh.coords[j] - mesh.coords[i]).T
 
     sc = viscous_t.species_consts(np.asarray(lib.mm),
                                   np.asarray(lib.diff_vol), v.dtype)
+    kernel_args = (lay, prm.m_infty, prm.prandtl_turb, prm.lewis_turb,
+                   prm.prandtl_lam, (float(lib.t0), float(lib.dt),
+                                     int(lib.nt)), sc)
+    tabs = (_hcp_tables(lib, v.dtype), jnp.asarray(lib.mm, v.dtype)[:, None])
+
+    if mesh.fam_normal is not None:
+        # family-major (positive-offset) edge layout on stencil meshes:
+        # endpoint states are the node matrix and its rolls, the residual
+        # scatter is a roll-subtract, and pad slots carry zero normals
+        # (the kernels' zero-area guards make their flux exactly zero)
+        offs = mesh.fam_offsets
+        kh = len(offs)
+        n = npoints
+        f_i = jnp.concatenate([f_all] * kh, axis=1)
+        f_j = jnp.concatenate(
+            [jnp.roll(f_all, -o, axis=1) for o in offs], axis=1)
+        normal = mesh.fam_normal.transpose(2, 0, 1).reshape(nd, kh * n)
+        evec = mesh.fam_evec.transpose(2, 0, 1).reshape(nd, kh * n)
+        flux, lc, lv = fused_edge_flux_pallas(
+            *kernel_args, f_i, f_j, normal, evec, *tabs)
+        res_t = lc_n = lv_n = None
+        for k, o in enumerate(offs):
+            fk = flux[:, k * n:(k + 1) * n]
+            lck = lc[k * n:(k + 1) * n]
+            lvk = lv[k * n:(k + 1) * n]
+            rt = fk - jnp.roll(fk, o, axis=1)
+            lcn = lck + jnp.roll(lck, o)
+            lvn = lvk + jnp.roll(lvk, o)
+            res_t = rt if res_t is None else res_t + rt
+            lc_n = lcn if lc_n is None else lc_n + lcn
+            lv_n = lvn if lv_n is None else lv_n + lvn
+        return res_t.T, lc_n, lv_n
+
+    i, j = mesh.edges[:, 0], mesh.edges[:, 1]
+    f_i, f_j = f_all[:, i], f_all[:, j]
+    normal = mesh.edge_normal.T
+    evec = (mesh.coords[j] - mesh.coords[i]).T
     flux, lc, lv = fused_edge_flux_pallas(
-        lay, prm.m_infty, prm.prandtl_turb, prm.lewis_turb, prm.prandtl_lam,
-        (float(lib.t0), float(lib.dt), int(lib.nt)), sc,
-        f_i, f_j, normal, evec, _hcp_tables(lib, v.dtype),
-        jnp.asarray(lib.mm, v.dtype)[:, None])
+        *kernel_args, f_i, f_j, normal, evec, *tabs)
 
     res, lams = mesh.scatter_edges_mixed(
         flux.T, jnp.stack([lc, lv], axis=1))

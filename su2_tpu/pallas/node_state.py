@@ -49,10 +49,28 @@ def _stack4(y, y2):
     return y_prev, y, y2_prev, y2
 
 
+def _split3(x):
+    """f32 (R, n) -> (3R, n) bf16 levels with t1+t2+t3 == x to f32 ulp.
+
+    A one-hot contraction against the three levels (one DEFAULT-precision
+    bf16 MXU pass) then recovers the exact f32 table value — replacing the
+    HIGHEST-precision f32 dot (6 passes) that dominated the lookup."""
+    x = x.astype(jnp.float32)
+    t1 = x.astype(jnp.bfloat16)
+    r1 = x - t1.astype(jnp.float32)
+    t2 = r1.astype(jnp.bfloat16)
+    r2 = r1 - t2.astype(jnp.float32)
+    t3 = r2.astype(jnp.bfloat16)
+    return jnp.concatenate([t1, t2, t3], axis=0)
+
+
 def _tables(lib, dtype):
     """(b_h (4S, nTp), b_all (16S, nTp)) stacked spline tables, with the
     knot axis padded to a multiple of the 128-lane chunk (padding repeats
-    the last knot; never selected — klo is clipped to nt-1)."""
+    the last knot; never selected — klo is clipped to nt-1).
+
+    For f32 states the tables ride as 3-level bf16 splits (see _split3),
+    tripling the row count."""
     fams = [_stack4(lib.h_y, lib.h_y2), _stack4(lib.cp_y, lib.cp_y2),
             _stack4(lib.mu_y, lib.mu_y2), _stack4(lib.ka_y, lib.ka_y2)]
     b_h = jnp.concatenate(fams[0], axis=0).astype(dtype)
@@ -64,6 +82,9 @@ def _tables(lib, dtype):
     if ntp != nt:
         b_h = _pad_cols_last(b_h, ntp)
         b_all = _pad_cols_last(b_all, ntp)
+    if dtype == jnp.float32:
+        b_h = _split3(b_h)
+        b_all = _split3(b_all)
     return b_h, b_all
 
 
@@ -151,6 +172,8 @@ def cons2prim_fused(lay, tp, nt_meta, u_t, t_guess, tke, b_h, b_all, mm, ri,
 
         tmax_tab = t0 + (nt - 1) * dtg
 
+        split = dtype == jnp.float32
+
         def lookup(tab_ref, nrows, t):
             """One-hot spline eval; tab rows grouped [yl; yc; y2l; y2c] with
             nrows//4 species rows per group.  Returns (nrows//4, tile).
@@ -158,8 +181,9 @@ def cons2prim_fused(lay, tp, nt_meta, u_t, t_guess, tke, b_h, b_all, mm, ri,
             The knot axis is processed in 128-lane chunks and a chunk's
             one-hot contraction only runs when some cell's knot falls in it
             (lax.cond -> scf.if): tile temperatures are spatially coherent,
-            so typically 1-3 of the ~10 chunks are live — the full-width
-            HIGHEST-precision dot was the dominant kernel cost."""
+            so typically 1-3 of the ~10 chunks are live.  f32 tables ride
+            as 3-level bf16 splits (_split3): one DEFAULT bf16 pass of 3x
+            rows replaces the 6-pass HIGHEST f32 dot."""
             tc = jnp.clip(t, t0, tmax_tab)
             klo = jnp.clip(((tc - t0) / dtg).astype(jnp.int32) + 1, 1, nt - 1)
             ntp = tab_ref.shape[1]
@@ -172,10 +196,20 @@ def cons2prim_fused(lay, tp, nt_meta, u_t, t_guess, tke, b_h, b_all, mm, ri,
                 def live(gc, base=base):
                     rows = jax.lax.broadcasted_iota(
                         jnp.int32, (_CHUNK, tile_n), 0) + base
+                    if split:
+                        ohc = (rows == klo[None, :]).astype(jnp.bfloat16)
+                        # DEFAULT, not the session-wide HIGHEST: bf16
+                        # inputs with an fp32 contract precision are
+                        # rejected by Mosaic (and need no pass splitting)
+                        r3 = jnp.dot(tab_ref[:, base:base + _CHUNK], ohc,
+                                     preferred_element_type=dtype,
+                                     precision=jax.lax.Precision.DEFAULT)
+                        return gc + (r3[:nrows] + r3[nrows:2 * nrows]
+                                     + r3[2 * nrows:])
                     ohc = (rows == klo[None, :]).astype(dtype)
                     # HIGHEST: exact selection (Mosaic supports only
                     # DEFAULT and HIGHEST dot precisions; DEFAULT would
-                    # round the tables to bf16)
+                    # round the f64 tables to bf16)
                     return gc + jnp.dot(
                         tab_ref[:, base:base + _CHUNK], ohc,
                         preferred_element_type=dtype,
@@ -366,7 +400,8 @@ def cons2prim_fused(lay, tp, nt_meta, u_t, t_guess, tke, b_h, b_all, mm, ri,
         grid=grid,
         interpret=interpret,
         in_specs=[bs(nvar), bs(1), bs(1), bs(1), bs(1), bs(s),
-                  fb(4 * s, b_h.shape[1]), fb(16 * s, b_all.shape[1]),
+                  fb(b_h.shape[0], b_h.shape[1]),
+                  fb(b_all.shape[0], b_all.shape[1]),
                   fb(s, 1), fb(s, 1), fb(s, s), fb(s, s), fb(s, s)],
         out_specs=[bs(nvar), bs(nprim), bs(1), bs(nvar), bs(nvar),
                    bs(1), bs(1), bs(s)],

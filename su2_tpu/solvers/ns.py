@@ -35,7 +35,16 @@ class NSParams(es.EulerParams):
     viscous_limiter: bool = False
 
 
-def _trans_rows(trans: Transport, idx):
+def _trans_rows(trans: Transport, idx, lib=None, lay=None, v=None):
+    """Transport rows at `idx`; when trans.dij is deferred (fused interior
+    path — the kernel evaluates D_ij in-kernel), the boundary rows are
+    computed here from the gathered T, P instead of a full-mesh tensor."""
+    if trans.dij is None:
+        vr = bg.rows(v, idx)
+        dij = cl.binary_diffusion(lib, vr[:, lay.T],
+                                  vr[:, lay.P] / 101325.0) / 1.0e4
+        return {"mu": bg.rows(trans.mu, idx),
+                "kappa": bg.rows(trans.kappa, idx), "dij": dij}
     return {"mu": trans.mu[idx], "kappa": trans.kappa[idx],
             "dij": trans.dij[idx]}
 
@@ -130,6 +139,10 @@ def ns_assemble(lib: ChemLib, lay: Layout, mesh: MeshArrays, prm: NSParams,
     else:
         lim = jnp.ones((n, 2 + nd), dtype=v.dtype)
 
+    from su2_tpu.pallas import edge_kernels as ek
+    fused = (not implicit and ek.use_pallas() and turb is not None
+             and sigma_k_edge is not None and not prm.muscl
+             and prm.conv_method == "AUSM")
     if nsd is None:
         dpdu_full = st.dpdu(lib, lay, v)
         dtdu_full = st.dtdu(lib, lay, v)
@@ -137,18 +150,16 @@ def ns_assemble(lib: ChemLib, lay: Layout, mesh: MeshArrays, prm: NSParams,
     else:
         dpdu_full = nsd.dpdu
         dtdu_full = nsd.dtdu
+        # fused interior path evaluates D_ij in-kernel: defer the boundary
+        # rows to _trans_rows instead of building the (nP, S, S) tensor
         trans = viscous.Transport(
             mu=nsd.mu, kappa=nsd.kappa,
-            dij=cl.binary_diffusion(lib, v[:, lay.T],
-                                    v[:, lay.P] / 101325.0) / 1.0e4)
+            dij=None if fused else cl.binary_diffusion(
+                lib, v[:, lay.T], v[:, lay.P] / 101325.0) / 1.0e4)
     turb_ke = turb.tke if turb is not None else None
 
     # --- interior edges: convective + viscous (+ Jacobians if implicit) ---
-    from su2_tpu.pallas import edge_kernels as ek
     i, j = mesh.edges[:, 0], mesh.edges[:, 1]
-    fused = (not implicit and ek.use_pallas() and turb is not None
-             and sigma_k_edge is not None and not prm.muscl
-             and prm.conv_method == "AUSM")
     if fused:
         # one pallas pass over the edge list (AUSM + viscous + SST closure
         # + spectral radii) — see pallas/edge_fused.py
@@ -232,16 +243,17 @@ def ns_assemble(lib: ChemLib, lay: Layout, mesh: MeshArrays, prm: NSParams,
             turb_i=_turb_rows(turb, nodes), turb_j=_turb_rows(turb, nodes),
             sigma_k=(bg.rows(turb.sigma_k, nodes) if turb is not None else None),
             prandtl_turb=prm.prandtl_turb, lewis_turb=prm.lewis_turb)
+        tr_n = _trans_rows(trans, nodes, lib, lay, v)
         if implicit:
             vf, vj_i, _ = viscous.viscous_flux(
                 lib, lay, bg.rows(v, nodes), v_ghost, bg.rows(grad, nodes), bg.rows(grad, nodes),
-                -bc.normal, _trans_rows(trans, nodes), _trans_rows(trans, nodes),
+                -bc.normal, tr_n, tr_n,
                 s_i=bg.rows(dtdu_full, nodes), s_j=bg.rows(dtdu_full, nodes), **bargs)
             diag = bg.add_rows(diag, nodes, -vj_i)
         else:
             vf = viscous.viscous_flux(
                 lib, lay, bg.rows(v, nodes), v_ghost, bg.rows(grad, nodes), bg.rows(grad, nodes),
-                -bc.normal, _trans_rows(trans, nodes), _trans_rows(trans, nodes),
+                -bc.normal, tr_n, tr_n,
                 **bargs)
         res = bg.add_rows(res, nodes, -vf)
 

@@ -10,6 +10,7 @@ reacting_model_library.cpp:634-696.
 import os
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -87,3 +88,29 @@ def test_node_state_nonphys_flags(pasr_sim):
     u[3, sim.lay.RHOS] = -1.0e-4          # negative species density
     u[7, sim.lay.RHO] = 1.0e-20           # vanishing density
     _compare(sim.lib, sim.lay, sim.tparams, jnp.asarray(u), sim.t0, q[:, 0])
+
+
+def test_node_state_f32_split_tables(pasr_sim):
+    """f32 path uses 3-level bf16 table splits (node_state._split3); the
+    recovered spline values must match the f32 XLA chain to f32 roundoff."""
+    sim, q = pasr_sim
+    f32 = jnp.float32
+    lib32 = jax.tree_util.tree_map(
+        lambda x: x.astype(f32) if hasattr(x, "dtype")
+        and jnp.issubdtype(x.dtype, jnp.floating) else x, sim.lib)
+    u32 = sim.u0.astype(f32)
+    t32 = sim.t0.astype(f32)
+    tke32 = q[:, 0].astype(f32)
+    ref = _xla_chain(lib32, sim.lay, sim.tparams, u32, t32, tke32)
+    got = nst.node_state(lib32, sim.lay, sim.tparams, u32, t32,
+                         turb_ke=tke32)
+    names = ["u_clip", "v", "nonphys", "dtdu", "dpdu", "mu", "kappa", "xs"]
+    for name, a, b in zip(names, ref, got):
+        a, b = np.asarray(a), np.asarray(b)
+        if name == "nonphys":
+            np.testing.assert_array_equal(a, b, err_msg=name)
+            continue
+        # f32 secant/bisection trajectories can differ by an ulp per
+        # lookup; fields agree to loose f32 tolerance
+        np.testing.assert_allclose(b, a, rtol=2e-4, atol=1e-12,
+                                   err_msg=name)
