@@ -54,6 +54,10 @@ class Simulation:
             # AUSM + viscous + Stefan-Maxwell + SST closure in one pallas pass
             from su2_tpu.pallas import edge_kernels as _ek
             _ek.set_edge_kernel_mode(True)
+            # fused per-node chemistry source (Arrhenius + PaSR + ln-K
+            # lookup in one pass, pallas/chem_source.py)
+            from su2_tpu.pallas import chem_source as _pcs
+            _pcs.set_chem_source_mode(True)
             # NOTE: the (nE, 13, 13) block kernel in pallas/edge_kernels.py
             # (implicit path) stays opt-out: lane padding makes it slower
             # than the XLA chain on v5e; the implicit AUSM+Jacobian path
@@ -356,15 +360,16 @@ class Simulation:
                     lib, lay, mesh, prm, bcs, v, dt, implicit=True)
                 u = ns.enforce_wall_velocity(lay, u, wall_mask)
                 rhs = -res
-                pc = blockcsr.make_preconditioner(
+                mv, pc, pm = blockcsr.make_solver_ops(
                     mesh, jac, cfg.linear_solver_prec, color_masks)
-                sel = blockcsr.gather_offdiag(mesh, jac)
-                solver = krylov.bcgstab if cfg.linear_solver == "BCGSTAB" \
-                    else krylov.fgmres
-                sol, _, iters = solver(
-                    lambda x: blockcsr.matvec(mesh, jac, x, sel), pc,
-                    rhs, max_iter=cfg.linear_solver_iter,
-                    tol=cfg.linear_solver_error)
+                if cfg.linear_solver == "BCGSTAB":
+                    sol, _, iters = krylov.bcgstab(
+                        mv, pc, rhs, max_iter=cfg.linear_solver_iter,
+                        tol=cfg.linear_solver_error)
+                else:
+                    sol, _, iters = krylov.fgmres(
+                        mv, pc, rhs, max_iter=cfg.linear_solver_iter,
+                        tol=cfg.linear_solver_error, precond_matvec=pm)
                 u_new = jnp.clip(u + cfg.relaxation_factor_flow * sol,
                                  lower, upper)
                 u_new = ns.enforce_wall_velocity(lay, u_new, wall_mask)
@@ -474,15 +479,16 @@ class Simulation:
                         lay, mesh, res, jac, u, u_n, u_nm1, dt_phys, dual_order)
                 u = ns.enforce_wall_velocity(lay, u, wall_mask)
                 rhs = -res
-                pc = blockcsr.make_preconditioner(
+                mv, pc, pm = blockcsr.make_solver_ops(
                     mesh, jac, cfg.linear_solver_prec, color_masks)
-                sel = blockcsr.gather_offdiag(mesh, jac)
-                solver = krylov.bcgstab if cfg.linear_solver == "BCGSTAB" \
-                    else krylov.fgmres
-                sol, _, _ = solver(
-                    lambda x: blockcsr.matvec(mesh, jac, x, sel), pc,
-                    rhs, max_iter=cfg.linear_solver_iter,
-                    tol=cfg.linear_solver_error)
+                if cfg.linear_solver == "BCGSTAB":
+                    sol, _, _ = krylov.bcgstab(
+                        mv, pc, rhs, max_iter=cfg.linear_solver_iter,
+                        tol=cfg.linear_solver_error)
+                else:
+                    sol, _, _ = krylov.fgmres(
+                        mv, pc, rhs, max_iter=cfg.linear_solver_iter,
+                        tol=cfg.linear_solver_error, precond_matvec=pm)
                 u_new = jnp.clip(u + cfg.relaxation_factor_flow * sol,
                                  lower, upper)
                 rms = jnp.sqrt(jnp.mean(rhs * rhs, axis=0))

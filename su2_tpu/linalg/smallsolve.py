@@ -35,8 +35,10 @@ def gauss_solve(a: jnp.ndarray, b: jnp.ndarray, pivot: bool = True) -> jnp.ndarr
             prow = aug[..., col, :] / safe
             factors = aug[..., :, col][..., None]
             not_col = (rows != col)[:, None]
-            aug = jnp.where(not_col, aug - factors * prow[..., None, :], aug)
-            aug = aug.at[..., col, :].set(prow)
+            # single select (the .at[col].set row write lowered to a
+            # scatter that dominated the batched solve on TPU)
+            aug = jnp.where(not_col, aug - factors * prow[..., None, :],
+                            jnp.broadcast_to(prow[..., None, :], aug.shape))
         return aug[..., :, n:]
 
     aug = jnp.concatenate([a, b], axis=-1)              # (..., n, m)

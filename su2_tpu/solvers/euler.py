@@ -506,14 +506,19 @@ def chemistry_source_residual(lib, lay, mesh, prm, v, omega_turb=None):
     t = v[:, lay.T]
     rho = v[:, lay.PRHO]
     ys = v[:, lay.YS:lay.YS + lay.ns]
-    rf, rb, kc = cl.reaction_rates(lib, t, rho, ys)
-    om = cl.omega_tensor(lib, rf, rb)
-    if prm.pasr and omega_turb is not None:
-        dfr = cl.dfr_drho(lib, rf, rb, rho, ys)
-        k = cl.pasr_constants(lib, dfr, omega_turb, prm.c_mu, prm.pasr_lb)
-        omega = cl.mass_production(lib, om, k)
+    from su2_tpu.pallas import chem_source as pcs
+    if pcs.use_pallas() and lib.nreactions > 0:
+        omega = pcs.chem_source(lib, prm, t, rho, ys, omega_turb)
     else:
-        omega = cl.mass_production(lib, om)
+        rf, rb, kc = cl.reaction_rates(lib, t, rho, ys)
+        om = cl.omega_tensor(lib, rf, rb)
+        if prm.pasr and omega_turb is not None:
+            dfr = cl.dfr_drho(lib, rf, rb, rho, ys)
+            k = cl.pasr_constants(lib, dfr, omega_turb, prm.c_mu,
+                                  prm.pasr_lb)
+            omega = cl.mass_production(lib, om, k)
+        else:
+            omega = cl.mass_production(lib, om)
     res = jnp.zeros((v.shape[0], lay.nvar), dtype=v.dtype)
     res = res.at[:, lay.RHOS:lay.RHOS + lay.ns].set(
         -omega * mesh.volume[:, None])
@@ -755,15 +760,16 @@ def implicit_euler_update(lib, lay, mesh, prm, bcs, u, v, dt, lower, upper,
     res, jac = assemble_system(lib, lay, mesh, prm, bcs, v, dt,
                                omega_turb, turb_ke)
     rhs = -res
-    pc = blockcsr.make_preconditioner(mesh, jac, precond, color_masks)
-    sel = blockcsr.gather_offdiag(mesh, jac)
-
-    def mv(x):
-        return blockcsr.matvec(mesh, jac, x, sel)
-
-    solver = krylov.bcgstab if linear_solver == "BCGSTAB" else krylov.fgmres
-    sol, rel_res, iters = solver(mv, pc, rhs, max_iter=linear_iter,
-                                 tol=linear_tol)
+    mv, pc, pm = blockcsr.make_solver_ops(mesh, jac, precond, color_masks)
+    if linear_solver == "BCGSTAB":
+        sol, rel_res, iters = krylov.bcgstab(mv, pc, rhs,
+                                             max_iter=linear_iter,
+                                             tol=linear_tol)
+    else:
+        sol, rel_res, iters = krylov.fgmres(mv, pc, rhs,
+                                            max_iter=linear_iter,
+                                            tol=linear_tol,
+                                            precond_matvec=pm)
     u_new = jnp.clip(u + relax * sol, lower, upper)
     rms = jnp.sqrt(jnp.mean(rhs * rhs, axis=0))
     rmax = jnp.abs(rhs).max(axis=0)
