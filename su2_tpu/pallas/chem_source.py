@@ -26,7 +26,7 @@ from jax.experimental import pallas as pl
 from su2_tpu.chemistry.library import (R_UNGAS, _KEQ_COMPLETE, _Y_FLOOR,
                                        _Y_JAC_GUARD, _Y_RATE_GUARD)
 from su2_tpu.pallas.node_state import (_CHUNK, _pad_cols, _pad_cols_last,
-                                       _split3)
+                                       _split3, spline_gather)
 
 _MODE = False
 
@@ -82,32 +82,12 @@ def _chem_source_call(t_in, rho_in, ys_in, omt_in, tab, *, meta):
         ys = ys_ref[...]
         ysc = jnp.where(ys < 0.0, _Y_FLOOR, ys)
 
-        # ---- ln Kc / ln Kp lookup (chunk-skipped one-hot) ----
+        # ---- ln Kc / ln Kp lookup (windowed one-hot, node_state.spline_gather)
         nrows = 8 * nr
         tc = jnp.clip(t, t0, tmax_tab)
         klo = jnp.clip(((tc - t0) / dtg).astype(jnp.int32) + 1, 1, nt - 1)
-        ntp = tab_ref.shape[1]
-        g = jnp.zeros((nrows, tile), dtype)
-        for c in range(ntp // _CHUNK):
-            base = c * _CHUNK
-            hit = jnp.any((klo >= base) & (klo < base + _CHUNK))
-
-            def live(gc, base=base):
-                rows = jax.lax.broadcasted_iota(
-                    jnp.int32, (_CHUNK, tile), 0) + base
-                if split:
-                    ohc = (rows == klo[None, :]).astype(jnp.bfloat16)
-                    r3 = jnp.dot(tab_ref[:, base:base + _CHUNK], ohc,
-                                 preferred_element_type=dtype,
-                                 precision=jax.lax.Precision.DEFAULT)
-                    return gc + (r3[:nrows] + r3[nrows:2 * nrows]
-                                 + r3[2 * nrows:])
-                ohc = (rows == klo[None, :]).astype(dtype)
-                return gc + jnp.dot(tab_ref[:, base:base + _CHUNK], ohc,
-                                    preferred_element_type=dtype,
-                                    precision=jax.lax.Precision.HIGHEST)
-
-            g = jax.lax.cond(hit, live, lambda gc: gc, g)
+        g = spline_gather(tab_ref, nrows, klo, ntp=tab_ref.shape[1],
+                          split=split, dtype=dtype)
         xk = t0 + klo.astype(dtype) * dtg
         a = (xk - tc) / dtg
         b = (tc - (xk - dtg)) / dtg

@@ -60,8 +60,12 @@ def _hcp_tables(lib, dtype):
     tab = jnp.concatenate(
         [jnp.concatenate([h4[k], c4[k]], axis=0) for k in range(4)],
         axis=0).astype(dtype)
+    from su2_tpu.pallas.node_state import _CHUNK, _pad_cols_last, _split3
+    nt = tab.shape[1]
+    ntp = -(-nt // _CHUNK) * _CHUNK
+    if ntp != nt:
+        tab = _pad_cols_last(tab, ntp)
     if dtype == jnp.float32:
-        from su2_tpu.pallas.node_state import _split3
         tab = _split3(tab)
     return tab
 
@@ -115,19 +119,10 @@ def fused_edge_flux_pallas(lay, m_infty, prandtl_turb, lewis_turb,
         tmax_tab = t0 + (nt - 1) * dtg
         tc = jnp.clip(tmean, t0, tmax_tab)
         klo = jnp.clip(((tc - t0) / dtg).astype(jnp.int32) + 1, 1, nt - 1)
-        rows = jax.lax.broadcasted_iota(jnp.int32, (nt, tile), 0)
-        s8 = 8 * ns
-        if tab_ref.dtype == jnp.bfloat16:
-            # 3-level bf16 table split: one DEFAULT pass replaces the
-            # 6-pass HIGHEST f32 dot (see node_state._split3)
-            oh = (rows == klo[None, :]).astype(jnp.bfloat16)
-            g3 = jnp.dot(tab_ref[...], oh, preferred_element_type=vi.dtype,
-                         precision=jax.lax.Precision.DEFAULT)
-            g = g3[:s8] + g3[s8:2 * s8] + g3[2 * s8:]      # (8S, tile)
-        else:
-            oh = (rows == klo[None, :]).astype(vi.dtype)
-            g = jnp.dot(tab_ref[...], oh, preferred_element_type=vi.dtype,
-                        precision=jax.lax.Precision.HIGHEST)   # (8S, tile)
+        from su2_tpu.pallas.node_state import spline_gather
+        g = spline_gather(tab_ref, 8 * ns, klo, ntp=tab_ref.shape[1],
+                          split=tab_ref.dtype == jnp.bfloat16,
+                          dtype=vi.dtype)                      # (8S, tile)
         xk = t0 + klo.astype(vi.dtype) * dtg
         a = ((xk - tc) / dtg)[None, :]
         b = ((tc - (xk - dtg)) / dtg)[None, :]
@@ -175,7 +170,7 @@ def fused_edge_flux_pallas(lay, m_infty, prandtl_turb, lewis_turb,
         grid=grid,
         interpret=interpret,
         in_specs=[bs(r_sk + 1), bs(r_sk + 1), bs(nd), bs(nd),
-                  fb(b_hcp.shape[0], nt), fb(ns, 1), fb(ns, ns)],
+                  fb(b_hcp.shape[0], b_hcp.shape[1]), fb(ns, 1), fb(ns, ns)],
         out_specs=[bs(nvar), bs(1), bs(1)],
         out_shape=[
             jax.ShapeDtypeStruct((nvar, npad), f_i.dtype),

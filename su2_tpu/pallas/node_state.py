@@ -89,6 +89,56 @@ def _tables(lib, dtype):
 
 
 _CHUNK = 128
+_WIN = 256
+
+
+def spline_gather(tab_ref, nrows, klo, *, ntp, split, dtype):
+    """One-hot MXU gather of spline-table rows at knot indices klo (tile,).
+
+    tab_ref: (R', ntp) stacked table ref (R' = nrows for f64, 3*nrows for
+    f32 bf16 3-level splits — see _split3).  Returns (nrows, tile).
+
+    The hot path slices one 128-aligned _WIN-wide window covering the whole
+    tile's knot range (tile temperatures are spatially coherent) and does a
+    single one-hot contraction against it; tiles spanning more than the
+    window (ignition fronts) fall back to one full-table dot.  This replaces
+    the per-128-chunk lax.cond skip loop, which paid ~10 branch overheads
+    per lookup."""
+    tile_n = klo.shape[0]
+    kmin = jnp.min(klo)
+    kmax = jnp.max(klo)
+
+    def contract(win, base):
+        rows = jax.lax.broadcasted_iota(
+            jnp.int32, (win.shape[1], tile_n), 0) + base
+        if split:
+            ohc = (rows == klo[None, :]).astype(jnp.bfloat16)
+            # DEFAULT, not the session-wide HIGHEST: bf16 inputs with an
+            # fp32 contract precision are rejected by Mosaic (and need no
+            # pass splitting)
+            r3 = jnp.dot(win, ohc, preferred_element_type=dtype,
+                         precision=jax.lax.Precision.DEFAULT)
+            return r3[:nrows] + r3[nrows:2 * nrows] + r3[2 * nrows:]
+        ohc = (rows == klo[None, :]).astype(dtype)
+        # HIGHEST: exact selection (Mosaic supports only DEFAULT and
+        # HIGHEST dot precisions; DEFAULT would round f64 tables to bf16)
+        return jnp.dot(win, ohc, preferred_element_type=dtype,
+                       precision=jax.lax.Precision.HIGHEST)
+
+    if ntp <= _WIN:
+        return contract(tab_ref[...], 0)
+
+    # keep *_CHUNK as the outermost op so Mosaic can prove 128-alignment
+    kbase = jnp.minimum(kmin // _CHUNK, (ntp - _WIN) // _CHUNK) * _CHUNK
+    covered = kmax < kbase + _WIN
+
+    def win_path(_):
+        return contract(tab_ref[:, pl.ds(kbase, _WIN)], kbase)
+
+    def full_path(_):
+        return contract(tab_ref[...], 0)
+
+    return jax.lax.cond(covered, win_path, full_path, 0)
 
 
 def _pad_cols_last(x, npad):
@@ -177,45 +227,11 @@ def cons2prim_fused(lay, tp, nt_meta, u_t, t_guess, tke, b_h, b_all, mm, ri,
         def lookup(tab_ref, nrows, t):
             """One-hot spline eval; tab rows grouped [yl; yc; y2l; y2c] with
             nrows//4 species rows per group.  Returns (nrows//4, tile).
-
-            The knot axis is processed in 128-lane chunks and a chunk's
-            one-hot contraction only runs when some cell's knot falls in it
-            (lax.cond -> scf.if): tile temperatures are spatially coherent,
-            so typically 1-3 of the ~10 chunks are live.  f32 tables ride
-            as 3-level bf16 splits (_split3): one DEFAULT bf16 pass of 3x
-            rows replaces the 6-pass HIGHEST f32 dot."""
+            See spline_gather for the windowed one-hot contraction."""
             tc = jnp.clip(t, t0, tmax_tab)
             klo = jnp.clip(((tc - t0) / dtg).astype(jnp.int32) + 1, 1, nt - 1)
-            ntp = tab_ref.shape[1]
-            tile_n = t.shape[0]
-            g = jnp.zeros((nrows, tile_n), dtype)
-            for c in range(ntp // _CHUNK):
-                base = c * _CHUNK
-                hit = jnp.any((klo >= base) & (klo < base + _CHUNK))
-
-                def live(gc, base=base):
-                    rows = jax.lax.broadcasted_iota(
-                        jnp.int32, (_CHUNK, tile_n), 0) + base
-                    if split:
-                        ohc = (rows == klo[None, :]).astype(jnp.bfloat16)
-                        # DEFAULT, not the session-wide HIGHEST: bf16
-                        # inputs with an fp32 contract precision are
-                        # rejected by Mosaic (and need no pass splitting)
-                        r3 = jnp.dot(tab_ref[:, base:base + _CHUNK], ohc,
-                                     preferred_element_type=dtype,
-                                     precision=jax.lax.Precision.DEFAULT)
-                        return gc + (r3[:nrows] + r3[nrows:2 * nrows]
-                                     + r3[2 * nrows:])
-                    ohc = (rows == klo[None, :]).astype(dtype)
-                    # HIGHEST: exact selection (Mosaic supports only
-                    # DEFAULT and HIGHEST dot precisions; DEFAULT would
-                    # round the f64 tables to bf16)
-                    return gc + jnp.dot(
-                        tab_ref[:, base:base + _CHUNK], ohc,
-                        preferred_element_type=dtype,
-                        precision=jax.lax.Precision.HIGHEST)
-
-                g = jax.lax.cond(hit, live, lambda gc: gc, g)
+            g = spline_gather(tab_ref, nrows, klo, ntp=tab_ref.shape[1],
+                              split=split, dtype=dtype)
             s4 = nrows // 4
             xk = t0 + klo.astype(dtype) * dtg
             a = ((xk - tc) / dtg)[None, :]
