@@ -273,8 +273,14 @@ def cons2prim_fused(lay, tp, nt_meta, u_t, t_guess, tke, b_h, b_all, mm, ri,
 
         h_old0 = _concrete(h_mix2(t_old0))
 
-        def sec_body(_, c):
-            t, t_old, h_old, sdone = c
+        def sec_cond(c):
+            # tile-level early exit: steady-state tiles converge in 2-3
+            # rounds; each skipped round saves an h_mix2 spline lookup
+            it, t, t_old, h_old, sdone = c
+            return (it < tp.secant_iters) & (jnp.min(sdone) < 0.5)
+
+        def sec_body(c):
+            it, t, t_old, h_old, sdone = c
             dmask = sdone > 0.5
             f = t - c12 - c22 * h_mix2(t)
             f_old = t_old - c12 - c22 * h_old
@@ -291,11 +297,12 @@ def cons2prim_fused(lay, tp, nt_meta, u_t, t_guess, tke, b_h, b_all, mm, ri,
             t_n = jnp.where(dmask | conv_s, t, t_new)
             told_n = jnp.where(dmask, t_old, t)
             h_n = jnp.where(dmask, h_old, (t - c12 - f) / c22)
-            return t_n, told_n, h_n, sdone_n
+            return it + 1, t_n, told_n, h_n, sdone_n
 
-        t_sec2, _, _, sec_done2 = jax.lax.fori_loop(
-            0, tp.secant_iters, sec_body,
-            (tg, t_old0, h_old0, jnp.zeros_like(tg)))
+        _, t_sec2, _, _, sec_done2 = jax.lax.while_loop(
+            sec_cond, sec_body,
+            (jnp.asarray(0, jnp.int32), tg, _concrete(t_old0), h_old0,
+             _concrete(jnp.zeros_like(tg))))
         sec_ok = sec_done2[0] > 0.5
 
         ta0 = jnp.full_like(tg, tp.tmin)
