@@ -50,11 +50,35 @@ def _onehot(idx, n, dtype):
     return (cols == jnp.asarray(idx, jnp.int32)[:, None]).astype(dtype)
 
 
+def _arith_prog(sidx):
+    """(start, stride) if sidx is a positive-stride arithmetic progression.
+
+    Marker vertex lists on structured(-as-unstructured) meshes are APs in
+    the node ordering: walls are contiguous runs (stride 1), inflow/
+    outflow columns sit at a fixed row stride.  Contiguous runs bypass the
+    one-hot contraction entirely (one slice / update-slice)."""
+    if sidx.size < 2:
+        return None
+    d = np.diff(sidx)
+    if d[0] > 0 and np.all(d == d[0]):
+        return int(sidx[0]), int(d[0])
+    return None
+
+
+
+
 def rows(x: jax.Array, idx) -> jax.Array:
     """x[idx] for float x of shape (n, ...) with a small static idx."""
     sidx = _static_idx(idx)
-    if (sidx is None or sidx.size == 0 or sidx.size > MAX_ONEHOT
-            or x.ndim == 0 or not jnp.issubdtype(x.dtype, jnp.floating)):
+    if sidx is None or sidx.size == 0 or x.ndim == 0:
+        return x[idx]
+    ap = _arith_prog(sidx)
+    if ap is not None and ap[1] == 1:  # contiguous run, any dtype: one slice
+        # strided runs stay on the one-hot path: a strided lax.slice on the
+        # feature-major layouts blocks fusion with the producers and forces
+        # full-array relayout copies (142k mesh: 14 -> 58 ms/iter)
+        return jax.lax.slice_in_dim(x, ap[0], ap[0] + sidx.size, axis=0)
+    if sidx.size > MAX_ONEHOT or not jnp.issubdtype(x.dtype, jnp.floating):
         return x[idx]
     n = x.shape[0]
     xf = x.reshape(n, -1)
@@ -66,10 +90,21 @@ def rows(x: jax.Array, idx) -> jax.Array:
 def add_rows(dest: jax.Array, idx, vals: jax.Array) -> jax.Array:
     """dest.at[idx].add(vals) for float dest (n, ...), small static idx."""
     sidx = _static_idx(idx)
-    if (sidx is None or sidx.size == 0 or sidx.size > MAX_ONEHOT
-            or not jnp.issubdtype(dest.dtype, jnp.floating)):
+    if sidx is None or sidx.size == 0:
         return dest.at[idx].add(vals)
     n = dest.shape[0]
+    ap = _arith_prog(sidx)
+    if ap is not None and ap[1] == 1:
+        # contiguous run: one slice + add + update-slice.  Strided runs
+        # stay on the one-hot path: the reshaped-view update forces a
+        # relayout copy of the whole array on TPU (feature-major layouts),
+        # which is far worse than the contraction.
+        nr = sidx.size
+        vv = jnp.asarray(vals, dest.dtype).reshape((nr,) + dest.shape[1:])
+        return dest.at[ap[0]:ap[0] + nr].add(vv)
+    if (sidx.size > MAX_ONEHOT
+            or not jnp.issubdtype(dest.dtype, jnp.floating)):
+        return dest.at[idx].add(vals)
     vf = vals.reshape(sidx.size, -1).astype(dest.dtype)
     upd = jnp.dot(_onehot(sidx, n, dest.dtype).T, vf,
                   precision=jax.lax.Precision.HIGHEST)
@@ -80,10 +115,16 @@ def set_col_rows(dest: jax.Array, idx, col: int, vals: jax.Array) -> jax.Array:
     """dest.at[idx, col].set(vals) for float dest (n, k), small static idx
     (unique indices)."""
     sidx = _static_idx(idx)
-    if (sidx is None or sidx.size == 0 or sidx.size > MAX_ONEHOT
-            or not jnp.issubdtype(dest.dtype, jnp.floating)):
+    if sidx is None or sidx.size == 0:
         return dest.at[idx, col].set(vals)
     n = dest.shape[0]
+    ap = _arith_prog(sidx)
+    if ap is not None and ap[1] == 1:
+        return dest.at[ap[0]:ap[0] + sidx.size, col].set(
+            jnp.asarray(vals, dest.dtype))
+    if (sidx.size > MAX_ONEHOT
+            or not jnp.issubdtype(dest.dtype, jnp.floating)):
+        return dest.at[idx, col].set(vals)
     full = jnp.dot(_onehot(sidx, n, dest.dtype).T,
                    vals.astype(dest.dtype)[:, None],
                    precision=jax.lax.Precision.HIGHEST)[:, 0]
@@ -98,10 +139,17 @@ def set_rows(dest: jax.Array, idx, vals: jax.Array) -> jax.Array:
 
     Requires unique idx (true for marker vertex lists)."""
     sidx = _static_idx(idx)
-    if (sidx is None or sidx.size == 0 or sidx.size > MAX_ONEHOT
-            or not jnp.issubdtype(dest.dtype, jnp.floating)):
+    if sidx is None or sidx.size == 0:
         return dest.at[idx].set(vals)
     n = dest.shape[0]
+    ap = _arith_prog(sidx)
+    if ap is not None and ap[1] == 1:
+        vv = jnp.broadcast_to(
+            jnp.asarray(vals, dest.dtype), (sidx.size,) + dest.shape[1:])
+        return dest.at[ap[0]:ap[0] + sidx.size].set(vv)
+    if (sidx.size > MAX_ONEHOT
+            or not jnp.issubdtype(dest.dtype, jnp.floating)):
+        return dest.at[idx].set(vals)
     mask = np.zeros((n,), bool)
     mask[sidx] = True
     keep = jnp.where(jnp.asarray(mask.reshape((n,) + (1,) * (dest.ndim - 1))),
