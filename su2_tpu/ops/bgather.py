@@ -50,6 +50,29 @@ def _onehot(idx, n, dtype):
     return (cols == jnp.asarray(idx, jnp.int32)[:, None]).astype(dtype)
 
 
+def _sel_dot(onehot_f, xf):
+    """Exact selection product onehot @ xf.
+
+    Large-n f32: one DEFAULT-precision bf16 pass over a 3-level column
+    split of xf (t1+t2+t3 == x to f32 ulp, selector exact in bf16) — half
+    the MXU passes of the 6-pass HIGHEST f32 dot, which dominates
+    large-mesh BC sections.  Small arrays (MACs trivial) and other dtypes
+    keep the HIGHEST dot: the split's elementwise passes aren't free."""
+    if (xf.dtype != jnp.float32
+            or max(onehot_f.shape[0], xf.shape[0]) < 32768):
+        return jnp.dot(onehot_f, xf, precision=jax.lax.Precision.HIGHEST)
+    w = xf.shape[1]
+    t1 = xf.astype(jnp.bfloat16)
+    r1 = xf - t1.astype(jnp.float32)
+    t2 = r1.astype(jnp.bfloat16)
+    t3 = (r1 - t2.astype(jnp.float32)).astype(jnp.bfloat16)
+    xs = jnp.concatenate([t1, t2, t3], axis=1)
+    o3 = jnp.dot(onehot_f.astype(jnp.bfloat16), xs,
+                 preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.DEFAULT)
+    return o3[:, :w] + o3[:, w:2 * w] + o3[:, 2 * w:]
+
+
 def _arith_prog(sidx):
     """(start, stride) if sidx is a positive-stride arithmetic progression.
 
@@ -82,8 +105,7 @@ def rows(x: jax.Array, idx) -> jax.Array:
         return x[idx]
     n = x.shape[0]
     xf = x.reshape(n, -1)
-    out = jnp.dot(_onehot(sidx, n, x.dtype), xf,
-                  precision=jax.lax.Precision.HIGHEST)
+    out = _sel_dot(_onehot(sidx, n, x.dtype), xf)
     return out.reshape(sidx.shape + x.shape[1:])
 
 
@@ -106,8 +128,7 @@ def add_rows(dest: jax.Array, idx, vals: jax.Array) -> jax.Array:
             or not jnp.issubdtype(dest.dtype, jnp.floating)):
         return dest.at[idx].add(vals)
     vf = vals.reshape(sidx.size, -1).astype(dest.dtype)
-    upd = jnp.dot(_onehot(sidx, n, dest.dtype).T, vf,
-                  precision=jax.lax.Precision.HIGHEST)
+    upd = _sel_dot(_onehot(sidx, n, dest.dtype).T, vf)
     return dest + upd.reshape(dest.shape)
 
 
@@ -125,9 +146,8 @@ def set_col_rows(dest: jax.Array, idx, col: int, vals: jax.Array) -> jax.Array:
     if (sidx.size > MAX_ONEHOT
             or not jnp.issubdtype(dest.dtype, jnp.floating)):
         return dest.at[idx, col].set(vals)
-    full = jnp.dot(_onehot(sidx, n, dest.dtype).T,
-                   vals.astype(dest.dtype)[:, None],
-                   precision=jax.lax.Precision.HIGHEST)[:, 0]
+    full = _sel_dot(_onehot(sidx, n, dest.dtype).T,
+                    vals.astype(dest.dtype)[:, None])[:, 0]
     mask = np.zeros((n,), bool)
     mask[sidx] = True
     return dest.at[:, col].set(jnp.where(jnp.asarray(mask), full,
