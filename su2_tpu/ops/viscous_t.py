@@ -99,42 +99,70 @@ def _molar_from_mass_t(mm_col, ys):
     return xs * (ysc.sum(0, keepdims=True) / xs.sum(0, keepdims=True))
 
 
-def _binary_diffusion_t(sm_den, t, p_atm):
-    """Fuller D_ij (GetDij_SM, reacting_model_library.cpp:751-766), (S,S,E),
-    in cm^2/s like the library; the caller converts to m^2/s."""
-    return 1.0e-3 * t[None, None, :] ** 1.75 / (p_atm[None, None, :]
-                                                * sm_den[:, :, None])
+def _stefan_maxwell_gamma_g(mm_col, rho, xs, ys, g, den):
+    """GetGamma (reacting_model_library.cpp:771-798), (S, S, E).
 
-
-def _stefan_maxwell_gamma_t(mm_col, rho, xs, ys, dij):
-    """GetGamma (reacting_model_library.cpp:771-798), (S, S, E)."""
+    Exploits the separable Fuller form dij[a, b] = g / den[a, b] (g the
+    per-edge harmonic-mean T^1.75/P factor, den the static pair matrix):
+    every 1/dij becomes one multiply against a small static matrix, so no
+    (S, S, E) pow/divide tensors are ever materialized."""
     s = mm_col.shape[0]
     eye = _eye(s, xs.dtype)
     sigma = ys.sum(0)
     mtot = 1.0 / (ys / mm_col).sum(0)
-    pref = (sigma * mtot / rho)[None, None]             # (1, 1, E)
+    prefg = sigma * mtot / (rho * g)                    # pref / g, (E,)
     mm_row = jnp.swapaxes(mm_col, 0, 1)                 # (1, S)
-    inv_d = 1.0 / dij
-    off = -pref * xs[:, None, :] / (mm_row[:, :, None] * dij)
+    k1 = den / mm_row * (1.0 - eye)                     # (S, S), tiny
+    a_mat = den * (1.0 - eye)
     # middle-axis reductions on 3D arrays crash the Mosaic compiler —
     # unroll the tiny species axis into 2D row ops
-    sum_terms = sum(inv_d[:, k] * ((1.0 - eye)[:, k])[:, None] * xs[k][None]
-                    for k in range(s))
-    diag = pref[0] * sum_terms / mm_col
-    return off * (1.0 - eye)[:, :, None] + eye[:, :, None] * diag[:, None, :]
+    sum_terms = sum(a_mat[:, k][:, None] * xs[k][None] for k in range(s))
+    diag = prefg[None] * sum_terms / mm_col
+    off = -(prefg[None] * xs)[:, None, :] * k1[:, :, None]
+    return off + eye[:, :, None] * diag[:, None, :]
 
 
-def _molar2mass_operator_t(mm_col, mm_sum, ys, xs):
-    """Get_Molar2MassGrad_Operator (numerics_direct_reactive.cpp:855-880)."""
+def _molar2mass_solve_t(mm_col, mm_sum, ys, xs, b):
+    """Solve M gy = b for the Get_Molar2MassGrad_Operator M
+    (numerics_direct_reactive.cpp:855-880) without materializing it.
+
+    M decomposes exactly as D + u 1^T + w z^T with
+      D    = diag(mm_sum * sigma / mm),  sigma = sum_k xs_k,
+      u    = mm_sum * ys / mm,   w = -mm_sum * xs,   z = 1 / mm,
+    (the off-diagonal entry mtot*(ys_s/mm_s - xs_s/mm_k) and the diagonal
+    mtot/mm_s*(ys_s - xs_s + sigma) both follow), so Woodbury with the
+    rank-2 factor gives an O(S) solve per edge instead of the O(S^3)
+    Gauss-Jordan:  M^-1 b = Dinv b - Dinv U (I2 + V^T Dinv U)^-1 V^T Dinv b
+    with U = [u w], V = [1 z].
+
+    b: (S, R, E) stacked right-hand sides; returns (S, R, E)."""
     s = mm_col.shape[0]
-    eye = _eye(s, xs.dtype)
-    sigma = xs.sum(0)
-    mm_row = jnp.swapaxes(mm_col, 0, 1)                 # (1, S)
-    diag = mm_sum / mm_col * (ys - xs + sigma[None])    # (S, E)
-    # off[s, k] = mtot*(ys[s]/mm[s] - xs[s]/mm[k])
-    off = mm_sum * (ys[:, None, :] / mm_col[:, :, None]
-                    - xs[:, None, :] / mm_row[:, :, None])
-    return eye[:, :, None] * diag[:, None, :] + (1.0 - eye)[:, :, None] * off
+    sigma = xs.sum(0)                                   # (E,)
+    dinv = mm_col / (mm_sum * sigma)[None]              # (S, E)
+    u = mm_sum * ys / mm_col
+    w = -mm_sum * xs
+    zc = 1.0 / mm_col                                   # (S, 1)
+
+    du = dinv * u                                       # (S, E)
+    dw = dinv * w
+    # 2x2 Gram matrix G = I + V^T Dinv U  (V columns: ones, z)
+    g11 = 1.0 + sum(du[k] for k in range(s))
+    g12 = sum(dw[k] for k in range(s))
+    g21 = sum(zc[k, 0] * du[k] for k in range(s))
+    g22 = 1.0 + sum(zc[k, 0] * dw[k] for k in range(s))
+    det = g11 * g22 - g12 * g21
+    det = jnp.where(det == 0.0, 1.0, det)
+
+    nrhs = b.shape[1]
+    cols = []
+    for r in range(nrhs):
+        db = dinv * b[:, r]                             # (S, E)
+        c1 = sum(db[k] for k in range(s))               # 1^T Dinv b
+        c2 = sum(zc[k, 0] * db[k] for k in range(s))    # z^T Dinv b
+        a1 = (g22 * c1 - g12 * c2) / det
+        a2 = (g11 * c2 - g21 * c1) / det
+        cols.append((db - du * a1[None] - dw * a2[None])[:, None])
+    return jnp.concatenate(cols, axis=1)
 
 
 def viscous_flux_t(lay: Layout, sc: SpeciesConsts,
@@ -165,12 +193,14 @@ def viscous_flux_t(lay: Layout, sc: SpeciesConsts,
     ktr = harm(ka_i, ka_j)
 
     # Fuller Dij per side from node T, P (node_transport: P in atm, cm^2/s
-    # -> m^2/s), then the harmonic face mean
-    def dij_of(vrow):
-        return _binary_diffusion_t(
-            sc.sm_den, vrow[lay.T], vrow[lay.P] / 101325.0) / 1.0e4
+    # -> m^2/s), harmonic face mean.  The Fuller form is separable,
+    # dij[a, b] = f(T, P) / den[a, b], and harm(f_i/den, f_j/den) ==
+    # harm(f_i, f_j)/den, so only the per-edge scalar g is ever built.
+    def f_of(vrow):
+        return 1.0e-7 * vrow[lay.T] ** 1.75 \
+            / (vrow[lay.P] / 101325.0)
 
-    dij = harm(dij_of(v_i), dij_of(v_j))
+    g_fuller = harm(f_of(v_i), f_of(v_j))                      # (E,)
 
     vmean = 0.5 * (v_i + v_j)
     rho = vmean[lay.PRHO]
@@ -207,13 +237,15 @@ def viscous_flux_t(lay: Layout, sc: SpeciesConsts,
 
     # Stefan-Maxwell diffusion flux from the normal-projected X gradient
     grad_xs_norm = sum(g_xs[:, d] * normal[d][None] for d in range(nd))
-    gamma = _stefan_maxwell_gamma_t(mm_col, rho, xs, ysc, dij)
-    dij_max = dij[0, 0]
+    den = sc.sm_den
+    gamma = _stefan_maxwell_gamma_g(mm_col, rho, xs, ysc, g_fuller, den)
+    den_min = den[0, 0]
     for a_ in range(ns):
         for b_ in range(ns):
             if a_ or b_:
-                dij_max = jnp.maximum(dij_max, dij[a_, b_])
-    alpha = 1.0 / (rho * dij_max)
+                den_min = jnp.minimum(den_min, den[a_, b_])
+    # dij_max = g / den_min
+    alpha = den_min / (rho * g_fuller)
     gt = gamma + (alpha * ysc)[:, None, :]
     jd = gauss_solve_t(gt, -grad_xs_norm[:, None, :])[:, 0, :]   # (S, E)
     def _rowsum(x):
@@ -241,8 +273,7 @@ def viscous_flux_t(lay: Layout, sc: SpeciesConsts,
          for j_ in range(nd)], axis=0)
     e_tau = e_tau + sum(tau_t[i_, j_] * vel[j_] * normal[i_]
                         for i_ in range(nd) for j_ in range(nd))
-    m_tilde = _molar2mass_operator_t(mm_col, sc.mm_sum, ysc, xs)
-    gy = gauss_solve_t(m_tilde, g_xs)                           # (S, d, E)
+    gy = _molar2mass_solve_t(mm_col, sc.mm_sum, ysc, xs, g_xs)  # (S, d, E)
     gy = jnp.where(jnp.abs(g_xs) < 1e-8, 0.0, gy)
     cmt = mu_t / (prandtl_turb * lewis_turb)
     gy_n = sum(gy[:, d] * normal[d][None] for d in range(nd))   # (S, E)
