@@ -8,6 +8,9 @@ dual normal — reproduced exactly.
 
 from __future__ import annotations
 
+import numpy as np
+
+import jax
 import jax.numpy as jnp
 
 from su2_tpu.geometry.mesh_data import MeshArrays
@@ -17,12 +20,37 @@ from su2_tpu.ops import bgather as bg
 EPS = 1e-16
 
 
+def _static_marker(nodes, normal):
+    """(nodes, normal) as host numpy if trace-time static, else None."""
+    sn = bg._static_idx(nodes)
+    if sn is None or isinstance(normal, jax.core.Tracer):
+        return None
+    return sn, np.asarray(normal)
+
+
 def boundary_lambda_inv(mesh: MeshArrays, lay: Layout, v: jnp.ndarray,
                         lam: jnp.ndarray) -> jnp.ndarray:
-    """Add the boundary-vertex inviscid spectral radii to lam."""
+    """Add the boundary-vertex inviscid spectral radii to lam.
+
+    Marker node lists and normals are trace-time constants, so each marker
+    densifies to one full-mesh elementwise pass against zero-padded static
+    normal/area fields (exact: off-marker vertices contribute |v . 0| +
+    a*0 = 0) — no gathers or scatters, which otherwise dominate large-mesh
+    BC sections as one-hot contractions."""
     vel = v[:, lay.VX:lay.VX + lay.ndim]
     a = v[:, lay.A]
+    n = v.shape[0]
     for tag, (nodes, normal) in mesh.markers.items():
+        stat = _static_marker(nodes, normal)
+        if stat is not None:
+            sn, nm = stat
+            nd = np.zeros((n, nm.shape[1]), nm.dtype)
+            nd[sn] = nm
+            ad = np.zeros((n,), nm.dtype)
+            ad[sn] = np.linalg.norm(nm, axis=1)
+            proj = jnp.sum(vel * jnp.asarray(nd, v.dtype), axis=1)
+            lam = lam + (jnp.abs(proj) + a) * jnp.asarray(ad, v.dtype)
+            continue
         area = jnp.linalg.norm(normal, axis=1)
         proj = jnp.sum(bg.rows(vel, nodes) * normal, axis=1)
         lam_b = (jnp.abs(proj) + bg.rows(a, nodes)) * area

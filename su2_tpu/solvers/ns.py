@@ -11,6 +11,7 @@ from dataclasses import dataclass, replace
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from su2_tpu.chemistry import library as cl
 from su2_tpu.chemistry.library import ChemLib
@@ -73,9 +74,33 @@ def _visc_lam12(prm: NSParams, turb_on: bool, mu, kappa, mut, gam, cv):
 def viscous_lambda_boundary(lib: ChemLib, mesh: MeshArrays, lay: Layout,
                             prm: NSParams, v, trans, dpdu_full,
                             turb: TurbFlowData | None, lam):
-    """Add boundary-vertex viscous spectral radii to lam (:5188-5214)."""
+    """Add boundary-vertex viscous spectral radii to lam (:5188-5214).
+
+    The per-vertex term lam12(node fields) * area^2 / rho has no marker-
+    normal dependence, so all markers merge into one static dense area^2
+    weight and a single full-mesh elementwise pass (exact: corner vertices
+    sum their per-marker area^2 like the reference's marker loop; interior
+    vertices carry weight 0) — no gathers or scatters."""
+    from su2_tpu.ops.timestep import _static_marker
+
     gamma = dpdu_full[:, lay.RHOE] + 1.0
     cpg = cl.mixture_cp(lib, v[:, lay.T], v[:, lay.YS:lay.YS + lay.ns]) / gamma
+    n = v.shape[0]
+    w2 = None
+    for tag, (nodes, normal) in mesh.markers.items():
+        stat = _static_marker(nodes, normal)
+        if stat is None:
+            w2 = None
+            break
+        sn, nm = stat
+        if w2 is None:
+            w2 = np.zeros((n,), np.float64)
+        np.add.at(w2, sn, np.sum(nm.astype(np.float64) ** 2, axis=1))
+    if w2 is not None:
+        mut = turb.mu_t if turb is not None else None
+        lamf = _visc_lam12(prm, turb is not None, trans.mu, trans.kappa,
+                           mut, gamma, cpg) / v[:, lay.PRHO]
+        return lam + lamf * jnp.asarray(w2, v.dtype)
     for tag, (nodes, normal) in mesh.markers.items():
         a = jnp.linalg.norm(normal, axis=1)
         mut_b = bg.rows(turb.mu_t, nodes) if turb is not None else None
