@@ -58,6 +58,9 @@ class Simulation:
             # lookup in one pass, pallas/chem_source.py)
             from su2_tpu.pallas import chem_source as _pcs
             _pcs.set_chem_source_mode(True)
+            # fused TOTAL_CONDITIONS inlet secant (pallas/inlet_tc.py)
+            from su2_tpu.pallas import inlet_tc as _itc
+            _itc.set_inlet_tc_mode(True)
             # NOTE: the (nE, 13, 13) block kernel in pallas/edge_kernels.py
             # (implicit path) stays opt-out: lane padding makes it slower
             # than the XLA chain on v5e; the implicit AUSM+Jacobian path

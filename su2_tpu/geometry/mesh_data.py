@@ -79,6 +79,50 @@ class MeshArrays:
         n = self.npoint
         return [g[d * n:(d + 1) * n] for d in range(self.max_degree)]
 
+    # ---- family-major virtual edge set (stencil meshes) ----
+    # The Kh*nP rows enumerate the (p, p+fam_offsets[k]) edge slots in
+    # family-major order; absent edges are padding with zero fam_normal.
+    # Endpoint gathers are tiles/rolls and the scatters are roll-subtracts,
+    # so an implicit assembly on this view produces its off-diagonal
+    # Jacobian blocks directly in the static-stencil layout (no
+    # gather_offdiag relayout copies — see linalg/blockcsr.FamilyJacobian).
+
+    @property
+    def fam_normal_flat(self):
+        kh = len(self.fam_offsets)
+        return self.fam_normal.reshape(kh * self.npoint, -1)
+
+    @property
+    def fam_valid_flat(self):
+        return jnp.any(self.fam_normal_flat != 0.0, axis=-1)
+
+    def fam_gather_i(self, x: jax.Array) -> jax.Array:
+        kh = len(self.fam_offsets)
+        return jnp.concatenate([x] * kh, axis=0)
+
+    def fam_gather_j(self, x: jax.Array) -> jax.Array:
+        return jnp.concatenate(
+            [jnp.roll(x, -o, axis=0) for o in self.fam_offsets], axis=0)
+
+    def _fam_parts(self, ev: jax.Array):
+        n = self.npoint
+        return [ev[k * n:(k + 1) * n] for k in range(len(self.fam_offsets))]
+
+    def fam_scatter(self, ev: jax.Array) -> jax.Array:
+        """out[i] += ev, out[j] -= ev over the family slots (padding rows
+        must already be zero — wrapped rolls then contribute nothing)."""
+        parts = self._fam_parts(ev)
+        pos = sum(parts[1:], parts[0])
+        neg = [jnp.roll(p, o, axis=0) for p, o in zip(parts, self.fam_offsets)]
+        return pos - sum(neg[1:], neg[0])
+
+    def fam_accum(self, val_i: jax.Array, val_j: jax.Array) -> jax.Array:
+        """out[i] += val_i, out[j] += val_j over the family slots."""
+        pi = self._fam_parts(val_i)
+        pj = [jnp.roll(p, o, axis=0)
+              for p, o in zip(self._fam_parts(val_j), self.fam_offsets)]
+        return sum(pi[1:], pi[0]) + sum(pj[1:], pj[0])
+
     def scatter_edges(self, edge_vals: jax.Array) -> jax.Array:
         """Accumulate per-edge values to nodes with +/- orientation.
 

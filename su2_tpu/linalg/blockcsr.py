@@ -38,6 +38,39 @@ jax.tree_util.register_dataclass(
     BlockJacobian, data_fields=["diag", "off_ij", "off_ji"], meta_fields=[])
 
 
+@dataclass(frozen=True)
+class FamilyJacobian:
+    """Block Jacobian assembled on the family-major virtual edge set
+    (MeshArrays.fam_gather_*): slot (k, p) is the (p, p+fam_offsets[k])
+    edge.  off_ij[k*nP+p] is the row-p/column-(p+o_k) block; off_ji the
+    row-(p+o_k)/column-p block stored at the same slot.  Padding slots
+    carry zero blocks, so converting to the static-stencil sel form is
+    pure reshapes and rolls (no gather)."""
+    diag: jax.Array     # (nP, v, v)
+    off_ij: jax.Array   # (Kh*nP, v, v)
+    off_ji: jax.Array   # (Kh*nP, v, v)
+
+
+jax.tree_util.register_dataclass(
+    FamilyJacobian, data_fields=["diag", "off_ij", "off_ji"], meta_fields=[])
+
+
+def family_sel(mesh: MeshArrays, jac: FamilyJacobian) -> jax.Array:
+    """(K, nP, v, v) static-stencil sel from family-major blocks: offset
+    +o_k rows read off_ij[k] in place; offset -o_k rows read off_ji[k]
+    shifted to the j node (roll by +o_k; wrapped rows are zero padding)."""
+    n = mesh.npoint
+    kh = len(mesh.fam_offsets)
+    v = jac.diag.shape[-1]
+    oij = jac.off_ij.reshape(kh, n, v, v)
+    oji = jac.off_ji.reshape(kh, n, v, v)
+    by_off = {}
+    for k, o in enumerate(mesh.fam_offsets):
+        by_off[o] = oij[k]
+        by_off[-o] = jnp.roll(oji[k], o, axis=0)
+    return jnp.stack([by_off[o] for o in mesh.stencil_offsets], axis=0)
+
+
 
 def _bmv(blocks: jax.Array, vecs: jax.Array) -> jax.Array:
     """Batched small-block matvec sum: ("...ij,...j->...i") as elementwise
@@ -217,6 +250,9 @@ def make_solver_ops(mesh: MeshArrays, jac: BlockJacobian,
     pallas/stencil_solve.py); precond_matvec computes (z, A z) in one launch
     for FGMRES.  Elsewhere this is the gather-based XLA path.
     """
+    if isinstance(jac, FamilyJacobian):
+        return make_solver_ops_fam(mesh, jac.diag, family_sel(mesh, jac),
+                                   kind, color_masks)
     dinv = block_jacobi_factor(jac)
     v = jac.diag.shape[-1]
     sgs = kind in ("LU_SGS", "ILU0", "LINELET") and color_masks is not None

@@ -201,6 +201,23 @@ def inlet_state(lib, lay, bc: BCMarker, v, dpdu_e, tke_inf):
         alpha = jnp.sum(unit * fdir, axis=1)
         rgas = cl.mixture_rgas(lib, ys)
 
+        from su2_tpu.pallas import inlet_tc as _itc
+        if _itc.use_pallas():
+            # fused secant+bisection solve (pallas/inlet_tc.py) — the XLA
+            # while loops pay a dispatch round per trip on ~100-vertex
+            # markers
+            tb_final, _, _ = _itc.total_conditions_t(
+                lib, bc.params["ys"], ttot, riemann, gamma, alpha)
+            htot = tot_enthalpy + tke_inf
+            rho_tot = ptot / (rgas * ttot)
+            rho = rho_tot * (tb_final / ttot) ** (1.0 / gm1)
+            p = rho * rgas * tb_final
+            a = jnp.sqrt(tb_final * gamma * rgas)
+            vel_mag = jnp.abs((riemann - 2.0 * a / gm1) / alpha)
+            velb = vel_mag[:, None] * fdir
+            vrow = _prim_row(lay, tb_final, velb, p, rho, htot, a, ys)
+            return vrow, gamma, vel_mag ** 2
+
         def f_of(t):
             hb = cl.mixture_enthalpy(lib, t, ys)
             cb = jnp.sqrt(gamma * rgas * t)
@@ -429,6 +446,30 @@ def compute_gradients(mesh, prm: EulerParams, q):
     return gradients.weighted_least_squares(mesh, q)
 
 
+def _muscl_rows(lib, lay, prm, vrow, qrow, gradrow, limrow, dx):
+    """MUSCL-reconstructed face state from pre-gathered node rows.
+
+    vrow/qrow/gradrow/limrow: node quantities at the edge endpoint (any
+    gather — index or family roll); dx: signed node->midpoint vector."""
+    proj = jnp.einsum("ed,egd->eg", dx, gradrow)
+    if prm.use_limiter:
+        proj = proj * limrow
+    qr = qrow + proj
+    t_r = qr[:, 0]
+    vel_r = qr[:, 1:1 + lay.ndim]
+    p_r = qr[:, 1 + lay.ndim]
+    bad = (t_r <= EPS) | (p_r <= EPS)
+    ys = vrow[:, lay.YS:lay.YS + lay.ns]
+    rgas = cl.mixture_rgas(lib, ys)
+    rho_r = p_r / (rgas * t_r)
+    h_r = cl.mixture_enthalpy(lib, t_r, ys) \
+        + 0.5 * jnp.sum(vel_r * vel_r, axis=1)
+    gamma_r, _ = cl.frozen_gamma_sound(lib, t_r, ys)
+    a_r = jnp.sqrt(gamma_r * p_r / rho_r)
+    vrow_r = _prim_row(lay, t_r, vel_r, p_r, rho_r, h_r, a_r, ys)
+    return jnp.where(bad[:, None], vrow, vrow_r)
+
+
 def muscl_reconstruct(lib, lay, mesh, prm, v, grad, lim):
     """2nd-order face states with thermodynamic re-consistency
     (Upwind_Residual, solver_direct_reactive.cpp:2553-2687):
@@ -436,28 +477,26 @@ def muscl_reconstruct(lib, lay, mesh, prm, v, grad, lim):
     the library; fall back to the node state if T or P go non-positive."""
     i, j = mesh.edges[:, 0], mesh.edges[:, 1]
     dx = 0.5 * (mesh.coords[j] - mesh.coords[i])          # Vector_i
+    q = gradient_vars(lay, v)
+    v_i = _muscl_rows(lib, lay, prm, v[i], q[i], grad[i],
+                      lim[i] if prm.use_limiter else None, dx)
+    v_j = _muscl_rows(lib, lay, prm, v[j], q[j], grad[j],
+                      lim[j] if prm.use_limiter else None, -dx)
+    return v_i, v_j
 
-    def recon(node_idx, sgn):
-        q = gradient_vars(lay, v)[node_idx]               # (nE, nG)
-        proj = jnp.einsum("ed,egd->eg", sgn * dx, grad[node_idx])
-        if prm.use_limiter:
-            proj = proj * lim[node_idx]
-        qr = q + proj
-        t_r = qr[:, 0]
-        vel_r = qr[:, 1:1 + lay.ndim]
-        p_r = qr[:, 1 + lay.ndim]
-        bad = (t_r <= EPS) | (p_r <= EPS)
-        ys = v[node_idx, lay.YS:lay.YS + lay.ns]
-        rgas = cl.mixture_rgas(lib, ys)
-        rho_r = p_r / (rgas * t_r)
-        h_r = cl.mixture_enthalpy(lib, t_r, ys) \
-            + 0.5 * jnp.sum(vel_r * vel_r, axis=1)
-        gamma_r, _ = cl.frozen_gamma_sound(lib, t_r, ys)
-        a_r = jnp.sqrt(gamma_r * p_r / rho_r)
-        vrow = _prim_row(lay, t_r, vel_r, p_r, rho_r, h_r, a_r, ys)
-        return jnp.where(bad[:, None], v[node_idx], vrow)
 
-    return recon(i, 1.0), recon(j, -1.0)
+def muscl_reconstruct_fam(lib, lay, mesh, prm, v, grad, lim):
+    """Family-major MUSCL face states: endpoint rows are tiles/rolls of the
+    node arrays, the midpoint vector is +-0.5*fam_evec."""
+    gi, gj = mesh.fam_gather_i, mesh.fam_gather_j
+    kh = len(mesh.fam_offsets)
+    evec = mesh.fam_evec.reshape(kh * mesh.npoint, -1)
+    q = gradient_vars(lay, v)
+    v_i = _muscl_rows(lib, lay, prm, gi(v), gi(q), gi(grad),
+                      gi(lim) if prm.use_limiter else None, 0.5 * evec)
+    v_j = _muscl_rows(lib, lay, prm, gj(v), gj(q), gj(grad),
+                      gj(lim) if prm.use_limiter else None, -0.5 * evec)
+    return v_i, v_j
 
 
 def _centered_parts(lib, lay, mesh, prm, v, dpdu_full, implicit):
@@ -631,6 +670,44 @@ def convective_system(lib, lay, mesh, prm, v, grad, lim, dpdu_full):
     # diag: +jac_i at i, -jac_j at j; off-diagonals: (i,j)=+jac_j, (j,i)=-jac_i
     diag = mesh.accumulate_sides(jac_i, -jac_j)
     return res, BlockJacobian(diag=diag, off_ij=jac_j, off_ji=-jac_i)
+
+
+def convective_system_fam(lib, lay, mesh, prm, v, grad, lim, dpdu_full):
+    """Family-major convective residual + edge Jacobians (AUSM only).
+
+    Assembles on the virtual (Kh*nP) family edge set so the off-diagonal
+    blocks land directly in the static-stencil layout (see
+    blockcsr.FamilyJacobian) — no edge gathers, no gather_offdiag relayout
+    copies.  Returns (res, diag, jac_ij, jac_ji) with jac_* (Kh*nP, v, v)
+    masked to zero on padding slots."""
+    gi, gj = mesh.fam_gather_i, mesh.fam_gather_j
+    normal = mesh.fam_normal_flat
+    valid = mesh.fam_valid_flat
+    if prm.muscl:
+        v_i, v_j = muscl_reconstruct_fam(lib, lay, mesh, prm, v, grad, lim)
+        g_i, vel2_i = _row_gamma_vel2(lay, v_i)
+        g_j, vel2_j = _row_gamma_vel2(lay, v_j)
+        s_i = ghost_dpdu(lib, lay, v_i, g_i, vel2_i)
+        s_j = ghost_dpdu(lib, lay, v_j, g_j, vel2_j)
+    else:
+        v_i, v_j = gi(v), gj(v)
+        s_i, s_j = gi(dpdu_full), gj(dpdu_full)
+    from su2_tpu.pallas import edge_kernels as ek
+    if ek.use_pallas():
+        flux, jac_i, jac_j = ek.ausm_flux_jac_pallas_t(
+            lay, v_i, v_j, normal, prm.m_infty, s_i, s_j)
+    else:
+        flux, jac_i, jac_j = ausm.ausm_flux(
+            lay, v_i, v_j, normal, prm.m_infty, s_i, s_j)
+    # null padding slots (zero-normal rows can produce NaN through the
+    # unit-normal division; where() selects the zero)
+    flux = jnp.where(valid[:, None], flux, 0.0)
+    jac_i = jnp.where(valid[:, None, None], jac_i, 0.0)
+    jac_j = jnp.where(valid[:, None, None], jac_j, 0.0)
+    res = mesh.fam_scatter(flux)
+    diag = mesh.fam_accum(jac_i, -jac_j)
+    # off (i,j) = +jac_j, (j,i) = -jac_i (same signs as convective_system)
+    return res, diag, jac_j, -jac_i
 
 
 def euler_wall_jacobian(lib, lay, bc, v, dpdu_full):

@@ -16,7 +16,7 @@ import numpy as np
 from su2_tpu.chemistry import library as cl
 from su2_tpu.chemistry.library import ChemLib
 from su2_tpu.geometry.mesh_data import MeshArrays
-from su2_tpu.linalg.blockcsr import BlockJacobian
+from su2_tpu.linalg.blockcsr import BlockJacobian, FamilyJacobian
 from su2_tpu.ops import gradients, limiters, viscous
 from su2_tpu.ops.viscous import Transport, TurbFlowData
 from su2_tpu.solvers import euler as es
@@ -55,6 +55,24 @@ def _turb_rows(turb: TurbFlowData | None, idx):
         return None
     return {"mu_t": turb.mu_t[idx], "tke": turb.tke[idx],
             "grad_tke": turb.grad_tke[idx]}
+
+
+def _turb_rows_g(turb: TurbFlowData | None, g):
+    """_turb_rows with a gather function (family tiles/rolls)."""
+    if turb is None:
+        return None
+    return {"mu_t": g(turb.mu_t), "tke": g(turb.tke),
+            "grad_tke": g(turb.grad_tke)}
+
+
+def _trans_rows_g(trans: Transport, g, lib=None, lay=None, v=None):
+    """_trans_rows with a gather function (family tiles/rolls)."""
+    if trans.dij is None:
+        vr = g(v)
+        dij = cl.binary_diffusion(lib, vr[:, lay.T],
+                                  vr[:, lay.P] / 101325.0) / 1.0e4
+        return {"mu": g(trans.mu), "kappa": g(trans.kappa), "dij": dij}
+    return {"mu": g(trans.mu), "kappa": g(trans.kappa), "dij": g(trans.dij)}
 
 
 def _visc_lam12(prm: NSParams, turb_on: bool, mu, kappa, mut, gam, cv):
@@ -197,34 +215,69 @@ def ns_assemble(lib: ChemLib, lay: Layout, mesh: MeshArrays, prm: NSParams,
     else:
         lambdas = None
         grad_euler = grad[:, :2 + nd, :]
-        if implicit:
-            cres, jac = es.convective_system(
+        # family-major implicit assembly: the off-diagonal Jacobian blocks
+        # land directly in the static-stencil layout (blockcsr.
+        # FamilyJacobian), skipping the edge gathers and the
+        # gather_offdiag relayout copies that dominated the implicit step
+        fam_imp = (implicit and mesh.fam_offsets is not None
+                   and mesh.stencil_sel is not None
+                   and prm.conv_method == "AUSM")
+        if fam_imp:
+            gi, gj = mesh.fam_gather_i, mesh.fam_gather_j
+            cres, diag, off_ij, off_ji = es.convective_system_fam(
                 lib, lay, mesh, prm, v, grad_euler, lim, dpdu_full)
-            diag, off_ij, off_ji = jac.diag, jac.off_ij, jac.off_ji
-        else:
-            cres = es.convective_residual(
-                lib, lay, mesh, prm, v, grad_euler, lim)
-            diag = off_ij = off_ji = None
-        res = cres
-
-        vf_args = dict(
-            coord_i=mesh.coords[i], coord_j=mesh.coords[j], corrected=True,
-            turb_i=_turb_rows(turb, i), turb_j=_turb_rows(turb, j),
-            sigma_k=sigma_k_edge, prandtl_turb=prm.prandtl_turb,
-            lewis_turb=prm.lewis_turb)
-        if implicit:
+            res = cres
+            valid = mesh.fam_valid_flat
+            kh = len(mesh.fam_offsets)
+            sk_fam = gi(turb.sigma_k) if turb is not None else None
+            vf_args = dict(
+                coord_i=gi(mesh.coords), coord_j=gj(mesh.coords),
+                corrected=True,
+                turb_i=_turb_rows_g(turb, gi), turb_j=_turb_rows_g(turb, gj),
+                sigma_k=sk_fam, prandtl_turb=prm.prandtl_turb,
+                lewis_turb=prm.lewis_turb)
             vflux, vjac_i, vjac_j = viscous.viscous_flux(
-                lib, lay, v[i], v[j], grad[i], grad[j], mesh.edge_normal,
-                _trans_rows(trans, i), _trans_rows(trans, j),
-                s_i=dtdu_full[i], s_j=dtdu_full[j], **vf_args)
-            diag = diag + mesh.accumulate_sides(-vjac_i, vjac_j)
+                lib, lay, gi(v), gj(v), gi(grad), gj(grad),
+                mesh.fam_normal_flat,
+                _trans_rows_g(trans, gi, lib, lay, v),
+                _trans_rows_g(trans, gj, lib, lay, v),
+                s_i=gi(dtdu_full), s_j=gj(dtdu_full), **vf_args)
+            vflux = jnp.where(valid[:, None], vflux, 0.0)
+            vjac_i = jnp.where(valid[:, None, None], vjac_i, 0.0)
+            vjac_j = jnp.where(valid[:, None, None], vjac_j, 0.0)
+            diag = diag + mesh.fam_accum(-vjac_i, vjac_j)
             off_ij = off_ij - vjac_j
             off_ji = off_ji + vjac_i
+            res = res - mesh.fam_scatter(vflux)
         else:
-            vflux = viscous.viscous_flux(
-                lib, lay, v[i], v[j], grad[i], grad[j], mesh.edge_normal,
-                _trans_rows(trans, i), _trans_rows(trans, j), **vf_args)
-        res = res - mesh.scatter_edges(vflux)
+            if implicit:
+                cres, jac = es.convective_system(
+                    lib, lay, mesh, prm, v, grad_euler, lim, dpdu_full)
+                diag, off_ij, off_ji = jac.diag, jac.off_ij, jac.off_ji
+            else:
+                cres = es.convective_residual(
+                    lib, lay, mesh, prm, v, grad_euler, lim)
+                diag = off_ij = off_ji = None
+            res = cres
+
+            vf_args = dict(
+                coord_i=mesh.coords[i], coord_j=mesh.coords[j], corrected=True,
+                turb_i=_turb_rows(turb, i), turb_j=_turb_rows(turb, j),
+                sigma_k=sigma_k_edge, prandtl_turb=prm.prandtl_turb,
+                lewis_turb=prm.lewis_turb)
+            if implicit:
+                vflux, vjac_i, vjac_j = viscous.viscous_flux(
+                    lib, lay, v[i], v[j], grad[i], grad[j], mesh.edge_normal,
+                    _trans_rows(trans, i), _trans_rows(trans, j),
+                    s_i=dtdu_full[i], s_j=dtdu_full[j], **vf_args)
+                diag = diag + mesh.accumulate_sides(-vjac_i, vjac_j)
+                off_ij = off_ij - vjac_j
+                off_ji = off_ji + vjac_i
+            else:
+                vflux = viscous.viscous_flux(
+                    lib, lay, v[i], v[j], grad[i], grad[j], mesh.edge_normal,
+                    _trans_rows(trans, i), _trans_rows(trans, j), **vf_args)
+            res = res - mesh.scatter_edges(vflux)
 
     # --- flux BCs: convective + viscous contributions ---
     dpdu_e = dpdu_full[:, lay.RHOE]
@@ -366,8 +419,12 @@ def ns_assemble(lib: ChemLib, lay: Layout, mesh: MeshArrays, prm: NSParams,
     eye = jnp.eye(lay.nvar, dtype=v.dtype)
     diag = jnp.where(row_is_wall_mom[:, :, None], eye[None], diag)
     # off-diagonal blocks: zero wall momentum rows
-    iw = wall_mask[mesh.edges[:, 0]]
-    jw = wall_mask[mesh.edges[:, 1]]
+    if fam_imp:
+        iw = mesh.fam_gather_i(wall_mask)
+        jw = mesh.fam_gather_j(wall_mask)
+    else:
+        iw = wall_mask[mesh.edges[:, 0]]
+        jw = wall_mask[mesh.edges[:, 1]]
     off_ij = jnp.where((iw[:, None] & mom_rows[None, :])[:, :, None],
                        0.0, off_ij)
     off_ji = jnp.where((jw[:, None] & mom_rows[None, :])[:, :, None],
@@ -379,7 +436,8 @@ def ns_assemble(lib: ChemLib, lay: Layout, mesh: MeshArrays, prm: NSParams,
     diag = diag + delta[:, None, None] * eye
     diag = jnp.where(ok[:, None, None], diag, eye[None])
     res = jnp.where(ok[:, None], res, 0.0)
-    jac = BlockJacobian(diag=diag, off_ij=off_ij, off_ji=off_ji)
+    cls = FamilyJacobian if fam_imp else BlockJacobian
+    jac = cls(diag=diag, off_ij=off_ij, off_ji=off_ji)
     return res, wall_mask, trans, grad, jac
 
 
@@ -398,9 +456,7 @@ def add_dual_time(lay: Layout, mesh: MeshArrays, res, jac, u, u_n, u_nm1,
     res = res + src
     if jac is not None:
         eye = jnp.eye(lay.nvar, dtype=u.dtype)
-        jac = BlockJacobian(
-            diag=jac.diag + diag_coef[:, None, None] * eye,
-            off_ij=jac.off_ij, off_ji=jac.off_ji)
+        jac = replace(jac, diag=jac.diag + diag_coef[:, None, None] * eye)
     return res, jac
 
 
