@@ -63,6 +63,20 @@ def max_lambda_inv(mesh: MeshArrays, lay: Layout, v: jnp.ndarray) -> jnp.ndarray
     vel = v[:, lay.VX:lay.VX + lay.ndim]
     a = v[:, lay.A]
 
+    if mesh.fam_offsets is not None:
+        # family rolls: per positive offset the (p, p+o) edge quantities
+        # are node-local expressions; padding slots carry zero normals
+        lam = jnp.zeros_like(a)
+        for k, o in enumerate(mesh.fam_offsets):
+            nrm = mesh.fam_normal[k]                       # (nP, d)
+            area = jnp.linalg.norm(nrm, axis=1)
+            proj_i = jnp.sum(vel * nrm, axis=1)
+            proj_j = jnp.sum(jnp.roll(vel, -o, axis=0) * nrm, axis=1)
+            mean_a = 0.5 * (a + jnp.roll(a, -o, axis=0))
+            lam_e = (jnp.abs(0.5 * (proj_i + proj_j)) + mean_a) * area
+            lam = lam + lam_e + jnp.roll(lam_e, o, axis=0)
+        return boundary_lambda_inv(mesh, lay, v, lam)
+
     i, j = mesh.edges[:, 0], mesh.edges[:, 1]
     proj_i = jnp.sum(vel[i] * mesh.edge_normal, axis=1)
     proj_j = jnp.sum(vel[j] * mesh.edge_normal, axis=1)

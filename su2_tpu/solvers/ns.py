@@ -136,6 +136,22 @@ def viscous_lambda(lib: ChemLib, mesh: MeshArrays, lay: Layout, prm: NSParams,
     gamma = dpdu_full[:, lay.RHOE] + 1.0
     cpg = cl.mixture_cp(lib, v[:, lay.T], v[:, lay.YS:lay.YS + lay.ns]) / gamma
 
+    if mesh.fam_offsets is not None:
+        # family rolls (see timestep.max_lambda_inv): node-local means with
+        # static per-offset area^2, accumulated to both endpoints
+        rho = v[:, lay.PRHO]
+        lam = jnp.zeros_like(rho)
+        for k, o in enumerate(mesh.fam_offsets):
+            area2 = jnp.sum(mesh.fam_normal[k] ** 2, axis=1)
+            mean = lambda x: 0.5 * (x + jnp.roll(x, -o, axis=0))
+            mut = mean(turb.mu_t) if turb is not None else None
+            lam_e = _visc_lam12(prm, turb is not None, mean(trans.mu),
+                                mean(trans.kappa), mut, gamma,
+                                mean(cpg)) * area2 / mean(rho)
+            lam = lam + lam_e + jnp.roll(lam_e, o, axis=0)
+        return viscous_lambda_boundary(lib, mesh, lay, prm, v, trans,
+                                       dpdu_full, turb, lam)
+
     i, j = mesh.edges[:, 0], mesh.edges[:, 1]
     mean_rho = 0.5 * (v[i, lay.PRHO] + v[j, lay.PRHO])
     mean_mu = 0.5 * (trans.mu[i] + trans.mu[j])
