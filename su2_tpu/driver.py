@@ -216,6 +216,13 @@ class Simulation:
                 self.scfg = dataclasses_replace(
                     self.scfg, color_masks=self.color_masks)
 
+        # true linelet structure (wall-normal lines) when requested
+        self.linelets = None
+        if any_implicit and cfg.linear_solver_prec == "LINELET" \
+                and self.dmesh is None:
+            from su2_tpu.linalg import linelet as _ll
+            self.linelets = _ll.build_linelets(self.mesh, bcs=self.bcs)
+
         self.history = None
         self.writer_state = None
         self.u0, self.t0 = self.freestream_solution()
@@ -364,7 +371,8 @@ class Simulation:
                 u = ns.enforce_wall_velocity(lay, u, wall_mask)
                 rhs = -res
                 mv, pc, pm = blockcsr.make_solver_ops(
-                    mesh, jac, cfg.linear_solver_prec, color_masks)
+                    mesh, jac, cfg.linear_solver_prec, color_masks,
+                    linelets=self.linelets)
                 if cfg.linear_solver == "BCGSTAB":
                     sol, _, iters = krylov.bcgstab(
                         mv, pc, rhs, max_iter=cfg.linear_solver_iter,
@@ -483,7 +491,8 @@ class Simulation:
                 u = ns.enforce_wall_velocity(lay, u, wall_mask)
                 rhs = -res
                 mv, pc, pm = blockcsr.make_solver_ops(
-                    mesh, jac, cfg.linear_solver_prec, color_masks)
+                    mesh, jac, cfg.linear_solver_prec, color_masks,
+                    linelets=self.linelets)
                 if cfg.linear_solver == "BCGSTAB":
                     sol, _, _ = krylov.bcgstab(
                         mv, pc, rhs, max_iter=cfg.linear_solver_iter,

@@ -242,14 +242,32 @@ def multicolor_sgs_apply(mesh: MeshArrays, jac: BlockJacobian,
 
 
 def make_solver_ops(mesh: MeshArrays, jac: BlockJacobian,
-                    kind: str = "JACOBI", color_masks=None):
+                    kind: str = "JACOBI", color_masks=None, linelets=None):
     """(matvec, precond, precond_matvec|None) for a Krylov solve.
 
     On static-stencil meshes with small blocks the SGS-class preconditioner
     and the matvec run as single fused pallas kernels (VMEM-resident sweep,
     pallas/stencil_solve.py); precond_matvec computes (z, A z) in one launch
     for FGMRES.  Elsewhere this is the gather-based XLA path.
+
+    linelets: (nL, Lmax) host index matrix from linelet.build_linelets —
+    with kind == "LINELET" enables the true block-Thomas line
+    preconditioner (ComputeLineletPreconditioner parity); without it
+    LINELET falls back to the multicolor SGS sweep (same smoothing role).
     """
+    if kind == "LINELET" and linelets is not None:
+        from su2_tpu.linalg import linelet as ll
+        fam = isinstance(jac, FamilyJacobian)
+        dinv = block_diag_inv(jac.diag)
+        pc = ll.make_linelet_apply(mesh, linelets, jac.diag, jac.off_ij,
+                                   jac.off_ji, dinv, family=fam)
+        if fam:
+            sel = family_sel(mesh, jac)
+            mv = lambda x: _bmv(jac.diag, x) + _offdiag_apply(mesh, sel, x)
+        else:
+            sel = gather_offdiag(mesh, jac)
+            mv = lambda x: matvec(mesh, jac, x, sel)
+        return mv, pc, None
     if isinstance(jac, FamilyJacobian):
         return make_solver_ops_fam(mesh, jac.diag, family_sel(mesh, jac),
                                    kind, color_masks)
