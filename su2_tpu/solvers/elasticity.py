@@ -1,16 +1,24 @@
-"""Linear-elasticity FEM (plane strain) on 2D tri/quad meshes.
+"""Elasticity FEM (plane strain) on 2D tri/quad meshes.
 
 Reference capability: CFEASolver / CFEM_ElasticitySolver
-(SU2_CFD/src/solver_fem_elasticity.cpp small-deformation branch) and the
+(SU2_CFD/src/solver_direct_elasticity.cpp), both the small-deformation
+branch and the geometrically nonlinear branch with the compressible
+Neo-Hookean material (CFEM_NeoHookean_Comp,
+numerics_direct_elasticity_nonlinear.cpp:747-766: Cauchy stress
+sigma = mu/J (b - I) + lambda/J ln(J) I, i.e. the strain energy
+W = mu/2 (tr C - 3) - mu ln J + lambda/2 ln^2 J), plus the
 linear-elasticity mesh deformation of CVolumetricMovement
 (Common/src/grid_movement_structure.cpp::SetVolume_Deformation with
 DEFORM_STIFFNESS_TYPE).
 
-Element stiffnesses are precomputed in one batched einsum (P1 triangles
-exactly, bilinear quads with 2x2 Gauss); the solve is matrix-free
-Jacobi-preconditioned CG with boundary elimination.  Element scatter uses
-host-precomputed gather tables where possible; this solver targets setup
-work (deformation, structural response), not the per-iteration hot path.
+Linear path: element stiffnesses precomputed in one batched einsum (P1
+triangles exactly, bilinear quads with 2x2 Gauss); matrix-free
+Jacobi-preconditioned CG with boundary elimination.  Nonlinear path
+(TPU-idiomatic replacement for the hand-coded tangent/stress kernels):
+the total Neo-Hookean energy is a pure JAX function of the displacement,
+the residual is jax.grad of it and the consistent tangent operator is the
+JVP of that gradient — Newton-Krylov with incremental Dirichlet loading
+(the reference's INCREMENTAL_LOAD).
 """
 
 from __future__ import annotations
@@ -146,3 +154,118 @@ def solve_elasticity(mesh: RawMesh, bnd_mask: np.ndarray,
     x, _, _ = krylov.cg(op, lambda r: dinv * r, rhs,
                         max_iter=n_iter, tol=tol)
     return disp_b + jnp.where(mask[:, None], 0.0, x)
+
+
+# --------------------------------------------------------------------------
+# Geometrically nonlinear FEM (compressible Neo-Hookean)
+# --------------------------------------------------------------------------
+
+def _grad_tables(mesh: RawMesh):
+    """Per-element-type reference shape-function gradients and weights.
+
+    Returns a list of (elem_nodes (nE, nn), dndx (nE, nq, nn, 2),
+    w (nE, nq)) with nq quadrature points (tris: 1 exact point, quads:
+    2x2 Gauss)."""
+    out = []
+    tri_sel = np.nonzero(mesh.elem_types == 5)[0]
+    if tri_sel.size:
+        nodes = mesh.elem_nodes[tri_sel][:, :3]
+        xy = mesh.coords[nodes]
+        x, y = xy[..., 0], xy[..., 1]
+        b = np.stack([y[:, 1] - y[:, 2], y[:, 2] - y[:, 0],
+                      y[:, 0] - y[:, 1]], axis=1)
+        c = np.stack([x[:, 2] - x[:, 1], x[:, 0] - x[:, 2],
+                      x[:, 1] - x[:, 0]], axis=1)
+        area2 = x[:, 0] * b[:, 0] + x[:, 1] * b[:, 1] + x[:, 2] * b[:, 2]
+        dndx = np.stack([b, c], axis=-1) / area2[:, None, None]  # (nE,3,2)
+        out.append((nodes, dndx[:, None], 0.5 * np.abs(area2)[:, None]))
+    quad_sel = np.nonzero(mesh.elem_types == 9)[0]
+    if quad_sel.size:
+        nodes = mesh.elem_nodes[quad_sel][:, :4]
+        xy = mesh.coords[nodes]
+        dndxs, ws = [], []
+        for xi, eta in _QPTS:
+            dn = 0.25 * np.array([
+                [-(1 - eta), -(1 - xi)], [(1 - eta), -(1 + xi)],
+                [(1 + eta), (1 + xi)], [-(1 + eta), (1 - xi)]])
+            jac = np.einsum("ai,eaj->eij", dn, xy)
+            det = jac[:, 0, 0] * jac[:, 1, 1] - jac[:, 0, 1] * jac[:, 1, 0]
+            inv = np.empty_like(jac)
+            inv[:, 0, 0] = jac[:, 1, 1]
+            inv[:, 1, 1] = jac[:, 0, 0]
+            inv[:, 0, 1] = -jac[:, 0, 1]
+            inv[:, 1, 0] = -jac[:, 1, 0]
+            inv /= det[:, None, None]
+            dndxs.append(np.einsum("eij,aj->eai", inv, dn))
+            ws.append(np.abs(det))
+        out.append((nodes, np.stack(dndxs, axis=1), np.stack(ws, axis=1)))
+    return out
+
+
+def neo_hookean_energy(tables, u, mu, lam):
+    """Total plane-strain Neo-Hookean strain energy of displacement u.
+
+    W = mu/2 (tr C - 3) - mu ln J + lambda/2 ln^2 J per unit reference
+    volume, with the 2D F embedded as diag(F2, 1) (tr C = tr C2 + 1,
+    J = det F2) — the energy whose Cauchy stress is the reference's
+    CFEM_NeoHookean_Comp::Compute_Stress_Tensor."""
+    total = 0.0
+    eye = jnp.eye(2, dtype=u.dtype)
+    for nodes, dndx, w in tables:
+        ue = u[jnp.asarray(nodes)]                         # (nE, nn, 2)
+        g = jnp.einsum("eqad,eai->eqid", jnp.asarray(dndx, u.dtype), ue)
+        f = eye[None, None] + g                            # (nE, nq, 2, 2)
+        jdet = f[..., 0, 0] * f[..., 1, 1] - f[..., 0, 1] * f[..., 1, 0]
+        trc = jnp.sum(f * f, axis=(-2, -1))                # tr(F^T F) 2D
+        lnj = jnp.log(jnp.maximum(jdet, 1e-12))
+        wq = mu / 2.0 * (trc + 1.0 - 3.0) - mu * lnj \
+            + lam / 2.0 * lnj * lnj
+        total = total + jnp.sum(jnp.asarray(w, u.dtype) * wq)
+    return total
+
+
+def solve_nonlinear_elasticity(mesh: RawMesh, bnd_mask: np.ndarray,
+                               bnd_disp: np.ndarray, e_mod=1.0, nu=0.3,
+                               n_incr: int = 4, newton_iter: int = 20,
+                               newton_tol: float = 1e-10,
+                               cg_iter: int = 400, cg_tol: float = 1e-10):
+    """Large-deformation displacement field with Dirichlet data.
+
+    Newton-Krylov on the energy gradient: residual = grad E, tangent
+    applied matrix-free as the JVP of the gradient; Dirichlet data ramps
+    over n_incr load increments (INCREMENTAL_LOAD)."""
+    mu = e_mod / (2.0 * (1.0 + nu))
+    lam = e_mod * nu / ((1.0 + nu) * (1.0 - 2.0 * nu))
+    tables = _grad_tables(mesh)
+    mask = jnp.asarray(bnd_mask)
+    target = jnp.asarray(bnd_disp)
+
+    energy = lambda u: neo_hookean_energy(tables, u, mu, lam)
+    grad_e = jax.grad(energy)
+
+    # static Jacobi preconditioner from the linear stiffness diagonal
+    kes, elem_lists = element_stiffness(mesh, e_mod, nu)
+    diag = jnp.zeros((mesh.npoint, 2))
+    for ke, en in zip(kes, elem_lists):
+        nn = en.shape[1]
+        de = np.diagonal(ke, axis1=1, axis2=2).reshape(en.shape[0], nn, 2)
+        diag = diag.at[jnp.asarray(en)].add(jnp.asarray(de))
+    dinv = jnp.where(mask[:, None], 1.0, 1.0 / jnp.maximum(diag, 1e-300))
+
+    u = jnp.zeros((mesh.npoint, 2), dtype=jnp.asarray(bnd_disp).dtype)
+    for inc in range(1, n_incr + 1):
+        u = jnp.where(mask[:, None], target * (inc / n_incr), u)
+        for _ in range(newton_iter):
+            r = jnp.where(mask[:, None], 0.0, grad_e(u))
+            if float(jnp.abs(r).max()) < newton_tol:
+                break
+
+            def kop(x):
+                x0 = jnp.where(mask[:, None], 0.0, x)
+                hx = jax.jvp(grad_e, (u,), (x0,))[1]
+                return jnp.where(mask[:, None], x, hx)
+
+            dx, _, _ = krylov.cg(kop, lambda s: dinv * s, -r,
+                                 max_iter=cg_iter, tol=cg_tol)
+            u = u + jnp.where(mask[:, None], 0.0, dx)
+    return u

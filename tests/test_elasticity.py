@@ -81,3 +81,47 @@ def test_bump_deformation_positive_volumes():
     assert g2.volume.min() > 0.0
     # prescribed boundary displacement honored
     np.testing.assert_allclose(out[nodes], disp[nodes], atol=1e-9)
+
+
+def test_nonlinear_rigid_rotation():
+    """A rigid boundary rotation must propagate stress-free: the interior
+    follows the exact rotation (the linear solver cannot do this — it is
+    the defining test of geometric nonlinearity)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from su2_tpu.geometry.structured import channel_mesh
+    from su2_tpu.solvers.elasticity import solve_nonlinear_elasticity
+
+    raw = channel_mesh(7, 7, lx=1.0, ly=1.0)
+    n = raw.npoint
+    bnd = np.zeros(n, dtype=bool)
+    for nodes in raw.markers.values():
+        bnd[np.unique(np.asarray(nodes))] = True
+    th = np.deg2rad(25.0)
+    rot = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+    disp = raw.coords @ rot.T - raw.coords
+    u = solve_nonlinear_elasticity(raw, bnd, jnp.asarray(disp),
+                                   e_mod=1.0, nu=0.3, n_incr=6)
+    np.testing.assert_allclose(np.asarray(u), disp, atol=1e-7)
+
+
+def test_nonlinear_small_strain_matches_linear():
+    import numpy as np
+    import jax.numpy as jnp
+    from su2_tpu.geometry.structured import channel_mesh
+    from su2_tpu.solvers.elasticity import (solve_elasticity,
+                                            solve_nonlinear_elasticity)
+
+    raw = channel_mesh(6, 5, lx=1.0, ly=0.5)
+    n = raw.npoint
+    bnd = np.zeros(n, dtype=bool)
+    for nodes in raw.markers.values():
+        bnd[np.unique(np.asarray(nodes))] = True
+    amp = 1e-5
+    disp = np.zeros((n, 2))
+    disp[:, 1] = amp * raw.coords[:, 0] * (1.0 - raw.coords[:, 0])
+    u_lin = solve_elasticity(raw, bnd, jnp.asarray(disp))
+    u_nl = solve_nonlinear_elasticity(raw, bnd, jnp.asarray(disp),
+                                      n_incr=1)
+    np.testing.assert_allclose(np.asarray(u_nl), np.asarray(u_lin),
+                               atol=amp * 2e-2)
