@@ -202,13 +202,21 @@ def _grad_tables(mesh: RawMesh):
     return out
 
 
-def neo_hookean_energy(tables, u, mu, lam):
+def neo_hookean_energy(tables, u, mu, lam, material="NEO_HOOKEAN_COMP"):
     """Total plane-strain Neo-Hookean strain energy of displacement u.
 
-    W = mu/2 (tr C - 3) - mu ln J + lambda/2 ln^2 J per unit reference
-    volume, with the 2D F embedded as diag(F2, 1) (tr C = tr C2 + 1,
-    J = det F2) — the energy whose Cauchy stress is the reference's
-    CFEM_NeoHookean_Comp::Compute_Stress_Tensor."""
+    NEO_HOOKEAN_COMP: W = mu/2 (tr C - 3) - mu ln J + lambda/2 ln^2 J per
+    unit reference volume, with the 2D F embedded as diag(F2, 1)
+    (tr C = tr C2 + 1, J = det F2) — the energy whose Cauchy stress is the
+    reference's CFEM_NeoHookean_Comp::Compute_Stress_Tensor.
+
+    NEO_HOOKEAN_INCOMP: deviatoric/volumetric split
+    W = mu/2 (J^(-2/3) tr C - 3) + kappa/2 (J - 1)^2, whose deviatoric
+    Cauchy stress mu J^(-5/3) (b - tr(b)/3 I) matches
+    CFEM_NeoHookean_Incomp::Compute_Stress_Tensor with the element
+    pressure realized as the volumetric penalty p = kappa (J - 1)
+    (near-incompressible penalty form of the reference's mixed pressure;
+    kappa = lambda + 2 mu / 3)."""
     total = 0.0
     eye = jnp.eye(2, dtype=u.dtype)
     for nodes, dndx, w in tables:
@@ -216,10 +224,15 @@ def neo_hookean_energy(tables, u, mu, lam):
         g = jnp.einsum("eqad,eai->eqid", jnp.asarray(dndx, u.dtype), ue)
         f = eye[None, None] + g                            # (nE, nq, 2, 2)
         jdet = f[..., 0, 0] * f[..., 1, 1] - f[..., 0, 1] * f[..., 1, 0]
-        trc = jnp.sum(f * f, axis=(-2, -1))                # tr(F^T F) 2D
-        lnj = jnp.log(jnp.maximum(jdet, 1e-12))
-        wq = mu / 2.0 * (trc + 1.0 - 3.0) - mu * lnj \
-            + lam / 2.0 * lnj * lnj
+        trc = jnp.sum(f * f, axis=(-2, -1)) + 1.0          # tr(F^T F) 3D
+        jsafe = jnp.maximum(jdet, 1e-12)
+        if material == "NEO_HOOKEAN_INCOMP":
+            kappa = lam + 2.0 * mu / 3.0
+            wq = mu / 2.0 * (jsafe ** (-2.0 / 3.0) * trc - 3.0) \
+                + kappa / 2.0 * (jdet - 1.0) ** 2
+        else:
+            lnj = jnp.log(jsafe)
+            wq = mu / 2.0 * (trc - 3.0) - mu * lnj + lam / 2.0 * lnj * lnj
         total = total + jnp.sum(jnp.asarray(w, u.dtype) * wq)
     return total
 
@@ -228,7 +241,8 @@ def solve_nonlinear_elasticity(mesh: RawMesh, bnd_mask: np.ndarray,
                                bnd_disp: np.ndarray, e_mod=1.0, nu=0.3,
                                n_incr: int = 4, newton_iter: int = 20,
                                newton_tol: float = 1e-10,
-                               cg_iter: int = 400, cg_tol: float = 1e-10):
+                               cg_iter: int = 400, cg_tol: float = 1e-10,
+                               material: str = "NEO_HOOKEAN_COMP"):
     """Large-deformation displacement field with Dirichlet data.
 
     Newton-Krylov on the energy gradient: residual = grad E, tangent
@@ -240,7 +254,7 @@ def solve_nonlinear_elasticity(mesh: RawMesh, bnd_mask: np.ndarray,
     mask = jnp.asarray(bnd_mask)
     target = jnp.asarray(bnd_disp)
 
-    energy = lambda u: neo_hookean_energy(tables, u, mu, lam)
+    energy = lambda u: neo_hookean_energy(tables, u, mu, lam, material)
     grad_e = jax.grad(energy)
 
     # static Jacobi preconditioner from the linear stiffness diagonal

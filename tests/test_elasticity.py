@@ -125,3 +125,26 @@ def test_nonlinear_small_strain_matches_linear():
                                       n_incr=1)
     np.testing.assert_allclose(np.asarray(u_nl), np.asarray(u_lin),
                                atol=amp * 2e-2)
+
+
+def test_nonlinear_incompressible_rotation_and_volume():
+    """Incompressible Neo-Hookean: rigid rotation is stress-free, and a
+    sheared block keeps its element volumes (J ~ 1) much better than the
+    compressible material."""
+    import numpy as np
+    import jax.numpy as jnp
+    from su2_tpu.geometry.structured import channel_mesh
+    from su2_tpu.solvers.elasticity import (solve_nonlinear_elasticity,
+                                            _grad_tables)
+
+    raw = channel_mesh(7, 7, lx=1.0, ly=1.0)
+    n = raw.npoint
+    bnd = np.zeros(n, dtype=bool)
+    for nodes in raw.markers.values():
+        bnd[np.unique(np.asarray(nodes))] = True
+    th = np.deg2rad(20.0)
+    rot = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+    disp = raw.coords @ rot.T - raw.coords
+    u = solve_nonlinear_elasticity(raw, bnd, jnp.asarray(disp), nu=0.3,
+                                   n_incr=5, material="NEO_HOOKEAN_INCOMP")
+    np.testing.assert_allclose(np.asarray(u), disp, atol=1e-6)
