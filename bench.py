@@ -26,8 +26,12 @@ import jax
 import jax.numpy as jnp
 
 CPU_CORE_BASELINE_MCELLS = 0.0032  # measured 0.00105 at -O0, x3 allowance
-CHUNK = 10
-N_CHUNKS = 5
+# 100-iteration device chunks: the tunneled TPU pays ~6 ms dispatch latency
+# per call, so short chunks measure the tunnel, not the solver (device time
+# per coupled iteration is ~0.54 ms at 9k cells; production runs use
+# run(chunk=K) exactly like this)
+CHUNK = 100
+N_CHUNKS = 3
 
 
 def main():
