@@ -90,6 +90,7 @@ class Simulation:
             else read_su2_mesh(cfg.resolve(cfg.mesh_filename))
         self.raw = raw
         self.perm = None
+        self.pghost = None
         if ndevices is not None and ndevices > 1:
             # RCB reorder for contiguous per-device blocks + pad to multiples
             from su2_tpu.parallel import sharding as shd
@@ -99,12 +100,33 @@ class Simulation:
             self.mesh = shd.shard_mesh_arrays(
                 mesh_arrays(self.grid, dtype), self.dmesh)
         else:
+            if cfg.marker_periodic:
+                # rotational pairs get a ghost element layer on the raw
+                # mesh (translation pairs merge dual CVs in _build below)
+                from su2_tpu.geometry.periodic import rotational_ghost_layer
+                raw, self.pghost = rotational_ghost_layer(raw, cfg)
+
             def _build(r):
                 g = build_dual_grid(r)
                 if cfg.marker_periodic:
                     from su2_tpu.geometry.periodic import \
                         apply_periodic_markers
                     g = apply_periodic_markers(g, cfg)
+                if self.pghost is not None:
+                    # rotationally periodic faces are interior now: their
+                    # markers must not receive boundary treatment
+                    rot_tags = set()
+                    for ta, (tb, _c, ang, _t) in cfg.marker_periodic.items():
+                        if any(abs(x) > 0 for x in ang):
+                            rot_tags |= {ta, tb}
+                    g = dataclasses_replace(
+                        g,
+                        bnd_nodes={t: v for t, v in g.bnd_nodes.items()
+                                   if t not in rot_tags},
+                        bnd_normal={t: v for t, v in g.bnd_normal.items()
+                                    if t not in rot_tags},
+                        bnd_nn={t: v for t, v in g.bnd_nn.items()
+                                if t not in rot_tags})
                 return g
 
             self.grid = _build(raw)
@@ -116,6 +138,7 @@ class Simulation:
             # self.perm maps back to file order at the IO boundaries.
             from su2_tpu.geometry import stencil as stn
             if cfg.extra.get("STENCIL_ORDERING", "YES") != "NO" \
+                    and self.pghost is None \
                     and len(stn.edge_offsets(self.grid.edges)) \
                     > stn.MAX_OFFSETS:
                 sperm = stn.structured_order(raw)
@@ -128,6 +151,12 @@ class Simulation:
                         raw, self.grid, self.perm = raw2, grid2, sperm
             self.dmesh = None
             self.mesh = mesh_arrays(self.grid, dtype)
+            if self.pghost is not None:
+                self.mesh = dataclasses_replace(
+                    self.mesh,
+                    pg_src=jnp.asarray(self.pghost.src, jnp.int32),
+                    pg_rot=jnp.asarray(self.pghost.rot, dtype),
+                    pg_start=int(self.pghost.start))
         self.lay = Layout(self.grid.ndim, cfg.nspecies)
 
         self.tparams = TSolveParams(
@@ -437,6 +466,20 @@ class Simulation:
                  u_n=None, u_nm1=None):
             # ---------- flow system ----------
             cfl = prm.cfl if cfl is None else cfl
+            if mesh.pg_src is not None:
+                # rotational-periodic ghost refresh (Set_MPI_Solution
+                # rotation as a pure function of the state)
+                u = self._pg_refresh_u(u)
+                t_guess = t_guess.at[mesh.pg_start:].set(
+                    t_guess[mesh.pg_src])
+                q = q.at[mesh.pg_start:].set(q[mesh.pg_src])
+                mu_t = mu_t.at[mesh.pg_start:].set(mu_t[mesh.pg_src])
+                sigma_k = sigma_k.at[mesh.pg_start:].set(
+                    sigma_k[mesh.pg_src])
+                gk = jnp.einsum("ned,nd->ne",
+                                mesh.pg_rot.astype(grad_k.dtype),
+                                grad_k[mesh.pg_src])
+                grad_k = grad_k.at[mesh.pg_start:].set(gk)
             tke = q[:, 0] if is_sst else jnp.zeros_like(q[:, 0])
             omega_t = q[:, 1]
             # one fused preprocessing pass (SetPrimitive_Variables +
@@ -532,6 +575,8 @@ class Simulation:
             u_new = ns.enforce_wall_velocity(lay, u_new, wall_mask)
 
             # ---------- turbulence system on the updated flow ----------
+            if mesh.pg_src is not None:
+                u_new = self._pg_refresh_u(u_new)
             rho_old = v[:, lay.PRHO]
             nsd2 = st.node_state(lib, lay, u_new, v[:, lay.T], tparams,
                                  turb_ke=tke)
@@ -774,6 +819,16 @@ class Simulation:
             p_inf, rho_inf, vel_inf, ref_area, viscous=self.cfg.viscous,
             mu_t=turb[1] if turb is not None else None)
 
+    def _pg_refresh_u(self, u):
+        """Rotational-periodic ghost rows of the conserved state: scalars
+        copied, momentum rotated (Set_MPI_Solution rotation)."""
+        mesh, lay = self.mesh, self.lay
+        rows = u[mesh.pg_src]
+        mom = jnp.einsum("nvc,nc->nv", mesh.pg_rot.astype(u.dtype),
+                         rows[:, lay.RHOVX:lay.RHOVX + lay.ndim])
+        rows = rows.at[:, lay.RHOVX:lay.RHOVX + lay.ndim].set(mom)
+        return u.at[mesh.pg_start:].set(rows)
+
     def initial_turb_state(self):
         n = self.mesh.npoint
         if self.cfg.kind_turb_model == "SA":
@@ -810,7 +865,8 @@ class Simulation:
                     self.mesh, self.params,
                     vis.ns_gradient_vars(self.lib, lay, v))
                 strain, _ = sst.strain_and_vorticity(lay, grad)
-                gq = es.compute_gradients(self.mesh, self.params, q0)
+                gq = es.compute_gradients(self.mesh, self.params, q0,
+                                          vel_rows=None)
                 trans = vis.node_transport(self.lib, lay, v)
                 f1, f2, _ = sst.blending(q0[:, 0], q0[:, 1], gq[:, 0, :],
                                          gq[:, 1, :], trans.mu,

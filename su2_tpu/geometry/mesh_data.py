@@ -74,6 +74,13 @@ class MeshArrays:
     fam_normal: jax.Array = None        # (Kh, nP, d)
     fam_evec: jax.Array = None          # (Kh, nP, d)
     fam_offsets: tuple = None           # Kh positive offsets
+    # rotational-periodic ghost layer (geometry/periodic.PGhost): node rows
+    # [pg_start, nP) hold rotated copies of interior rows pg_src, refreshed
+    # every iteration; gradient sweeps overwrite their rows with the
+    # rotated donor gradients
+    pg_src: jax.Array = None            # (nG,) int32 donor node ids
+    pg_rot: jax.Array = None            # (nG, d, d) vector rotation
+    pg_start: int = None
 
     def _slot_slices(self, g):
         n = self.npoint
@@ -228,9 +235,9 @@ jax.tree_util.register_dataclass(
                  "node_edges_sel", "node_edges_t", "node_sign_t",
                  "node_nbrs_t", "node_edges_sel_t", "stencil_sel",
                  "wls_coeff", "gg_snormal", "stencil_pvec",
-                 "fam_normal", "fam_evec"],
+                 "fam_normal", "fam_evec", "pg_src", "pg_rot"],
     meta_fields=["ndim", "npoint", "nedge", "max_degree", "stencil_offsets",
-                 "fam_offsets"],
+                 "fam_offsets", "pg_start"],
 )
 
 

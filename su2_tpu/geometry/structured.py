@@ -88,3 +88,35 @@ def box_mesh(nx: int, ny: int, nz: int,
     return RawMesh(ndim=3, coords=coords,
                    elem_types=np.full(len(elems), 12, dtype=np.int32),
                    elem_nodes=elems, markers=markers, marker_types=mtypes)
+
+
+def sector_mesh(nr: int, nt: int, r0: float = 1.0, r1: float = 2.0,
+                theta: float = 0.5) -> RawMesh:
+    """(nr x nt)-node quad annular sector [r0, r1] x [0, theta] (radians)
+    about the origin, with markers inner (r=r0), outer (r=r1),
+    side_a (angle 0) and side_b (angle theta)."""
+    rs, ts = np.meshgrid(np.linspace(r0, r1, nr), np.linspace(0.0, theta, nt),
+                         indexing="ij")
+    coords = np.stack([(rs * np.cos(ts)).ravel(),
+                       (rs * np.sin(ts)).ravel()], axis=1)
+
+    def nid(i, j):
+        return i * nt + j
+
+    elems = []
+    for i in range(nr - 1):
+        for j in range(nt - 1):
+            elems.append([nid(i, j), nid(i + 1, j),
+                          nid(i + 1, j + 1), nid(i, j + 1)])
+    elems = np.array(elems)
+    inner = [[nid(0, j + 1), nid(0, j)] for j in range(nt - 1)]
+    outer = [[nid(nr - 1, j), nid(nr - 1, j + 1)] for j in range(nt - 1)]
+    side_a = [[nid(i, 0), nid(i + 1, 0)] for i in range(nr - 1)]
+    side_b = [[nid(i + 1, nt - 1), nid(i, nt - 1)] for i in range(nr - 1)]
+    markers = {"inner": np.array(inner), "outer": np.array(outer),
+               "side_a": np.array(side_a), "side_b": np.array(side_b)}
+    mtypes = {k: np.full(len(v), 3, dtype=np.int32)
+              for k, v in markers.items()}
+    return RawMesh(ndim=2, coords=coords,
+                   elem_types=np.full(len(elems), 9, dtype=np.int32),
+                   elem_nodes=elems, markers=markers, marker_types=mtypes)

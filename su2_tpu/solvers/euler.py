@@ -440,10 +440,28 @@ def gradient_vars(lay: Layout, v: jnp.ndarray) -> jnp.ndarray:
         v[:, lay.P:lay.P + 1]], axis=1)
 
 
-def compute_gradients(mesh, prm: EulerParams, q):
+def compute_gradients(mesh, prm: EulerParams, q, vel_rows="flow"):
+    """GG/WLS gradients; with a rotational-periodic ghost layer the ghost
+    rows are overwritten by the rotated donor gradients (the reference's
+    Set_MPI_Solution_Gradient rotation).  vel_rows: "flow" treats rows
+    1..1+ndim as vector components (the [T, u.., ...] sets); None for
+    scalar-only sets (turbulence variables)."""
     if prm.grad_method == "GREEN_GAUSS":
-        return gradients.green_gauss(mesh, q)
-    return gradients.weighted_least_squares(mesh, q)
+        grad = gradients.green_gauss(mesh, q)
+    else:
+        grad = gradients.weighted_least_squares(mesh, q)
+    if mesh.pg_src is not None:
+        nd = mesh.ndim
+        gsrc = grad[mesh.pg_src]                       # (nG, nGvar, d)
+        rot = mesh.pg_rot.astype(grad.dtype)
+        # gradient vectors rotate: grad' = grad @ R^T
+        g2 = jnp.einsum("ngd,ned->nge", gsrc, rot)
+        if vel_rows == "flow":
+            # velocity component block additionally rotates across rows
+            vel = jnp.einsum("nvc,ncd->nvd", rot, g2[:, 1:1 + nd])
+            g2 = g2.at[:, 1:1 + nd].set(vel)
+        grad = grad.at[mesh.pg_start:].set(g2)
+    return grad
 
 
 def _muscl_rows(lib, lay, prm, vrow, qrow, gradrow, limrow, dx):
@@ -615,6 +633,10 @@ def total_residual(lib, lay, mesh, prm, bcs, v, omega_turb=None, turb_ke=None):
     res = res + bc_residuals(lib, lay, mesh, prm, bcs, v, dpdu_full, turb_ke)
     if prm.reactive_sources:
         res = res + chemistry_source_residual(lib, lay, mesh, prm, v, omega_turb)
+    if mesh.pg_src is not None:
+        # rotational-periodic ghost rows carry no equations (their state is
+        # refreshed from the donors every iteration)
+        res = res.at[mesh.pg_start:].set(0.0)
     return res, grad
 
 

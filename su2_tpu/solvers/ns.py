@@ -422,6 +422,9 @@ def ns_assemble(lib: ChemLib, lay: Layout, mesh: MeshArrays, prm: NSParams,
     # zero momentum residual rows at strong walls
     res = jnp.where(wall_mask[:, None],
                     res.at[:, lay.RHOVX:lay.RHOVX + nd].set(0.0), res)
+    if mesh.pg_src is not None:
+        # rotational-periodic ghost rows carry no equations
+        res = res.at[mesh.pg_start:].set(0.0)
 
     if not implicit:
         if want_lambdas:
