@@ -377,6 +377,7 @@ _REGISTRY: dict[str, _Opt] = {
     "FFD_TOLERANCE": _d(1e-10),
     "DEFORM_LINEAR_ITER": _i(500),
     "KIND_ADAPT": _enum("FULL"),
+    "NEW_ELEMS": _d(15.0),     # % of elements to adapt (GRAD_FLOW)
     "DEFORM_STIFFNESS_TYPE": _enum("INVERSE_VOLUME"),
     "DEFORM_METHOD": _enum("ELASTICITY"),  # ELASTICITY | SPRING (ours)
     "DEFORM_NONLINEAR_ITER": _i(1),

@@ -105,3 +105,110 @@ def test_refined_mesh_runs_euler(tmp_path):
     finally:
         os.chdir(cwd)
     assert hist[-1][sim.lay.RHO] < -10.0
+
+
+def test_refine_adaptive_conforming_and_usable():
+    """Sensor-tagged band refinement: conforming mesh (dual CV closure),
+    exact area conservation, and the solver preserves freestream on it."""
+    import numpy as np
+    import jax.numpy as jnp
+    from su2_tpu.geometry.structured import channel_mesh
+    from su2_tpu.geometry.dual_grid import build_dual_grid
+    from su2_tpu.adapt import refine_adaptive, prolong_solution
+
+    raw = channel_mesh(13, 9, lx=1.0, ly=0.4)
+    cx = raw.coords[np.where(raw.elem_nodes >= 0, raw.elem_nodes, 0), 0]
+    cx = cx.mean(axis=1)
+    tag = (cx > 0.4) & (cx < 0.6)
+    assert tag.any() and not tag.all()
+    refined, parent, node_parents = refine_adaptive(raw, tag)
+    assert refined.nelem > raw.nelem
+
+    grid = build_dual_grid(refined)
+    # area conserved
+    g0 = build_dual_grid(raw)
+    assert abs(float(np.asarray(grid.volume).sum())
+               - float(np.asarray(g0.volume).sum())) < 1e-12
+    # dual CV closure: signed edge normal sums equal boundary vertex normals
+    acc = np.zeros((grid.npoint, 2))
+    e = np.asarray(grid.edges)
+    en = np.asarray(grid.edge_normal)
+    np.add.at(acc, e[:, 0], en)
+    np.add.at(acc, e[:, 1], -en)
+    bnd = np.zeros((grid.npoint, 2))
+    for t in grid.bnd_nodes:
+        np.add.at(bnd, np.asarray(grid.bnd_nodes[t]),
+                  np.asarray(grid.bnd_normal[t]))
+    assert np.abs(acc - bnd).max() < 1e-12
+
+    # the solver runs and preserves freestream on the adapted mesh
+    import os, tempfile, textwrap
+    from su2_tpu.config import Config
+    from su2_tpu.driver import Simulation
+    cfg_text = textwrap.dedent("""
+        PHYSICAL_PROBLEM= EULER
+        MACH_NUMBER= 0.3
+        FREESTREAM_TEMPERATURE= 288.15
+        FREESTREAM_PRESSURE= 101325.0
+        MARKER_EULER= ( lower_wall, upper_wall )
+        MARKER_INLET= ( inlet, 288.15, 100.0, 1.0, 0.0, 0.0 )
+        MARKER_OUTLET= ( outlet, 101325.0 )
+        INLET_TYPE= TEMPERATURE_IMPOSE
+        CFL_NUMBER= 0.8
+        TIME_DISCRE_FLOW= EULER_EXPLICIT
+        SPATIAL_ORDER_FLOW= 1ST_ORDER
+        MESH_FILENAME= unused.su2
+    """)
+    d = tempfile.mkdtemp()
+    p = os.path.join(d, "c.cfg")
+    open(p, "w").write(cfg_text)
+    cwd = os.getcwd()
+    os.chdir(d)
+    try:
+        sim = Simulation(Config(p), raw_mesh=refined)
+    finally:
+        os.chdir(cwd)
+    uj, t = sim.u0, sim.t0
+    for _ in range(3):
+        uj, t, rms, rmax, nerr, min_dt = sim._step(uj, t)
+    assert np.isfinite(np.asarray(uj)).all()
+
+    # prolongation: old nodes keep values, midpoints average parents
+    u = np.random.default_rng(0).normal(size=(raw.npoint, 3))
+    up = prolong_solution(raw, refined, u, node_parents)
+    assert np.allclose(up[:raw.npoint], u)
+
+
+def test_msh_grad_flow(tmp_path):
+    """SU2_MSH GRAD_FLOW: density-gradient sensor tags the steepest
+    elements, transition templates keep the mesh conforming."""
+    import os
+    import numpy as np
+    from su2_tpu.geometry.structured import channel_mesh
+    from su2_tpu.io.mesh import write_su2_mesh
+    from su2_tpu.config import Config
+    from su2_tpu.tooling import msh
+
+    raw = channel_mesh(13, 9, lx=1.0, ly=0.4)
+    mesh_path = tmp_path / "m.su2"
+    write_su2_mesh(raw, str(mesh_path))
+    # synthetic restart with a density step at x = 0.5
+    sol = tmp_path / "solution_flow.dat"
+    with open(sol, "w") as f:
+        f.write("id x y rho rhou rhov rhoE\n")
+        for i, (x, y) in enumerate(raw.coords):
+            rho = 1.0 + (1.0 if x > 0.5 else 0.0)
+            f.write(f"{i} {x} {y} {rho} 0.0 0.0 1.0\n")
+    cfg_path = tmp_path / "c.cfg"
+    cfg_path.write_text(
+        f"MESH_FILENAME= {mesh_path}\n"
+        f"MESH_OUT_FILENAME= {tmp_path / 'out.su2'}\n"
+        f"SOLUTION_FLOW_FILENAME= {sol}\n"
+        "KIND_ADAPT= GRAD_FLOW\nNEW_ELEMS= 20.0\n")
+    refined, parent = msh.run(Config(str(cfg_path)))
+    assert raw.nelem < refined.nelem < 4 * raw.nelem
+    # refinement concentrates at the step
+    en = np.where(refined.elem_nodes >= 0, refined.elem_nodes, 0)
+    cx = refined.coords[en, 0].mean(axis=1)
+    near = np.abs(cx - 0.5) < 0.15
+    assert near.sum() > 0.4 * (refined.nelem - raw.nelem)
