@@ -201,7 +201,10 @@ def refine_adaptive(mesh: RawMesh, elem_tag: np.ndarray):
                 else:
                     # green transition: fan-triangulate the boundary
                     # polygon (corners + midpoints) from a corner whose
-                    # adjacent edges are unsplit (best quality), else 0
+                    # adjacent edges are both unsplit; when no such corner
+                    # exists (3-4 split edges) fan from a new centroid
+                    # node — a corner apex would emit zero-area triangles
+                    # (corner, adjacent midpoint, next corner are collinear)
                     corners = [a, b, c, d]
                     poly = []
                     for ei in range(4):
@@ -209,16 +212,24 @@ def refine_adaptive(mesh: RawMesh, elem_tag: np.ndarray):
                         if pat[ei]:
                             poly.append(midp(corners[ei],
                                              corners[(ei + 1) % 4]))
-                    apex = 0
+                    apex = None
                     for ci in range(4):
                         if not pat[ci] and not pat[(ci - 1) % 4]:
                             apex = poly.index(corners[ci])
                             break
                     m = len(poly)
-                    for s in range(1, m - 1):
-                        tri = (poly[apex], poly[(apex + s) % m],
-                               poly[(apex + s + 1) % m])
-                        emit(tri, 5, k)
+                    if apex is not None:
+                        for s in range(1, m - 1):
+                            tri = (poly[apex], poly[(apex + s) % m],
+                                   poly[(apex + s + 1) % m])
+                            emit(tri, 5, k)
+                    else:
+                        ctr = len(coords) + len(new_pts)
+                        new_pts.append(0.25 * (coords[a] + coords[b]
+                                               + coords[c] + coords[d]))
+                        node_parents[ctr] = (a, b, c, d)
+                        for s in range(m):
+                            emit((ctr, poly[s], poly[(s + 1) % m]), 5, k)
         else:
             raise NotImplementedError(f"refinement of VTK type {t}")
 

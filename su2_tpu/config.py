@@ -79,10 +79,14 @@ def _parse_marker_periodic(s: str) -> dict:
         return {}
     out = {}
     i = 0
+    deg2rad = 3.141592653589793 / 180.0
     while i < len(toks):
         name, donor = toks[i], toks[i + 1]
         vals = [float(t) for t in toks[i + 2:i + 11]]
-        out[name] = (donor, tuple(vals[0:3]), tuple(vals[3:6]),
+        # rotation angles are given in degrees and stored in radians
+        # (COptionPeriodic, option_structure.hpp:3050-3052)
+        out[name] = (donor, tuple(vals[0:3]),
+                     tuple(a * deg2rad for a in vals[3:6]),
                      tuple(vals[6:9]))
         i += 11
     return out

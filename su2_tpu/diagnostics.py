@@ -83,7 +83,7 @@ def debug_dump(sim, u, t_guess, turb_state=None) -> dict:
         from su2_tpu.turbulence import sst
         q, mu_t = turb_state[0], turb_state[1]
         grad = es.compute_gradients(mesh, prm, vis.ns_gradient_vars(lib, lay, v))
-        gq = es.compute_gradients(mesh, prm, q)
+        gq = es.compute_gradients(mesh, prm, q, vel_rows=None)
         trans = vis.node_transport(lib, lay, v)
         f1, f2, cdkw = sst.blending(q[:, 0], q[:, 1], gq[:, 0, :], gq[:, 1, :],
                                     trans.mu, v[:, lay.PRHO], sim.wall_dist)

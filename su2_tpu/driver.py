@@ -332,6 +332,10 @@ class Simulation:
             alphas = (1.0,)
 
         def assemble(u, t_guess):
+            if mesh.pg_src is not None:
+                # rotational-periodic ghost refresh before every residual
+                # evaluation (covers all RK stages)
+                u, t_guess = self._pg_refresh_ut(u, t_guess)
             u, v, nonphys = st.cons2prim(lib, lay, u, t_guess, tparams)
             if viscous_mode:
                 res, wall_mask, trans, _ = ns.ns_assemble(
@@ -387,6 +391,8 @@ class Simulation:
 
             cfl = prm.cfl if cfl is None else cfl
 
+            if mesh.pg_src is not None:
+                u, t_guess = self._pg_refresh_ut(u, t_guess)
             u, v, nonphys = st.cons2prim(lib, lay, u, t_guess, tparams)
             if viscous_mode:
                 dpdu_full = st.dpdu(lib, lay, v)
@@ -476,9 +482,15 @@ class Simulation:
                 mu_t = mu_t.at[mesh.pg_start:].set(mu_t[mesh.pg_src])
                 sigma_k = sigma_k.at[mesh.pg_start:].set(
                     sigma_k[mesh.pg_src])
-                gk = jnp.einsum("ned,nd->ne",
-                                mesh.pg_rot.astype(grad_k.dtype),
-                                grad_k[mesh.pg_src])
+                if is_sst:
+                    # grad_k is a spatial vector; for SA(+LM) the slot
+                    # carries scalar model state (nu_tilde aux / gamma,
+                    # Re_theta), which must be copied, not rotated
+                    gk = jnp.einsum("ned,nd->ne",
+                                    mesh.pg_rot.astype(grad_k.dtype),
+                                    grad_k[mesh.pg_src])
+                else:
+                    gk = grad_k[mesh.pg_src]
                 grad_k = grad_k.at[mesh.pg_start:].set(gk)
             tke = q[:, 0] if is_sst else jnp.zeros_like(q[:, 0])
             omega_t = q[:, 1]
@@ -811,7 +823,16 @@ class Simulation:
         for tag in self.cfg.marker_monitoring:
             if tag in self.mesh.markers:
                 nodes, normal = self.mesh.markers[tag]
-                markers[tag] = (nodes, normal, self.mesh.marker_nn[tag])
+                nn = self.mesh.marker_nn[tag]
+                if self.pghost is not None:
+                    # exclude the rotational-periodic ghost strip from the
+                    # force integration (the reference excludes halo
+                    # vertices from force sums)
+                    keep = np.asarray(nodes) < self.pghost.start
+                    nodes = nodes[jnp.asarray(keep)]
+                    normal = normal[jnp.asarray(keep)]
+                    nn = nn[jnp.asarray(keep)]
+                markers[tag] = (nodes, normal, nn)
         ys, t_inf, p_inf, rho_inf, vel_inf, _ = self.freestream_primitives()
         ref_area = self.cfg.ref_area if self.cfg.ref_area > 0 else 1.0
         return ff.surface_forces(
@@ -828,6 +849,11 @@ class Simulation:
                          rows[:, lay.RHOVX:lay.RHOVX + lay.ndim])
         rows = rows.at[:, lay.RHOVX:lay.RHOVX + lay.ndim].set(mom)
         return u.at[mesh.pg_start:].set(rows)
+
+    def _pg_refresh_ut(self, u, t_guess):
+        mesh = self.mesh
+        return (self._pg_refresh_u(u),
+                t_guess.at[mesh.pg_start:].set(t_guess[mesh.pg_src]))
 
     def initial_turb_state(self):
         n = self.mesh.npoint

@@ -18,6 +18,24 @@ from su2_tpu.geometry.mesh_data import MeshArrays
 EPS = 1e-16
 
 
+def pg_fix(mesh: MeshArrays, grad: jnp.ndarray,
+           vel_rows=None) -> jnp.ndarray:
+    """Overwrite rotational-periodic ghost gradient rows with the rotated
+    donor gradients (Set_MPI_Solution_Gradient rotation).  grad: (nP, nG,
+    d).  vel_rows=(lo, hi) marks a block of vector components that rotates
+    across the variable index as well; scalar-only sets pass None."""
+    if mesh.pg_src is None:
+        return grad
+    gsrc = grad[mesh.pg_src]                       # (nG?, ...) small gather
+    rot = mesh.pg_rot.astype(grad.dtype)
+    g2 = jnp.einsum("ngd,ned->nge", gsrc, rot)     # grad' = grad @ R^T
+    if vel_rows is not None:
+        lo, hi = vel_rows
+        vel = jnp.einsum("nvc,ncd->nvd", rot, g2[:, lo:hi])
+        g2 = g2.at[:, lo:hi].set(vel)
+    return grad.at[mesh.pg_start:].set(g2)
+
+
 def green_gauss(mesh: MeshArrays, q: jnp.ndarray) -> jnp.ndarray:
     """(nP, nG) -> (nP, nG, d) gradient.
 

@@ -450,18 +450,9 @@ def compute_gradients(mesh, prm: EulerParams, q, vel_rows="flow"):
         grad = gradients.green_gauss(mesh, q)
     else:
         grad = gradients.weighted_least_squares(mesh, q)
-    if mesh.pg_src is not None:
-        nd = mesh.ndim
-        gsrc = grad[mesh.pg_src]                       # (nG, nGvar, d)
-        rot = mesh.pg_rot.astype(grad.dtype)
-        # gradient vectors rotate: grad' = grad @ R^T
-        g2 = jnp.einsum("ngd,ned->nge", gsrc, rot)
-        if vel_rows == "flow":
-            # velocity component block additionally rotates across rows
-            vel = jnp.einsum("nvc,ncd->nvd", rot, g2[:, 1:1 + nd])
-            g2 = g2.at[:, 1:1 + nd].set(vel)
-        grad = grad.at[mesh.pg_start:].set(g2)
-    return grad
+    return gradients.pg_fix(
+        mesh, grad,
+        vel_rows=(1, 1 + mesh.ndim) if vel_rows == "flow" else None)
 
 
 def _muscl_rows(lib, lay, prm, vrow, qrow, gradrow, limrow, dx):

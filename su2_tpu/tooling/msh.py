@@ -33,6 +33,8 @@ def run(cfg: Config, raw=None):
         import jax.numpy as jnp
         from su2_tpu.geometry.dual_grid import build_dual_grid
         from su2_tpu.geometry.mesh_data import mesh_arrays
+        from su2_tpu.precision import enable_x64
+        enable_x64()
         mesh = mesh_arrays(build_dual_grid(raw), jnp.float64)
         # density column of the restart (id, x, y, [z], rho, ...)
         rows = []
@@ -46,10 +48,12 @@ def run(cfg: Config, raw=None):
         for i, r in rows:
             rho[i] = r
         sens = gradient_sensor(mesh, rho)
-        en = np.where(raw.elem_nodes >= 0, raw.elem_nodes, 0)
-        elem_sens = sens[en].max(axis=1)
+        # max over each element's REAL nodes (pad slots masked)
+        elem_sens = np.where(raw.elem_nodes >= 0,
+                             sens[np.maximum(raw.elem_nodes, 0)],
+                             -np.inf).max(axis=1)
         frac = max(float(getattr(cfg, "new_elems", 15.0)), 0.0) / 100.0
-        nsel = max(1, int(frac * raw.nelem))
+        nsel = min(max(1, int(frac * raw.nelem)), raw.nelem)
         thresh = np.partition(elem_sens, -nsel)[-nsel]
         refined, parent, _ = refine_adaptive(raw, elem_sens >= thresh)
     else:

@@ -61,9 +61,10 @@ def sa_step(lay: Layout, mesh: MeshArrays, scfg, bcs, nu, v, flow_grad,
     q = nu[:, None]
 
     if scfg.grad_method == "GREEN_GAUSS":
-        gq = gradients.green_gauss(mesh, q)
+        gq = gradients.pg_fix(mesh, gradients.green_gauss(mesh, q))
     else:
-        gq = gradients.weighted_least_squares(mesh, q)
+        gq = gradients.pg_fix(mesh,
+                              gradients.weighted_least_squares(mesh, q))
     grad_nu = gq[:, 0, :]
 
     # ---- convective upwind (CUpwSca_TurbSA: no density weighting) ----

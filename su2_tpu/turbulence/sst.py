@@ -131,9 +131,10 @@ def sst_step(lay: Layout, mesh: MeshArrays, scfg: SSTConfig, bcs,
     # gradients of (k, omega)
     if gq is None:
         if scfg.grad_method == "GREEN_GAUSS":
-            gq = gradients.green_gauss(mesh, q)
+            gq = gradients.pg_fix(mesh, gradients.green_gauss(mesh, q))
         else:
-            gq = gradients.weighted_least_squares(mesh, q)
+            gq = gradients.pg_fix(mesh,
+                              gradients.weighted_least_squares(mesh, q))
     grad_k = gq[:, 0, :]
     grad_w = gq[:, 1, :]
 

@@ -121,9 +121,10 @@ def lm_step(lay: Layout, mesh: MeshArrays, scfg, bcs, q, v, flow_grad,
     vel = v[:, lay.VX:lay.VX + lay.ndim]
 
     if scfg.grad_method == "GREEN_GAUSS":
-        gq = gradients.green_gauss(mesh, q)
+        gq = gradients.pg_fix(mesh, gradients.green_gauss(mesh, q))
     else:
-        gq = gradients.weighted_least_squares(mesh, q)
+        gq = gradients.pg_fix(mesh,
+                              gradients.weighted_least_squares(mesh, q))
 
     i, j = mesh.edges[:, 0], mesh.edges[:, 1]
     # scalar upwind convection, rho-weighted (CUpwSca_TransLM)

@@ -14,7 +14,8 @@ import jax.numpy as jnp
 from su2_tpu.config import Config
 from su2_tpu.geometry.structured import sector_mesh
 
-THETA = 0.5
+THETA = 0.5                                   # radians
+THETA_DEG = THETA * 180.0 / np.pi             # cfg angles are in degrees
 
 CFG = textwrap.dedent(f"""
     PHYSICAL_PROBLEM= EULER
@@ -22,7 +23,7 @@ CFG = textwrap.dedent(f"""
     FREESTREAM_TEMPERATURE= 288.15
     FREESTREAM_PRESSURE= 101325.0
     MARKER_EULER= ( inner, outer )
-    MARKER_PERIODIC= ( side_b, side_a, 0.0, 0.0, 0.0, 0.0, 0.0, {THETA}, 0.0, 0.0, 0.0 )
+    MARKER_PERIODIC= ( side_b, side_a, 0.0, 0.0, 0.0, 0.0, 0.0, {THETA_DEG}, 0.0, 0.0, 0.0 )
     CFL_NUMBER= 0.8
     TIME_DISCRE_FLOW= EULER_EXPLICIT
     SPATIAL_ORDER_FLOW= 2ND_ORDER_LIMITER
@@ -105,3 +106,28 @@ def test_solid_body_rotation_refresh(sim):
     expect = np.stack([-omega * coords[n0:, 1],
                        omega * coords[n0:, 0]], axis=1)
     np.testing.assert_allclose(vel_g, expect, rtol=1e-10, atol=1e-10)
+
+
+def test_step_refreshes_ghosts(sim):
+    """The explicit step must refresh ghost rows internally: garbage ghost
+    input may not survive or contaminate the update."""
+    lay = sim.lay
+    coords = np.asarray(sim.grid.coords)
+    omega = 7.0
+    u = np.asarray(sim.u0).copy()
+    rho = u[:, lay.RHO]
+    u[:, lay.RHOVX] = rho * (-omega * coords[:, 1])
+    u[:, lay.RHOVX + 1] = rho * (omega * coords[:, 0])
+    n0 = sim.pghost.start
+    u[n0:] = 777.0                       # poison the ghost rows
+    uj, t = jnp.asarray(u), sim.t0
+    u1, t1, rms, rmax, nerr, min_dt = sim._step(uj, t)
+    u1 = np.asarray(u1)
+    assert np.isfinite(u1).all()
+    # ghost rows were replaced by the rotated donor state at step start and
+    # carry zero residual, so the output ghosts equal refresh(u_in)
+    ref = np.asarray(sim._pg_refresh_u(jnp.asarray(u)))
+    np.testing.assert_allclose(u1[n0:], ref[n0:], rtol=1e-12)
+    # interior stayed bounded (no contamination by the poisoned rows)
+    assert np.abs(u1[:n0, lay.RHO] - u[:n0, lay.RHO]).max() \
+        < 0.5 * np.abs(u[:n0, lay.RHO]).max()
