@@ -236,7 +236,10 @@ def multicolor_sgs_apply(mesh: MeshArrays, jac: BlockJacobian,
 
     for mask in color_masks:
         z = color_update(z, mask)
-    for mask in reversed(color_masks):
+    # The first backward color duplicates the last forward update exactly:
+    # same-color nodes share no edge, so its off-diagonal inputs are
+    # unchanged — skip it (one full sel read saved per application).
+    for mask in list(reversed(color_masks))[1:]:
         z = color_update(z, mask)
     return z
 
@@ -281,6 +284,18 @@ def make_solver_ops(mesh: MeshArrays, jac: BlockJacobian,
             ops = stks.StencilSolveOps(mesh, sel, dinv, jac.diag,
                                        color_masks)
             return ops.matvec, ops.precond, ops.precond_matvec
+        if (jac.diag.dtype == jnp.float32
+                and stks.supported(mesh, v, jnp.bfloat16)):
+            # blocks too wide for an f32 VMEM-resident sweep: run the
+            # preconditioner (quality-only) from bf16 blocks in one
+            # launch; the Krylov matvec keeps the f32 blocks so the
+            # linear tolerance contract is unchanged
+            sel = gather_offdiag(mesh, jac)
+            ops = stks.StencilSolveOps(mesh, sel, dinv, jac.diag,
+                                       color_masks,
+                                       sel_dtype=jnp.bfloat16)
+            mv = lambda x: matvec(mesh, jac, x, sel)
+            return mv, ops.precond, None
     sel = gather_offdiag(mesh, jac)
     mv = lambda x: matvec(mesh, jac, x, sel)
     if sgs:
@@ -308,6 +323,14 @@ def make_solver_ops_fam(mesh: MeshArrays, diag: jax.Array, sel: jax.Array,
         if stks.supported(mesh, v, diag.dtype):
             ops = stks.StencilSolveOps(mesh, sel, dinv, diag, color_masks)
             return ops.matvec, ops.precond, ops.precond_matvec
+        if (diag.dtype == jnp.float32
+                and stks.supported(mesh, v, jnp.bfloat16)):
+            # bf16-block preconditioner sweep (one launch, sel read from
+            # HBM once); f32 matvec preserves the linear tolerance
+            ops = stks.StencilSolveOps(mesh, sel, dinv, diag, color_masks,
+                                       sel_dtype=jnp.bfloat16)
+            mv = lambda x: _bmv(diag, x) + _offdiag_apply(mesh, sel, x)
+            return mv, ops.precond, None
     mv = lambda x: _bmv(diag, x) + _offdiag_apply(mesh, sel, x)
     if sgs:
         z_jac = BlockJacobian(diag=diag, off_ij=diag, off_ji=diag)

@@ -73,6 +73,20 @@ def _bapply(blocks, x, v):
         axis=0)
 
 
+def _sgs_body(sel, dinv, masks, r, offsets, v, ncolor):
+    z = jnp.zeros_like(r)
+    # symmetric sweep minus the duplicate pivot pass: the first backward
+    # color would recompute the last forward update with identical
+    # inputs (proper coloring: no same-color neighbors)
+    order = list(range(ncolor)) + list(range(ncolor - 2, -1, -1))
+    for c in order:
+        acc = r - _offdiag(sel, z, offsets, v)
+        zn = _bapply(dinv, acc, v)
+        m = masks[c][None, :]
+        z = jnp.where(m > 0.5, zn, z)
+    return z
+
+
 @functools.partial(jax.jit,
                    static_argnames=("offsets", "v", "ncolor", "interpret"))
 def _sgs_matvec_call(sel_t, dinv_t, diag_t, masks_t, r_t, *, offsets, v,
@@ -82,16 +96,8 @@ def _sgs_matvec_call(sel_t, dinv_t, diag_t, masks_t, r_t, *, offsets, v,
 
     def kernel(sel_ref, dinv_ref, diag_ref, masks_ref, r_ref, z_ref, w_ref):
         sel = sel_ref[...]
-        dinv = dinv_ref[...]
-        masks = masks_ref[...]
-        r = r_ref[...]
-        z = jnp.zeros_like(r)
-        order = list(range(ncolor)) + list(range(ncolor - 1, -1, -1))
-        for c in order:
-            acc = r - _offdiag(sel, z, offsets, v)
-            zn = _bapply(dinv, acc, v)
-            m = masks[c][None, :]
-            z = jnp.where(m > 0.5, zn, z)
+        z = _sgs_body(sel, dinv_ref[...], masks_ref[...], r_ref[...],
+                      offsets, v, ncolor)
         z_ref[...] = z
         w_ref[...] = _bapply(diag_ref[...], z, v) + _offdiag(
             sel, z, offsets, v)
@@ -106,6 +112,28 @@ def _sgs_matvec_call(sel_t, dinv_t, diag_t, masks_t, r_t, *, offsets, v,
         out_shape=[jax.ShapeDtypeStruct((v, npad), dtype)] * 2,
     )(sel_t, dinv_t, diag_t, masks_t, r_t)
     return z, w
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("offsets", "v", "ncolor", "interpret"))
+def _sgs_call(sel_t, dinv_t, masks_t, r_t, *, offsets, v, ncolor, interpret):
+    """Preconditioner-only sweep: sel may be bf16 (block products promote to
+    the state dtype), no diagonal matvec output."""
+    npad = r_t.shape[-1]
+    dtype = r_t.dtype
+
+    def kernel(sel_ref, dinv_ref, masks_ref, r_ref, z_ref):
+        z_ref[...] = _sgs_body(sel_ref[...], dinv_ref[...], masks_ref[...],
+                               r_ref[...], offsets, v, ncolor)
+
+    full = lambda a: pl.BlockSpec(a.shape, lambda: (0,) * a.ndim)
+    return pl.pallas_call(
+        kernel,
+        interpret=interpret,
+        in_specs=[full(sel_t), full(dinv_t), full(masks_t), full(r_t)],
+        out_specs=full(r_t),
+        out_shape=jax.ShapeDtypeStruct((v, npad), dtype),
+    )(sel_t, dinv_t, masks_t, r_t)
 
 
 @functools.partial(jax.jit, static_argnames=("offsets", "v", "interpret"))
@@ -138,23 +166,33 @@ class StencilSolveOps:
 
     sel: (K, nP, v, v) from blockcsr.gather_offdiag (stencil form);
     dinv, diag: (nP, v, v); color_masks: list of (nP,) bool.
+
+    sel_dtype: storage dtype for the off-diagonal blocks inside the kernel.
+    bf16 halves the VMEM/HBM footprint so block sizes that miss the f32
+    budget still run the sweep as one launch; block products promote back
+    to the state dtype.  bf16 sel is preconditioner-quality only — in that
+    mode `precond_matvec`/`matvec` are withheld (None) and the caller must
+    run the Krylov matvec at full precision.
     """
 
-    def __init__(self, mesh, sel, dinv, diag, color_masks):
+    def __init__(self, mesh, sel, dinv, diag, color_masks, sel_dtype=None):
         k, n, v, _ = sel.shape
         self.v = v
         self.n = n
         self.offsets = tuple(mesh.stencil_offsets)
         npad = -(-n // 128) * 128
         self.npad = npad
+        self.mixed = sel_dtype is not None and sel_dtype != sel.dtype
         tt = lambda b: _pad_lanes(
             b.transpose(1, 2, 0).reshape(v * v, n), npad)
         self.sel_t = _pad_lanes(
             sel.transpose(0, 2, 3, 1).reshape(k * v * v, n), npad)
+        if self.mixed:
+            self.sel_t = self.sel_t.astype(sel_dtype)
         self.dinv_t = tt(dinv)
-        self.diag_t = tt(diag)
+        self.diag_t = None if self.mixed else tt(diag)
         self.masks_t = _pad_lanes(
-            jnp.stack([m.astype(sel.dtype) for m in color_masks]), npad)
+            jnp.stack([m.astype(dinv.dtype) for m in color_masks]), npad)
         self.ncolor = len(color_masks)
 
     def _to_t(self, x):
@@ -165,6 +203,7 @@ class StencilSolveOps:
 
     def precond_matvec(self, r):
         """(z, A z) with z = symmetric multicolor SGS sweep of r."""
+        assert not self.mixed
         z_t, w_t = _sgs_matvec_call(
             self.sel_t, self.dinv_t, self.diag_t, self.masks_t,
             self._to_t(r), offsets=self.offsets, v=self.v,
@@ -172,13 +211,14 @@ class StencilSolveOps:
         return self._from_t(z_t), self._from_t(w_t)
 
     def precond(self, r):
-        z_t, _ = _sgs_matvec_call(
-            self.sel_t, self.dinv_t, self.diag_t, self.masks_t,
-            self._to_t(r), offsets=self.offsets, v=self.v,
-            ncolor=self.ncolor, interpret=_interpret())
+        z_t = _sgs_call(
+            self.sel_t, self.dinv_t, self.masks_t, self._to_t(r),
+            offsets=self.offsets, v=self.v, ncolor=self.ncolor,
+            interpret=_interpret())
         return self._from_t(z_t)
 
     def matvec(self, x):
+        assert not self.mixed
         y_t = _matvec_call(self.sel_t, self.diag_t, self._to_t(x),
                            offsets=self.offsets, v=self.v,
                            interpret=_interpret())

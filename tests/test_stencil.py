@@ -14,7 +14,7 @@ from su2_tpu.geometry import stencil as stn
 from su2_tpu.geometry.dual_grid import build_dual_grid
 from su2_tpu.geometry.mesh_data import mesh_arrays
 from su2_tpu.io.mesh import RawMesh
-from su2_tpu.linalg import blockcsr
+from su2_tpu.linalg import blockcsr, krylov
 
 
 def _quad_grid(ni, nj, perm=None):
@@ -225,3 +225,47 @@ def test_driver_renumbers_combustion_mesh(combustion_dir):
     grid = build_dual_grid(raw)
     offs = stn.edge_offsets(inv[np.asarray(grid.edges)])
     assert 0 < len(offs) <= stn.MAX_OFFSETS
+
+
+def test_stencil_bf16_precond_mode():
+    """bf16-sel preconditioner mode: one-launch SGS sweep from bf16 blocks
+    (quality-only), f32 matvec untouched.  The sweep must agree with the
+    XLA multicolor SGS evaluated on bf16-rounded off-diagonal blocks."""
+    from su2_tpu.pallas import stencil_solve as stks
+
+    mesh = _quad_grid(6, 7)
+    grid = build_dual_grid(mesh)
+    ma = mesh_arrays(grid)
+    assert ma.stencil_sel is not None
+
+    v = 3
+    rng = np.random.default_rng(11)
+    f32 = jnp.float32
+    jac = blockcsr.BlockJacobian(
+        diag=jnp.asarray(rng.normal(0, .2, (ma.npoint, v, v))
+                         + 3 * np.eye(v), f32),
+        off_ij=jnp.asarray(rng.normal(0, .2, (ma.nedge, v, v)), f32),
+        off_ji=jnp.asarray(rng.normal(0, .2, (ma.nedge, v, v)), f32))
+    r = jnp.asarray(rng.normal(0, 1, (ma.npoint, v)), f32)
+    colors = blockcsr.greedy_coloring(np.asarray(ma.node_nbrs))
+    masks = [jnp.asarray(colors == c) for c in range(colors.max() + 1)]
+    dinv = blockcsr.block_jacobi_factor(jac)
+    sel = blockcsr.gather_offdiag(ma, jac)
+
+    ops = stks.StencilSolveOps(ma, sel, dinv, jac.diag, masks,
+                               sel_dtype=jnp.bfloat16)
+    assert ops.mixed
+    z = ops.precond(r)
+
+    sel_rounded = sel.astype(jnp.bfloat16).astype(f32)
+    want = blockcsr.multicolor_sgs_apply(ma, jac, dinv, masks, r,
+                                         offdiag=sel_rounded)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+    # and it is a usable FGMRES preconditioner: the solve still hits the
+    # f32 linear tolerance with the full-precision matvec
+    mv = lambda x: blockcsr.matvec(ma, jac, x, sel)
+    x, rel, _ = krylov.fgmres(mv, ops.precond, r, max_iter=10, tol=1e-5)
+    resid = np.linalg.norm(np.asarray(mv(x) - r)) / np.linalg.norm(
+        np.asarray(r))
+    assert resid < 1e-4
