@@ -55,6 +55,35 @@ jax.tree_util.register_dataclass(
     FamilyJacobian, data_fields=["diag", "off_ij", "off_ji"], meta_fields=[])
 
 
+@dataclass(frozen=True)
+class StencilJacobianT:
+    """Block Jacobian with the off-diagonal blocks already in the
+    static-stencil LANE layout (pallas/stencil_solve order): sel_t row
+    k*v*v + a*v + b, lane p is entry (a, b) of the row-p/column-(p +
+    stencil_offsets[k]) block (zero where the edge is absent).  Produced by
+    the fused implicit edge kernel (pallas/edge_fused.py) — feeds the
+    stencil SGS/matvec kernels with NO relayout copies."""
+    diag: jax.Array     # (nP, v, v)
+    sel_t: jax.Array    # (K*v*v, nP)
+
+
+jax.tree_util.register_dataclass(
+    StencilJacobianT, data_fields=["diag", "sel_t"], meta_fields=[])
+
+
+def sel_t_to_family(mesh: MeshArrays, sel_t: jax.Array, v: int):
+    """(off_ij, off_ji) family-major (Kh*nP, v, v) blocks from the lane
+    layout (inverse of the fused kernel's by_off packing)."""
+    n = mesh.npoint
+    k = len(mesh.stencil_offsets)
+    sel = sel_t.reshape(k, v, v, n).transpose(0, 3, 1, 2)   # (K, nP, v, v)
+    pos = {o: i for i, o in enumerate(mesh.stencil_offsets)}
+    oij = jnp.concatenate([sel[pos[o]] for o in mesh.fam_offsets], axis=0)
+    oji = jnp.concatenate([jnp.roll(sel[pos[-o]], -o, axis=0)
+                           for o in mesh.fam_offsets], axis=0)
+    return oij, oji
+
+
 def family_sel(mesh: MeshArrays, jac: FamilyJacobian) -> jax.Array:
     """(K, nP, v, v) static-stencil sel from family-major blocks: offset
     +o_k rows read off_ij[k] in place; offset -o_k rows read off_ji[k]
@@ -260,6 +289,9 @@ def make_solver_ops(mesh: MeshArrays, jac: BlockJacobian,
     """
     if kind == "LINELET" and linelets is not None:
         from su2_tpu.linalg import linelet as ll
+        if isinstance(jac, StencilJacobianT):
+            oij, oji = sel_t_to_family(mesh, jac.sel_t, jac.diag.shape[-1])
+            jac = FamilyJacobian(diag=jac.diag, off_ij=oij, off_ji=oji)
         fam = isinstance(jac, FamilyJacobian)
         dinv = block_diag_inv(jac.diag)
         pc = ll.make_linelet_apply(mesh, linelets, jac.diag, jac.off_ij,
@@ -271,6 +303,9 @@ def make_solver_ops(mesh: MeshArrays, jac: BlockJacobian,
             sel = gather_offdiag(mesh, jac)
             mv = lambda x: matvec(mesh, jac, x, sel)
         return mv, pc, None
+    if isinstance(jac, StencilJacobianT):
+        return make_solver_ops_stencil_t(mesh, jac.diag, jac.sel_t,
+                                         kind, color_masks)
     if isinstance(jac, FamilyJacobian):
         return make_solver_ops_fam(mesh, jac.diag, family_sel(mesh, jac),
                                    kind, color_masks)
@@ -331,6 +366,60 @@ def make_solver_ops_fam(mesh: MeshArrays, diag: jax.Array, sel: jax.Array,
                                        sel_dtype=jnp.bfloat16)
             mv = lambda x: _bmv(diag, x) + _offdiag_apply(mesh, sel, x)
             return mv, ops.precond, None
+    mv = lambda x: _bmv(diag, x) + _offdiag_apply(mesh, sel, x)
+    if sgs:
+        z_jac = BlockJacobian(diag=diag, off_ij=diag, off_ji=diag)
+        pc = lambda r: multicolor_sgs_apply(mesh, z_jac, dinv, color_masks,
+                                            r, offdiag=sel)
+    else:
+        pc = lambda r: block_jacobi_apply(dinv, r)
+    return mv, pc, None
+
+
+def _offdiag_apply_t(mesh: MeshArrays, sel_t: jax.Array, x: jax.Array):
+    """Off-diagonal product from the LANE-layout blocks: y[p] += sum_k
+    B_k[p] x[p + o_k].  Wrapped rolls read garbage lanes that multiply the
+    zero padding blocks, so no masking is needed.  One elementwise pass per
+    offset with the node axis minor — full lane utilization (the node-major
+    (nP, v, v) form pads v to 128 lanes)."""
+    n, v = x.shape
+    xt = x.T                                                  # (v, nP)
+    out = None
+    for kk, o in enumerate(mesh.stencil_offsets):
+        xs = jnp.roll(xt, -o, axis=1)
+        blk = sel_t[kk * v * v:(kk + 1) * v * v]
+        y = jnp.concatenate(
+            [sum(blk[a * v + b] * xs[b] for b in range(v))[None]
+             for a in range(v)], axis=0)
+        out = y if out is None else out + y
+    return out.T
+
+
+def make_solver_ops_stencil_t(mesh: MeshArrays, diag: jax.Array,
+                              sel_t: jax.Array, kind: str = "JACOBI",
+                              color_masks=None):
+    """(matvec, precond, precond_matvec|None) from lane-layout off-diagonal
+    blocks (StencilJacobianT) — the fused implicit assembly's native form.
+    The stencil pallas kernels consume sel_t directly (zero relayout);
+    elsewhere it is converted back to the node-major stencil form once."""
+    dinv = block_diag_inv(diag)
+    v = diag.shape[-1]
+    n = mesh.npoint
+    k = len(mesh.stencil_offsets)
+    sgs = kind in ("LU_SGS", "ILU0", "LINELET") and color_masks is not None
+    if sgs:
+        from su2_tpu.pallas import stencil_solve as stks
+        if stks.supported(mesh, v, diag.dtype):
+            ops = stks.StencilSolveOps(mesh, sel_t, dinv, diag, color_masks,
+                                       sel_is_t=True)
+            return ops.matvec, ops.precond, ops.precond_matvec
+        if (diag.dtype == jnp.float32
+                and stks.supported(mesh, v, jnp.bfloat16)):
+            ops = stks.StencilSolveOps(mesh, sel_t, dinv, diag, color_masks,
+                                       sel_dtype=jnp.bfloat16, sel_is_t=True)
+            mv = lambda x: _bmv(diag, x) + _offdiag_apply_t(mesh, sel_t, x)
+            return mv, ops.precond, None
+    sel = sel_t.reshape(k, v, v, n).transpose(0, 3, 1, 2)
     mv = lambda x: _bmv(diag, x) + _offdiag_apply(mesh, sel, x)
     if sgs:
         z_jac = BlockJacobian(diag=diag, off_ij=diag, off_ji=diag)

@@ -1,4 +1,4 @@
-"""Feature-major (lanes-as-edges) viscous flux for the explicit path.
+"""Feature-major (lanes-as-edges) viscous flux (+ implicit Jacobians).
 
 Same math as ops/viscous.py::viscous_flux (CAvgGradReactive_Flow,
 reference: SU2_CFD/src/numerics_direct_reactive.cpp:1425-1684) with every
@@ -9,9 +9,12 @@ Stefan-Maxwell solve, SST closure — runs as one kernel with every
 intermediate in VMEM.  ops/viscous.py stays the XLA-path source of truth;
 tests pin the two to agreement.
 
-Only the residual (no Jacobians) is computed: this path serves the explicit
-flow update of the shipped PaSR combustor; the implicit path keeps the
-edge-major XLA chain.
+With s_i/s_j (dT/dU rows) the approximate viscous Jacobians
+(SetLaminarViscousProjJacs, :1200-1409 + SST_Reactive_JacobianClosure,
+:891-1097) are also returned, feature-major (nVar, nVar, E).  The dV/dU
+factor is applied analytically from its sparsity (identity + momentum
+rows + the dT/dU energy row) instead of materializing the matrix, so the
+block product is O(nVar^2) lane ops.
 
 Pallas kernels may not capture non-scalar constants, so the static species
 matrices arrive as a SpeciesConsts bundle of (tiny) array inputs; masks and
@@ -170,7 +173,8 @@ def viscous_flux_t(lay: Layout, sc: SpeciesConsts,
                    mu_i, mu_j, ka_i, ka_j,
                    mu_t_i, mu_t_j, tke_i, tke_j, gk_i, gk_j, sigma_k,
                    h_s, cp_s,
-                   prandtl_turb: float, lewis_turb: float):
+                   prandtl_turb: float, lewis_turb: float,
+                   s_i=None, s_j=None):
     """Projected viscous flux, corrected interior variant with SST closure.
 
     All arrays feature-major with trailing edge axis E:
@@ -179,9 +183,11 @@ def viscous_flux_t(lay: Layout, sc: SpeciesConsts,
       normal: (d, E) area normal; evec: (d, E) = coord_j - coord_i;
       mu/ka/mu_t/tke: (E,); gk_*: (d, E) TKE gradients; sigma_k: (E,);
       h_s/cp_s: (S, E) species mass-specific enthalpy/cp at Tmean.
+      s_*: (nVar, E) dT/dU rows — when given the approximate viscous
+      Jacobians are also returned ((nVar, nVar, E) each).
 
     Returns flux (nVar, E) with the reference's Proj_Flux_Tensor sign
-    (caller subtracts at node i, adds at j).
+    (caller subtracts at node i, adds at j) [, jac_i, jac_j].
     """
     nd, ns = lay.ndim, lay.ns
     mm_col = sc.mm_col
@@ -286,6 +292,206 @@ def viscous_flux_t(lay: Layout, sc: SpeciesConsts,
     # assemble rows in the U layout [rho, rho u.., rho E, rho_s..] by
     # concatenation (.at[].set on integer rows lowers to scatter, which has
     # no Mosaic lowering)
-    return jnp.concatenate([
+    flux = jnp.concatenate([
         (-_rowsum(jd))[None], mom, (e_tau + e_cond + e_heat)[None],
         -jd + cmt[None] * gy_n], axis=0)
+    if s_i is None:
+        return flux
+
+    # ------------------------------------------------ approximate Jacobians
+    area = jnp.sqrt(jnp.sum(normal * normal, axis=0))
+    area_s = jnp.maximum(area, 1e-300 if v_i.dtype == jnp.float64 else 1e-30)
+    unit = normal / area_s
+    dist = jnp.sqrt(dist2)
+    grad_xs_n_unit = grad_xs_norm / area_s[None]
+    # per-side mean effective diffusion (reference :556-575) from the
+    # separable Fuller form: ds = f_side*(1-xs) / sum_{k!=s} den[s,k]*xs_k
+    eye_s = _eye(ns, v_i.dtype)
+    dmask = sc.sm_den * (1.0 - eye_s)
+
+    def eff_ds(xs_side, f_side):
+        q = sum(dmask[:, k][:, None] * xs_side[k][None] for k in range(ns))
+        ds_side = f_side[None] * (1.0 - xs_side) / jnp.where(q == 0.0, 1.0, q)
+        return jnp.where((q == 0.0) | ~jnp.isfinite(ds_side), 0.0, ds_side)
+
+    ds = 0.5 * (eff_ds(xs_i, f_of(v_i)) + eff_ds(xs_j, f_of(v_j)))
+
+    jac_i, jac_j = _viscous_jacobians_t(
+        lay, sc, v_i, v_j, vmean, mu, ktr, ds, xs, xs_i, xs_j,
+        grad_xs_n_unit, jd, dist, area, unit, s_i, s_j, flux,
+        mu_t, gy, cmt, ysc, h_s, cp_s, prandtl_turb, lewis_turb)
+    return flux, jac_i, jac_j
+
+
+def _viscous_jacobians_t(lay, sc, v_i, v_j, vmean, mu, ktr, ds, xs,
+                         xs_i, xs_j, grad_xs_norm, jd, dist, area, unit,
+                         s_i, s_j, flux, mu_t, gy, cmt, ys, h_s, cp_s,
+                         prandtl_turb, lewis_turb):
+    """Feature-major dF/dV . dV/dU (SetLaminarViscousProjJacs, reference
+    numerics_direct_reactive.cpp:1200-1409 + SST_Reactive_JacobianClosure
+    :891-1097) — same math as ops/viscous._viscous_jacobians with the
+    (nVar, nVar) block held as a dict of (E,) lane rows and the sparse
+    dV/dU applied analytically."""
+    nd, ns, nvar = lay.ndim, lay.ns, lay.nvar
+    if nd != 2:
+        raise NotImplementedError("3D viscous Jacobians: edge-major path")
+    mm_col = sc.mm_col
+
+    def _rowsum(x):
+        return sum(x[k] for k in range(x.shape[0]))
+
+    tot_mass = _rowsum(mm_col * xs)
+    tot_mass_i = _rowsum(mm_col * xs_i)
+    tot_mass_j = _rowsum(mm_col * xs_j)
+    sigma_i = _rowsum(xs_i)
+    sigma_j = _rowsum(xs_j)
+    rho = vmean[lay.PRHO]
+    rho_i = v_i[lay.PRHO]
+    rho_j = v_j[lay.PRHO]
+
+    # ---- dJ/dr species blocks (reference :1260-1293), list-of-rows form --
+    mds = mm_col * ds                                        # (S, E)
+
+    def djdr(xs_side, tot_side, sigma_side, rho_side, sgn):
+        c = rho / (tot_mass * dist * sigma_side * rho_side)
+        t12 = -mds * xs_side * c[None] \
+            + ys * (_rowsum(mds * xs_side) * c)[None]        # (S, E) row s
+        ck = rho * tot_side * sigma_side / (dist * tot_mass * rho_side)
+        t3_col = ds * ck[None]                               # (S, E) col k
+        extra = (0.5 * rho / (tot_mass * rho_side)) \
+            * _rowsum(mds * grad_xs_norm)
+        rows = []
+        for s_ in range(ns):
+            row = [sgn * (t12[s_] + ys[s_] * t3_col[k]) for k in range(ns)]
+            row[s_] = row[s_] + sgn * (-ds[s_] * ck) + extra
+            rows.append(row)
+        return rows                                          # [s][k] (E,)
+
+    djdr_j = djdr(xs_j, tot_mass_j, sigma_j, rho_j, 1.0)
+    djdr_i = djdr(xs_i, tot_mass_i, sigma_i, rho_i, -1.0)
+
+    # ---- dF/dV as sparse dicts of (E,) lanes ------------------------------
+    theta = sum(unit[d] * unit[d] for d in range(nd))        # == 1
+    thetad = [theta + unit[d] * unit[d] / 3.0 for d in range(nd)]
+    etaz = unit[0] * unit[1] / 3.0
+    pix = vmean[lay.VX] * thetad[0] + vmean[lay.VX + 1] * etaz
+    piy = vmean[lay.VX] * etaz + vmean[lay.VX + 1] * thetad[1]
+    coef = mu / dist * area
+
+    def emp():
+        return [[None] * nvar for _ in range(nvar)]
+
+    def dadd(m, a, b, val):
+        m[a][b] = val if m[a][b] is None else m[a][b] + val
+
+    dfdv_j = emp()
+    dadd(dfdv_j, lay.RHOVX, lay.RHOVX, coef * thetad[0])
+    dadd(dfdv_j, lay.RHOVX, lay.RHOVX + 1, coef * etaz)
+    dadd(dfdv_j, lay.RHOVX + 1, lay.RHOVX, coef * etaz)
+    dadd(dfdv_j, lay.RHOVX + 1, lay.RHOVX + 1, coef * thetad[1])
+    dadd(dfdv_j, lay.RHOE, lay.RHOVX, coef * pix)
+    dadd(dfdv_j, lay.RHOE, lay.RHOVX + 1, coef * piy)
+    dadd(dfdv_j, lay.RHOE, lay.RHOE, ktr * theta / dist * area)
+    dfdv_i = emp()
+    for a in range(nvar):
+        for b in range(nvar):
+            if dfdv_j[a][b] is not None:
+                dfdv_i[a][b] = -dfdv_j[a][b]
+
+    # shared Cp-weighted Jd term on the energy diagonal
+    jd_cp = -0.5 * _rowsum(jd * cp_s)
+    dadd(dfdv_i, lay.RHOE, lay.RHOE, jd_cp)
+    dadd(dfdv_j, lay.RHOE, lay.RHOE, jd_cp)
+
+    # species / density / energy rows from dJ/dr (col 0 zero in the ref)
+    for side, dj in ((dfdv_j, djdr_j), (dfdv_i, djdr_i)):
+        for k in range(ns):
+            col_rho = None
+            col_e = None
+            for s_ in range(ns):
+                val = -dj[s_][k] * area
+                side[lay.RHOS + s_][lay.RHOS + k] = val
+                col_rho = val if col_rho is None else col_rho + val
+                he = val * h_s[s_]
+                col_e = he if col_e is None else col_e + he
+            dadd(side, lay.RHO, lay.RHOS + k, col_rho)
+            dadd(side, lay.RHOE, lay.RHOS + k, col_e)
+
+    # ---- SST closure Jacobian (2D path, :911-983) -------------------------
+    coef_t = mu_t / dist * area
+    add = emp()
+    dadd(add, lay.RHOVX, lay.RHOVX, coef_t * thetad[0])
+    dadd(add, lay.RHOVX, lay.RHOVX + 1, coef_t * etaz)
+    dadd(add, lay.RHOVX + 1, lay.RHOVX, coef_t * etaz)
+    dadd(add, lay.RHOVX + 1, lay.RHOVX + 1, coef_t * thetad[1])
+    dadd(add, lay.RHOE, lay.RHOVX, coef_t * pix)
+    dadd(add, lay.RHOE, lay.RHOVX + 1, coef_t * piy)
+    cpy = _rowsum(cp_s * ys)
+    dadd(add, lay.RHOE, lay.RHOE,
+         mu_t / prandtl_turb * cpy * theta / dist * area)
+    ce = cmt / dist * area * theta
+    for k in range(ns):
+        ek_j = ce * h_s[k] * ys[k] / rho_j
+        ek_i = ce * h_s[k] * ys[k] / rho_i
+        # dfdv_j += add (with the rho_j energy/species entry);
+        # dfdv_i -= sub (same block, rho_i entry)
+        dadd(dfdv_j, lay.RHOE, lay.RHOS + k, ek_j)
+        dadd(dfdv_i, lay.RHOE, lay.RHOS + k, -ek_i)
+    for a in range(nvar):
+        for b in range(nvar):
+            if add[a][b] is not None:
+                dadd(dfdv_j, a, b, add[a][b])
+                dadd(dfdv_i, a, b, -add[a][b])
+    # common energy-diagonal term with mass gradients
+    aux = [sum(gy[s_, d] * unit[d] for d in range(nd)) for s_ in range(ns)]
+    com = cmt * sum(cp_s[s_] * ys[s_] * aux[s_] for s_ in range(ns)) * area
+    dadd(dfdv_i, lay.RHOE, lay.RHOE, com)
+    dadd(dfdv_j, lay.RHOE, lay.RHOE, com)
+
+    # common flux-dependent term on the energy/velocity entries
+    for d in range(nd):
+        hm = 0.5 * flux[lay.RHOVX + d]
+        dadd(dfdv_i, lay.RHOE, lay.RHOVX + d, hm)
+        dadd(dfdv_j, lay.RHOE, lay.RHOVX + d, hm)
+
+    # ---- apply the sparse dV/dU analytically ------------------------------
+    #   dV/dU rows: RHO -> e_RHO; RHOVX+d -> (-u_d/rho) e_RHO + (1/rho) e_d;
+    #   RHOE -> s (dT/dU row); RHOS+s -> e_s.
+    def apply_dvdu(dfdv, vrow, srow):
+        rho_l = vrow[lay.PRHO]
+        zero = jnp.zeros_like(rho_l)
+        rows = []
+        for a in range(nvar):
+            g = dfdv[a]
+            ge = g[lay.RHOE]
+            col_rho = g[lay.RHO] if g[lay.RHO] is not None else None
+            for d in range(nd):
+                gv = g[lay.RHOVX + d]
+                if gv is not None:
+                    term = -gv * vrow[lay.VX + d] / rho_l
+                    col_rho = term if col_rho is None else col_rho + term
+            if ge is not None:
+                term = ge * srow[lay.RHO]
+                col_rho = term if col_rho is None else col_rho + term
+            cols = [col_rho if col_rho is not None else zero]
+            for d in range(nd):
+                gv = g[lay.RHOVX + d]
+                cv = gv / rho_l if gv is not None else None
+                if ge is not None:
+                    term = ge * srow[lay.RHOVX + d]
+                    cv = term if cv is None else cv + term
+                cols.append(cv if cv is not None else zero)
+            cols.append(ge * srow[lay.RHOE] if ge is not None else zero)
+            for s_ in range(ns):
+                gs = g[lay.RHOS + s_]
+                cs = gs if gs is not None else None
+                if ge is not None:
+                    term = ge * srow[lay.RHOS + s_]
+                    cs = term if cs is None else cs + term
+                cols.append(cs if cs is not None else zero)
+            rows.append(jnp.stack(cols, axis=0))
+        return jnp.stack(rows, axis=0)                       # (nvar, nvar, E)
+
+    jac_i = apply_dvdu(dfdv_i, v_i, s_i)
+    jac_j = apply_dvdu(dfdv_j, v_j, s_j)
+    return jac_i, jac_j

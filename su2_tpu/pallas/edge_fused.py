@@ -245,3 +245,231 @@ def fused_interior_terms(lib, lay, mesh, prm, v, grad, trans, turb,
     res, lams = mesh.scatter_edges_mixed(
         flux.T, jnp.stack([lc, lv], axis=1))
     return res, lams[:, 0], lams[:, 1]
+
+
+# ---------------------------------------------------------------------------
+# Implicit variant: AUSM + viscous + BOTH approximate Jacobian pairs in one
+# pass, feature-major end-to-end.  MUSCL reconstruction (with thermodynamic
+# re-consistency from the VMEM spline tables) and the ghost dP/dU run inside
+# the kernel, so the implicit flow assembly reads the node matrix once and
+# writes the off-diagonal blocks directly in the static-stencil lane layout
+# (no edge-major (nE, v, v) intermediates — those 128-lane-pad to 18x their
+# size and dominated the implicit step).
+# Reference semantics: Upwind_Residual (solver_direct_reactive.cpp:2535),
+# Viscous_Residual (:5305), SetLaminarViscousProjJacs + SST closures.
+# ---------------------------------------------------------------------------
+
+def _implicit_rows(lay):
+    """Static row offsets of the stacked per-side input matrix."""
+    nd, ns, nvar, nprim = lay.ndim, lay.ns, lay.nvar, lay.nprim
+    ng = 2 + nd + ns
+    r = {}
+    r["g"] = nprim
+    r["lim"] = r["g"] + ng * nd
+    r["mu"] = r["lim"] + (2 + nd)
+    r["ka"] = r["mu"] + 1
+    r["mut"] = r["ka"] + 1
+    r["tke"] = r["mut"] + 1
+    r["gk"] = r["tke"] + 1
+    r["sk"] = r["gk"] + nd
+    r["dtdu"] = r["sk"] + 1
+    r["dpdu"] = r["dtdu"] + nvar
+    r["total"] = r["dpdu"] + nvar
+    return r
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6))
+def fused_edge_implicit_pallas(lay, m_infty, prandtl_turb, lewis_turb,
+                               muscl, use_limiter, nt_meta, sc,
+                               f_i, f_j, normal, evec, b_hcp, mm, ri):
+    """One fused pass over an edge family: MUSCL face states + AUSM flux and
+    Jacobians + viscous flux and Jacobians (all feature-major).
+
+    f_*: (R, E) stacked node rows (see _implicit_rows); normal/evec: (d, E);
+    b_hcp: stacked h/cp spline tables; mm/ri: (S, 1).
+
+    Returns flux_tot = conv - visc (nVar, E) and the combined edge Jacobian
+    blocks j_i = conv_jac_i - visc_jac_i, j_j likewise ((nVar^2, E), row-
+    major (a*nvar+b) block flattening).
+    """
+    t0, dtg, nt = nt_meta
+    nd, ns, nvar, nprim = lay.ndim, lay.ns, lay.nvar, lay.nprim
+    ng = 2 + nd + ns
+    r = _implicit_rows(lay)
+    ne = f_i.shape[-1]
+    tile = 512 if ne >= 512 else max(128, ne)
+    npad = -(-ne // tile) * tile
+    mm_sum = sc.mm_sum
+    eps = 1e-16
+
+    ins = [_pad_cols(x, npad) for x in (f_i, f_j, normal, evec)] \
+        + [b_hcp, sc.mm_col, sc.sm_den, ri]
+
+    def kernel(fi_ref, fj_ref, nm_ref, ev_ref, tab_ref, mm_ref, den_ref,
+               ri_ref, flux_ref, ji_ref, jj_ref):
+        fi = fi_ref[...]
+        fj = fj_ref[...]
+        nm = nm_ref[...]
+        ev = ev_ref[...]
+        mmc = mm_ref[...]
+        ric = ri_ref[...]
+        scs = SpeciesConsts(mm_col=mmc, sm_den=den_ref[...], mm_sum=mm_sum)
+        dtype = fi.dtype
+        tmax_tab = t0 + (nt - 1) * dtg
+
+        from su2_tpu.pallas.node_state import spline_gather
+
+        def lookup_hcp(t):
+            """species h, cp [mass-specific] at temperatures t (tile,)."""
+            tc = jnp.clip(t, t0, tmax_tab)
+            klo = jnp.clip(((tc - t0) / dtg).astype(jnp.int32) + 1, 1, nt - 1)
+            g = spline_gather(tab_ref, 8 * ns, klo, ntp=tab_ref.shape[1],
+                              split=tab_ref.dtype == jnp.bfloat16,
+                              dtype=dtype)
+            xk = t0 + klo.astype(dtype) * dtg
+            a = ((xk - tc) / dtg)[None, :]
+            b = ((tc - (xk - dtg)) / dtg)[None, :]
+            s2 = 2 * ns
+            yl, yc = g[:s2], g[s2:2 * s2]
+            y2l, y2c = g[2 * s2:3 * s2], g[3 * s2:]
+            q = a * yl + b * yc + ((a ** 3 - a) * y2l
+                                   + (b ** 3 - b) * y2c) * (dtg * dtg) / 6.0
+            return q[:ns] / mmc, q[ns:] / mmc
+
+        def face_state(f, dxsign):
+            """(v_face (nPrim, tile), dP/dU rows (nVar, tile))."""
+            v = f[:nprim]
+            if not muscl:
+                return v, f[r["dpdu"]:r["dpdu"] + nvar]
+            grads = f[r["g"]:r["g"] + ng * nd].reshape(ng, nd, tile)
+            dx = dxsign * 0.5 * ev
+            q = jnp.concatenate([v[lay.T][None], v[lay.VX:lay.VX + nd],
+                                 v[lay.P][None]], axis=0)
+            proj = sum(grads[:2 + nd, d] * dx[d][None] for d in range(nd))
+            if use_limiter:
+                proj = proj * f[r["lim"]:r["lim"] + 2 + nd]
+            qr = q + proj
+            t_r = qr[0]
+            vel_r = qr[1:1 + nd]
+            p_r = qr[1 + nd]
+            bad = (t_r <= eps) | (p_r <= eps)
+            t_face = jnp.where(bad, v[lay.T], t_r)
+            ys = v[lay.YS:lay.YS + ns]
+            ysc = viscous_t._clip_ys_t(ys)
+            rgas = sum(ysc[k] * ric[k, 0] for k in range(ns))
+            h_s_f, cp_s_f = lookup_hcp(t_face)
+            hmix = sum(ysc[k] * h_s_f[k] for k in range(ns)) \
+                + 0.5 * sum(vel_r[d] * vel_r[d] for d in range(nd))
+            cpmix = sum(ysc[k] * cp_s_f[k] for k in range(ns))
+            gamma_r = cpmix / (cpmix - rgas)
+            rho_r = p_r / (rgas * t_r)
+            a_r = jnp.sqrt(jnp.abs(gamma_r * p_r / rho_r))
+            vface = jnp.concatenate([
+                t_r[None], vel_r, p_r[None], rho_r[None], hmix[None],
+                a_r[None], ys], axis=0)
+            vface = jnp.where(bad[None, :], v, vface)
+            # ghost dP/dU of the selected face rows (euler.ghost_dpdu)
+            gam = vface[lay.A] ** 2 * vface[lay.PRHO] / vface[lay.P]
+            vel2 = sum(vface[lay.VX + d] ** 2 for d in range(nd))
+            e_s = h_s_f - ric * t_face[None]
+            s_rows = jnp.concatenate([
+                ((gam - 1.0) * 0.5 * vel2)[None],
+                (1.0 - gam)[None] * vface[lay.VX:lay.VX + nd],
+                (gam - 1.0)[None],
+                ric * t_face[None] - (gam - 1.0)[None] * e_s], axis=0)
+            return vface, s_rows
+
+        vf_i, sc_i = face_state(fi, 1.0)
+        vf_j, sc_j = face_state(fj, -1.0)
+        conv, cjac_i, cjac_j = ausm_t.ausm_flux_t(
+            lay, vf_i, vf_j, nm, m_infty, sc_i, sc_j)
+
+        # viscous terms use the NODE states/gradients (Viscous_Residual)
+        vi = fi[:nprim]
+        vj = fj[:nprim]
+        tmean = 0.5 * (vi[lay.T] + vj[lay.T])
+        h_s, cp_s = lookup_hcp(tmean)
+        grads_i = fi[r["g"]:r["g"] + ng * nd].reshape(ng, nd, tile)
+        grads_j = fj[r["g"]:r["g"] + ng * nd].reshape(ng, nd, tile)
+        gsel = lambda g: jnp.concatenate([g[:1 + nd], g[2 + nd:]], axis=0)
+        visc, vjac_i, vjac_j = viscous_t.viscous_flux_t(
+            lay, scs, vi, vj, gsel(grads_i), gsel(grads_j), nm, ev,
+            fi[r["mu"]], fj[r["mu"]], fi[r["ka"]], fj[r["ka"]],
+            fi[r["mut"]], fj[r["mut"]], fi[r["tke"]], fj[r["tke"]],
+            fi[r["gk"]:r["gk"] + nd], fj[r["gk"]:r["gk"] + nd], fi[r["sk"]],
+            h_s, cp_s, prandtl_turb, lewis_turb,
+            s_i=fi[r["dtdu"]:r["dtdu"] + nvar],
+            s_j=fj[r["dtdu"]:r["dtdu"] + nvar])
+
+        flux_ref[...] = conv - visc
+        ji_ref[...] = (cjac_i - vjac_i).reshape(nvar * nvar, tile)
+        jj_ref[...] = (cjac_j - vjac_j).reshape(nvar * nvar, tile)
+
+    grid = (npad // tile,)
+    interpret = jax.devices()[0].platform != "tpu"
+    nrow = r["total"]
+    bs = lambda w: pl.BlockSpec((w, tile), lambda i: (0, i))
+    fb = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0))
+    flux, ji, jj = pl.pallas_call(
+        kernel,
+        grid=grid,
+        interpret=interpret,
+        in_specs=[bs(nrow), bs(nrow), bs(nd), bs(nd),
+                  fb(b_hcp), fb(sc.mm_col), fb(sc.sm_den), fb(ri)],
+        out_specs=[bs(nvar), bs(nvar * nvar), bs(nvar * nvar)],
+        out_shape=[
+            jax.ShapeDtypeStruct((nvar, npad), f_i.dtype),
+            jax.ShapeDtypeStruct((nvar * nvar, npad), f_i.dtype),
+            jax.ShapeDtypeStruct((nvar * nvar, npad), f_i.dtype),
+        ],
+    )(*ins)
+    return flux[:, :ne], ji[:, :ne], jj[:, :ne]
+
+
+def fused_implicit_family_terms(lib, lay, mesh, prm, v, grad, lim,
+                                dpdu_full, dtdu_full, trans, turb, sigma_k):
+    """Family-major fused implicit assembly on a static-stencil mesh.
+
+    Returns (res (nP, nVar), diag (nP, nVar, nVar), sel_t (K*nVar^2, nP))
+    where sel_t holds the off-diagonal blocks in the static-stencil lane
+    layout expected by pallas/stencil_solve.StencilSolveOps (block k of
+    offset stencil_offsets[k], rows a*nvar+b, lanes = node index).
+    """
+    nd, ns, nvar = lay.ndim, lay.ns, lay.nvar
+    npoints = v.shape[0]
+    ng = 2 + nd + ns
+
+    gflat = grad.reshape(npoints, ng * nd)
+    if lim is None:
+        lim = jnp.ones((npoints, 2 + nd), dtype=v.dtype)
+    f_all = jnp.concatenate([
+        v, gflat, lim, trans.mu[:, None], trans.kappa[:, None],
+        turb.mu_t[:, None], turb.tke[:, None], turb.grad_tke,
+        sigma_k[:, None], dtdu_full,
+        dpdu_full], axis=1).T
+
+    sc = viscous_t.species_consts(np.asarray(lib.mm),
+                                  np.asarray(lib.diff_vol), v.dtype)
+    kernel_args = (lay, prm.m_infty, prm.prandtl_turb, prm.lewis_turb,
+                   bool(prm.muscl), bool(prm.use_limiter),
+                   (float(lib.t0), float(lib.dt), int(lib.nt)), sc)
+    tabs = (_hcp_tables(lib, v.dtype), jnp.asarray(lib.mm, v.dtype)[:, None],
+            jnp.asarray(lib.ri, v.dtype)[:, None])
+
+    res_t = None
+    diag_t = None
+    by_off = {}
+    for k, o in enumerate(mesh.fam_offsets):
+        f_j = jnp.roll(f_all, -o, axis=1)
+        flux, j_i, j_j = fused_edge_implicit_pallas(
+            *kernel_args, f_all, f_j, mesh.fam_normal[k].T,
+            mesh.fam_evec[k].T, *tabs)
+        rt = flux - jnp.roll(flux, o, axis=1)
+        dt_k = j_i - jnp.roll(j_j, o, axis=1)
+        res_t = rt if res_t is None else res_t + rt
+        diag_t = dt_k if diag_t is None else diag_t + dt_k
+        by_off[o] = j_j
+        by_off[-o] = -jnp.roll(j_i, o, axis=1)
+    sel_t = jnp.concatenate([by_off[o] for o in mesh.stencil_offsets], axis=0)
+    diag = diag_t.reshape(nvar, nvar, npoints).transpose(2, 0, 1)
+    return res_t.T, diag, sel_t

@@ -175,8 +175,14 @@ class StencilSolveOps:
     run the Krylov matvec at full precision.
     """
 
-    def __init__(self, mesh, sel, dinv, diag, color_masks, sel_dtype=None):
-        k, n, v, _ = sel.shape
+    def __init__(self, mesh, sel, dinv, diag, color_masks, sel_dtype=None,
+                 sel_is_t=False):
+        if sel_is_t:
+            # sel already in the lane layout (K*v*v, n) — e.g. straight from
+            # the fused implicit edge kernel (StencilJacobianT): no relayout
+            n, v = dinv.shape[0], dinv.shape[-1]
+        else:
+            k, n, v, _ = sel.shape
         self.v = v
         self.n = n
         self.offsets = tuple(mesh.stencil_offsets)
@@ -186,7 +192,9 @@ class StencilSolveOps:
         tt = lambda b: _pad_lanes(
             b.transpose(1, 2, 0).reshape(v * v, n), npad)
         self.sel_t = _pad_lanes(
-            sel.transpose(0, 2, 3, 1).reshape(k * v * v, n), npad)
+            sel if sel_is_t
+            else sel.transpose(0, 2, 3, 1).reshape(
+                len(self.offsets) * v * v, n), npad)
         if self.mixed:
             self.sel_t = self.sel_t.astype(sel_dtype)
         self.dinv_t = tt(dinv)

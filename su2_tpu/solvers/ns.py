@@ -219,6 +219,7 @@ def ns_assemble(lib: ChemLib, lay: Layout, mesh: MeshArrays, prm: NSParams,
 
     # --- interior edges: convective + viscous (+ Jacobians if implicit) ---
     i, j = mesh.edges[:, 0], mesh.edges[:, 1]
+    sel_t = None
     if fused:
         # one pallas pass over the edge list (AUSM + viscous + SST closure
         # + spectral radii) — see pallas/edge_fused.py
@@ -238,7 +239,20 @@ def ns_assemble(lib: ChemLib, lay: Layout, mesh: MeshArrays, prm: NSParams,
         fam_imp = (implicit and mesh.fam_offsets is not None
                    and mesh.stencil_sel is not None
                    and prm.conv_method == "AUSM")
-        if fam_imp:
+        # fused feature-major variant (pallas/edge_fused.py): MUSCL + AUSM
+        # + viscous + both Jacobian pairs in one kernel per family, off
+        # blocks emitted straight in the stencil lane layout
+        fam_imp_fused = (fam_imp and ek.use_pallas() and turb is not None
+                         and nd == 2)
+        sel_t = None
+        if fam_imp_fused:
+            from su2_tpu.pallas import edge_fused
+            res, diag, sel_t = edge_fused.fused_implicit_family_terms(
+                lib, lay, mesh, prm, v, grad,
+                lim if prm.use_limiter else None,
+                dpdu_full, dtdu_full, trans, turb, turb.sigma_k)
+            off_ij = off_ji = None
+        elif fam_imp:
             gi, gj = mesh.fam_gather_i, mesh.fam_gather_j
             cres, diag, off_ij, off_ji = es.convective_system_fam(
                 lib, lay, mesh, prm, v, grad_euler, lim, dpdu_full)
@@ -438,16 +452,23 @@ def ns_assemble(lib: ChemLib, lay: Layout, mesh: MeshArrays, prm: NSParams,
     eye = jnp.eye(lay.nvar, dtype=v.dtype)
     diag = jnp.where(row_is_wall_mom[:, :, None], eye[None], diag)
     # off-diagonal blocks: zero wall momentum rows
-    if fam_imp:
-        iw = mesh.fam_gather_i(wall_mask)
-        jw = mesh.fam_gather_j(wall_mask)
+    if sel_t is not None:
+        # lane layout: block row index k*nvar^2 + a*nvar + b; every block in
+        # matrix-row p gets its momentum rows zeroed when p is a wall node
+        k_off = len(mesh.stencil_offsets)
+        row_mom = jnp.tile(jnp.repeat(mom_rows, lay.nvar), k_off)
+        sel_t = jnp.where(row_mom[:, None] & wall_mask[None, :], 0.0, sel_t)
     else:
-        iw = wall_mask[mesh.edges[:, 0]]
-        jw = wall_mask[mesh.edges[:, 1]]
-    off_ij = jnp.where((iw[:, None] & mom_rows[None, :])[:, :, None],
-                       0.0, off_ij)
-    off_ji = jnp.where((jw[:, None] & mom_rows[None, :])[:, :, None],
-                       0.0, off_ji)
+        if fam_imp:
+            iw = mesh.fam_gather_i(wall_mask)
+            jw = mesh.fam_gather_j(wall_mask)
+        else:
+            iw = wall_mask[mesh.edges[:, 0]]
+            jw = wall_mask[mesh.edges[:, 1]]
+        off_ij = jnp.where((iw[:, None] & mom_rows[None, :])[:, :, None],
+                           0.0, off_ij)
+        off_ji = jnp.where((jw[:, None] & mom_rows[None, :])[:, :, None],
+                           0.0, off_ji)
 
     # time diagonal
     ok = dt > EPS
@@ -455,8 +476,12 @@ def ns_assemble(lib: ChemLib, lay: Layout, mesh: MeshArrays, prm: NSParams,
     diag = diag + delta[:, None, None] * eye
     diag = jnp.where(ok[:, None, None], diag, eye[None])
     res = jnp.where(ok[:, None], res, 0.0)
-    cls = FamilyJacobian if fam_imp else BlockJacobian
-    jac = cls(diag=diag, off_ij=off_ij, off_ji=off_ji)
+    if sel_t is not None:
+        from su2_tpu.linalg.blockcsr import StencilJacobianT
+        jac = StencilJacobianT(diag=diag, sel_t=sel_t)
+    else:
+        cls = FamilyJacobian if fam_imp else BlockJacobian
+        jac = cls(diag=diag, off_ij=off_ij, off_ji=off_ji)
     return res, wall_mask, trans, grad, jac
 
 

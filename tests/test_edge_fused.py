@@ -84,3 +84,74 @@ def test_fused_residual_matches_xla(pasr_state):
                                   turb)
     np.testing.assert_allclose(np.asarray(lam_v), np.asarray(lam_v_ref),
                                rtol=1e-10)
+
+
+@pytest.fixture(scope="module")
+def flatplate_state(flatplate_dir):
+    cfg = Config(os.path.join(flatplate_dir,
+                              "my_turbulent_flatplate_air.cfg"))
+    sim = Simulation(cfg)
+    q0, mu_t0, grad_k0, sigma_k0 = sim.initial_turb_state()
+    # perturb the freestream so gradients/limiters/Jacobians are nontrivial
+    rng = np.random.default_rng(7)
+    u0 = np.asarray(sim.u0)
+    u0 = u0 * (1.0 + 0.02 * rng.standard_normal(u0.shape))
+    u, v, _ = st.cons2prim(sim.lib, sim.lay, jnp.asarray(u0), sim.t0,
+                           sim.tparams, turb_ke=q0[:, 0])
+    turb = vis.TurbFlowData(
+        tke=q0[:, 0], mu_t=mu_t0 * (1 + rng.uniform(0, 1, mu_t0.shape)),
+        grad_tke=jnp.asarray(rng.normal(0, 1e-3, grad_k0.shape)),
+        sigma_k=sigma_k0)
+    return sim, v, turb
+
+
+def test_fused_implicit_assembly_matches_xla(flatplate_state):
+    """The fused implicit edge kernel (MUSCL + AUSM + viscous + Jacobians,
+    pallas/edge_fused.fused_implicit_family_terms) pins to the XLA
+    family-major assembly on the flat-plate RANS case."""
+    from su2_tpu.linalg import blockcsr
+
+    sim, v, turb = flatplate_state
+    lib, lay, mesh, prm = sim.lib, sim.lay, sim.mesh, sim.params
+    n = v.shape[0]
+    dt = jnp.full((n,), 1e-7, dtype=v.dtype)
+
+    def assemble(fused):
+        ek.set_edge_kernel_mode(fused)
+        try:
+            return ns.ns_assemble(lib, lay, mesh, prm, sim.bcs, v, dt=dt,
+                                  implicit=True, turb=turb)
+        finally:
+            ek.set_edge_kernel_mode(False)
+
+    res0, wm0, _, _, jac0 = assemble(False)
+    res1, wm1, _, _, jac1 = assemble(True)
+    assert isinstance(jac0, blockcsr.FamilyJacobian)
+    assert isinstance(jac1, blockcsr.StencilJacobianT)
+
+    r0, r1 = np.asarray(res0), np.asarray(res1)
+    scale = np.abs(r0).max()
+    assert np.abs(r1 - r0).max() < 1e-9 * scale
+
+    d0, d1 = np.asarray(jac0.diag), np.asarray(jac1.diag)
+    dscale = np.abs(d0).max()
+    assert np.abs(d1 - d0).max() < 1e-9 * dscale
+
+    k = len(mesh.stencil_offsets)
+    nvar = lay.nvar
+    sel0 = np.asarray(blockcsr.family_sel(mesh, jac0))
+    sel1 = np.asarray(jac1.sel_t).reshape(k, nvar, nvar, n).transpose(
+        0, 3, 1, 2)
+    sscale = np.abs(sel0).max()
+    assert np.abs(sel1 - sel0).max() < 1e-9 * sscale
+
+    # and the lane-layout solver ops agree with the family ops
+    colors = sim.color_masks
+    mv0, pc0, _ = blockcsr.make_solver_ops(mesh, jac0, "LU_SGS", colors)
+    mv1, pc1, _ = blockcsr.make_solver_ops(mesh, jac1, "LU_SGS", colors)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(0, 1, (n, nvar)), v.dtype)
+    np.testing.assert_allclose(np.asarray(mv1(x)), np.asarray(mv0(x)),
+                               rtol=1e-8, atol=1e-8 * dscale)
+    np.testing.assert_allclose(np.asarray(pc1(x)), np.asarray(pc0(x)),
+                               rtol=1e-7, atol=1e-7)

@@ -105,3 +105,83 @@ def test_flatplate_implicit_steps(flatplate_dir):
     wall_nodes = np.asarray(sim.mesh.markers["wall"][0])
     mom = np.asarray(u)[wall_nodes][:, sim.lay.RHOVX:sim.lay.RHOVX + 2]
     assert np.abs(mom).max() == 0.0
+
+
+def _random_state(lib, lay, n, seed=3):
+    rng = np.random.default_rng(seed)
+    ys = jnp.asarray(rng.dirichlet(np.ones(lay.ns), n))
+    t = jnp.asarray(rng.uniform(280.0, 340.0, n))
+    p = jnp.asarray(rng.uniform(9e4, 1.1e5, n))
+    rgas = cl.mixture_rgas(lib, ys)
+    rho = p / (rgas * t)
+    vel = jnp.asarray(rng.normal(0.0, 25.0, (n, lay.ndim)))
+    h = cl.mixture_enthalpy(lib, t, ys) \
+        + 0.5 * jnp.sum(vel * vel, axis=1)
+    _, a = cl.frozen_gamma_sound(lib, t, ys)
+    return jnp.concatenate([t[:, None], vel, p[:, None], rho[:, None],
+                            h[:, None], a[:, None], ys], axis=1)
+
+
+def test_viscous_jacobians_t_match_edge_major(airlib):
+    """Feature-major viscous flux + Jacobians (ops/viscous_t.py, the fused
+    implicit edge kernel math) pin to the edge-major XLA source of truth on
+    random physical states with SST terms (corrected interior variant)."""
+    from su2_tpu import state as st
+    from su2_tpu.ops import viscous_t
+
+    lib = airlib
+    lay = Layout(2, 3)
+    n = 64
+    rng = np.random.default_rng(11)
+    v_i = _random_state(lib, lay, n, seed=4)
+    v_j = _random_state(lib, lay, n, seed=5)
+    ng = 2 + lay.ndim + lay.ns
+    g_i = jnp.asarray(rng.normal(0, 1.0, (n, ng, 2)))
+    g_j = jnp.asarray(rng.normal(0, 1.0, (n, ng, 2)))
+    normal = jnp.asarray(rng.normal(0, 1.0, (n, 2)))
+    ci = jnp.asarray(rng.normal(0, 1.0, (n, 2)))
+    cj = ci + jnp.asarray(rng.normal(0, 0.1, (n, 2)))
+    tr_i = viscous.node_transport(lib, lay, v_i)
+    tr_j = viscous.node_transport(lib, lay, v_j)
+    rows_i = {"mu": tr_i.mu, "kappa": tr_i.kappa, "dij": tr_i.dij}
+    rows_j = {"mu": tr_j.mu, "kappa": tr_j.kappa, "dij": tr_j.dij}
+    turb_i = {"tke": jnp.asarray(rng.uniform(0.1, 5.0, n)),
+              "mu_t": jnp.asarray(rng.uniform(1e-5, 1e-3, n)),
+              "grad_tke": jnp.asarray(rng.normal(0, 1.0, (n, 2)))}
+    turb_j = {"tke": jnp.asarray(rng.uniform(0.1, 5.0, n)),
+              "mu_t": jnp.asarray(rng.uniform(1e-5, 1e-3, n)),
+              "grad_tke": jnp.asarray(rng.normal(0, 1.0, (n, 2)))}
+    sk = jnp.asarray(rng.uniform(0.85, 1.0, n))
+    s_i = st.dtdu(lib, lay, v_i)
+    s_j = st.dtdu(lib, lay, v_j)
+
+    flux0, jac_i0, jac_j0 = viscous.viscous_flux(
+        lib, lay, v_i, v_j, g_i, g_j, normal, rows_i, rows_j,
+        coord_i=ci, coord_j=cj, corrected=True,
+        turb_i=turb_i, turb_j=turb_j, sigma_k=sk,
+        prandtl_turb=0.9, lewis_turb=1.2, s_i=s_i, s_j=s_j)
+
+    tmean = 0.5 * (v_i[:, lay.T] + v_j[:, lay.T])
+    h_s = cl.species_enthalpy(lib, tmean)
+    cp_s = cl.species_cp(lib, tmean)
+    sel = np.concatenate([np.arange(0, 1 + lay.ndim),
+                          np.arange(2 + lay.ndim, ng)])
+    sc = viscous_t.species_consts(np.asarray(lib.mm),
+                                  np.asarray(lib.diff_vol), v_i.dtype)
+    flux1, jac_i1, jac_j1 = viscous_t.viscous_flux_t(
+        lay, sc, v_i.T, v_j.T,
+        g_i[:, sel].transpose(1, 2, 0), g_j[:, sel].transpose(1, 2, 0),
+        normal.T, (cj - ci).T,
+        tr_i.mu, tr_j.mu, tr_i.kappa, tr_j.kappa,
+        turb_i["mu_t"], turb_j["mu_t"], turb_i["tke"], turb_j["tke"],
+        turb_i["grad_tke"].T, turb_j["grad_tke"].T, sk,
+        h_s.T, cp_s.T, 0.9, 1.2, s_i=s_i.T, s_j=s_j.T)
+
+    np.testing.assert_allclose(np.asarray(flux1.T), np.asarray(flux0),
+                               rtol=1e-9, atol=1e-12)
+    for got, want in ((jac_i1, jac_i0), (jac_j1, jac_j0)):
+        got = np.asarray(got).transpose(2, 0, 1)
+        want = np.asarray(want)
+        scale = np.abs(want).max()
+        np.testing.assert_allclose(got, want, rtol=1e-8,
+                                   atol=1e-10 * max(scale, 1.0))
