@@ -92,10 +92,35 @@ class Simulation:
         self.perm = None
         self.pghost = None
         if ndevices is not None and ndevices > 1:
-            # RCB reorder for contiguous per-device blocks + pad to multiples
             from su2_tpu.parallel import sharding as shd
-            raw, self.perm = shd.reorder_and_pad(raw, ndevices)
-            self.grid = shd.pad_grid(build_dual_grid(raw), ndevices)
+            from su2_tpu.geometry import stencil as stn
+            from su2_tpu.parallel.partition import permute_raw_mesh
+            # Prefer the static-stencil (row-major structured) ordering:
+            # contiguous index bands are spatially compact AND every
+            # neighbor access is a roll, which the GSPMD partitioner turns
+            # into neighbor collective-permutes of boundary slabs — the
+            # ppermute halo exchange of SURVEY §2.3 — instead of the
+            # all-gathers that dynamic index gathers force.  RCB is the
+            # fallback for genuinely unstructured meshes.
+            sgrid = None
+            if cfg.extra.get("STENCIL_ORDERING", "YES") != "NO":
+                grid0 = build_dual_grid(raw)
+                if 0 < len(stn.edge_offsets(grid0.edges)) <= stn.MAX_OFFSETS:
+                    sgrid, self.perm = grid0, np.arange(raw.npoint)
+                else:
+                    sperm = stn.structured_order(raw)
+                    if sperm is not None:
+                        raw2 = permute_raw_mesh(raw, sperm)
+                        grid2 = build_dual_grid(raw2)
+                        if 0 < len(stn.edge_offsets(grid2.edges)) \
+                                <= stn.MAX_OFFSETS:
+                            raw, sgrid, self.perm = raw2, grid2, sperm
+            if sgrid is not None:
+                self.grid = shd.pad_grid(sgrid, ndevices)
+            else:
+                # RCB reorder for contiguous per-device spatial blocks
+                raw, self.perm = shd.reorder_and_pad(raw, ndevices)
+                self.grid = shd.pad_grid(build_dual_grid(raw), ndevices)
             self.dmesh = shd.cells_mesh(devices, ndevices)
             self.mesh = shd.shard_mesh_arrays(
                 mesh_arrays(self.grid, dtype), self.dmesh)

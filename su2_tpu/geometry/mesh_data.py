@@ -81,6 +81,11 @@ class MeshArrays:
     pg_src: jax.Array = None            # (nG,) int32 donor node ids
     pg_rot: jax.Array = None            # (nG, d, d) vector rotation
     pg_start: int = None
+    # number of devices the node axis is sharded over (parallel/sharding.py).
+    # >1 keeps the roll/family XLA paths (GSPMD partitions rolls into
+    # neighbor collective-permutes — the halo exchange) but disables the
+    # single-chip pallas kernels, which cannot be GSPMD-partitioned.
+    n_shards: int = 1
 
     def _slot_slices(self, g):
         n = self.npoint
@@ -237,7 +242,7 @@ jax.tree_util.register_dataclass(
                  "wls_coeff", "gg_snormal", "stencil_pvec",
                  "fam_normal", "fam_evec", "pg_src", "pg_rot"],
     meta_fields=["ndim", "npoint", "nedge", "max_degree", "stencil_offsets",
-                 "fam_offsets", "pg_start"],
+                 "fam_offsets", "pg_start", "n_shards"],
 )
 
 

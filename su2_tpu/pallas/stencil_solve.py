@@ -39,7 +39,7 @@ def _pad_lanes(x, npad):
 
 
 def supported(mesh, v: int, dtype) -> bool:
-    if mesh.stencil_offsets is None:
+    if mesh.stencil_offsets is None or mesh.n_shards != 1:
         return False
     k = len(mesh.stencil_offsets)
     npad = -(-mesh.npoint // 128) * 128

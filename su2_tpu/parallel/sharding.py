@@ -79,31 +79,46 @@ def cells_mesh(devices=None, n: int | None = None) -> Mesh:
 
 
 def shard_mesh_arrays(mesh: MeshArrays, dmesh: Mesh) -> MeshArrays:
-    """Place node/edge-indexed arrays sharded over the cells axis; small
-    boundary data replicated."""
-    row = NamedSharding(dmesh, P("cells"))
-    rep = NamedSharding(dmesh, P())
+    """Place node/edge-indexed arrays sharded over the cells axis.
 
-    def put_row(x):
-        return jax.device_put(x, row)
+    Leading-axis (nP/nE, ...) arrays shard over the row axis; stencil/family
+    geometry shaped (K, nP, ...) shards over axis 1 (the roll-based gradient
+    /limiter/assembly paths then partition into neighbor collective-permute
+    halo exchanges); small boundary-marker data is replicated.  The
+    slot-major flattened index forms are dropped — their interleaved layout
+    is not expressible as a 1-D block sharding (the (nP, D) forms are)."""
+    import dataclasses
+
+    row = NamedSharding(dmesh, P("cells"))
+    mid = NamedSharding(dmesh, P(None, "cells"))
+    rep = NamedSharding(dmesh, P())
+    n, ne = mesh.npoint, mesh.nedge
 
     def put_rep(x):
         return jax.device_put(x, rep)
 
-    markers = {tag: (put_rep(n_), put_rep(nm))
-               for tag, (n_, nm) in mesh.markers.items()}
-    marker_nn = {tag: put_rep(x) for tag, x in mesh.marker_nn.items()}
-    return MeshArrays(
-        ndim=mesh.ndim, npoint=mesh.npoint, nedge=mesh.nedge,
-        max_degree=mesh.max_degree,
-        coords=put_row(mesh.coords), volume=put_row(mesh.volume),
-        edges=put_row(mesh.edges), edge_normal=put_row(mesh.edge_normal),
-        edge_area=put_row(mesh.edge_area),
-        node_edges=put_row(mesh.node_edges), node_sign=put_row(mesh.node_sign),
-        node_nbrs=put_row(mesh.node_nbrs), nbr_mask=put_row(mesh.nbr_mask),
-        n_neighbors=put_row(mesh.n_neighbors),
-        bnd_accum_normal=put_row(mesh.bnd_accum_normal),
-        markers=markers, marker_nn=marker_nn)
+    out = {}
+    for f in dataclasses.fields(MeshArrays):
+        v = getattr(mesh, f.name)
+        if f.name == "markers":
+            out[f.name] = {tag: (put_rep(a), put_rep(b))
+                           for tag, (a, b) in v.items()}
+        elif f.name == "marker_nn":
+            out[f.name] = {tag: put_rep(x) for tag, x in v.items()}
+        elif f.name in ("node_edges_t", "node_sign_t", "node_nbrs_t",
+                        "node_edges_sel_t"):
+            out[f.name] = None
+        elif isinstance(v, (jax.Array, np.ndarray)) and v.ndim >= 1:
+            if v.shape[0] in (n, ne):
+                out[f.name] = jax.device_put(v, row)
+            elif v.ndim >= 2 and v.shape[1] == n:
+                out[f.name] = jax.device_put(v, mid)
+            else:
+                out[f.name] = put_rep(v)
+        else:
+            out[f.name] = v
+    out["n_shards"] = int(dmesh.devices.size)
+    return MeshArrays(**out)
 
 
 def shard_state(dmesh: Mesh, *arrays):

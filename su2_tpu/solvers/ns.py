@@ -244,7 +244,13 @@ def ns_assemble(lib: ChemLib, lay: Layout, mesh: MeshArrays, prm: NSParams,
         # blocks emitted straight in the stencil lane layout
         fam_imp_fused = (fam_imp and ek.use_pallas() and turb is not None
                          and nd == 2)
-        sel_t = None
+        # sharded explicit assembly: per-family rolls instead of edge
+        # gathers, so GSPMD partitions every neighbor access into a
+        # collective-permute slab exchange (dynamic gathers would force
+        # full-field all-gathers on every device)
+        fam_exp = (not implicit and mesh.fam_offsets is not None
+                   and mesh.stencil_sel is not None and mesh.n_shards > 1
+                   and prm.conv_method == "AUSM")
         if fam_imp_fused:
             from su2_tpu.pallas import edge_fused
             res, diag, sel_t = edge_fused.fused_implicit_family_terms(
@@ -279,6 +285,41 @@ def ns_assemble(lib: ChemLib, lay: Layout, mesh: MeshArrays, prm: NSParams,
             off_ij = off_ij - vjac_j
             off_ji = off_ji + vjac_i
             res = res - mesh.fam_scatter(vflux)
+        elif fam_exp:
+            diag = off_ij = off_ji = None
+            res = jnp.zeros((n, lay.nvar), dtype=v.dtype)
+            q = es.gradient_vars(lay, v)
+            iden = lambda x: x
+            for fk, o in enumerate(mesh.fam_offsets):
+                rollj = lambda x, o=o: jnp.roll(x, -o, axis=0)
+                nm_k = mesh.fam_normal[fk]
+                ev_k = mesh.fam_evec[fk]
+                valid_k = jnp.any(nm_k != 0.0, axis=-1)
+                if prm.muscl:
+                    v_i = es._muscl_rows(
+                        lib, lay, prm, v, q, grad_euler,
+                        lim if prm.use_limiter else None, 0.5 * ev_k)
+                    v_j = es._muscl_rows(
+                        lib, lay, prm, rollj(v), rollj(q), rollj(grad_euler),
+                        rollj(lim) if prm.use_limiter else None, -0.5 * ev_k)
+                else:
+                    v_i, v_j = v, rollj(v)
+                cf = es.ausm.ausm_flux(lay, v_i, v_j, nm_k, prm.m_infty)
+                cf = jnp.where(valid_k[:, None], cf, 0.0)
+                vf = viscous.viscous_flux(
+                    lib, lay, v, rollj(v), grad, rollj(grad), nm_k,
+                    _trans_rows_g(trans, iden, lib, lay, v),
+                    _trans_rows_g(trans, rollj, lib, lay, v),
+                    coord_i=mesh.coords, coord_j=rollj(mesh.coords),
+                    corrected=True,
+                    turb_i=_turb_rows_g(turb, iden),
+                    turb_j=_turb_rows_g(turb, rollj),
+                    sigma_k=(turb.sigma_k if turb is not None else None),
+                    prandtl_turb=prm.prandtl_turb,
+                    lewis_turb=prm.lewis_turb)
+                vf = jnp.where(valid_k[:, None], vf, 0.0)
+                flux = cf - vf
+                res = res + flux - jnp.roll(flux, o, axis=0)
         else:
             if implicit:
                 cres, jac = es.convective_system(

@@ -63,3 +63,28 @@ def test_halo_ring_exchange():
         src = (s - 1) % d
         expect = src * n_local + 2
         assert halos[s, 0, 0] == expect, (s, halos[s])
+
+
+def test_sharded_step_uses_neighbor_collectives():
+    """Structured-band sharding: the coupled step's neighbor traffic rides
+    collective-permutes (roll slab exchanges — the ppermute halo of SURVEY
+    §2.3), not full-field all-gathers.  Only boundary-marker scatter-adds
+    may all-gather, and those are few."""
+    import re
+    import __graft_entry__ as g
+
+    sim8 = g._flagship_sim(jnp.float64, ndevices=8, tiny=True)
+    assert sim8.mesh.n_shards == 8
+    assert sim8.mesh.stencil_offsets is not None   # structured path engaged
+    q8 = sim8.initial_turb_state()
+    step = sim8._make_rans_step()
+    txt = jax.jit(step).lower(sim8.u0, sim8.t0, *q8,
+                              jnp.asarray(False)).compile().as_text()
+    n_cp = len(re.findall(r"\bcollective-permute\b", txt))
+    ags = re.findall(r"all-gather\(", txt)
+    # full-field all-gathers (leading dim == padded node count)
+    npad = sim8.mesh.npoint
+    full_ags = re.findall(rf"f\d+\[{npad},[^\]]*\]\{{[^}}]*\}} all-gather\(",
+                          txt)
+    assert n_cp > 0, "no collective-permutes: halo exchange path not engaged"
+    assert len(full_ags) <= 6, (len(full_ags), len(ags))
