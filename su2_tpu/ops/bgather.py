@@ -117,13 +117,17 @@ def add_rows(dest: jax.Array, idx, vals: jax.Array) -> jax.Array:
     n = dest.shape[0]
     ap = _arith_prog(sidx)
     if ap is not None and ap[1] == 1:
-        # contiguous run: one slice + add + update-slice.  Strided runs
+        # contiguous run: zero-pad to full length and add.  An elementwise
+        # pad+add (unlike `.at[a:b].add`, which lowers to scatter-add) is
+        # partitioned by GSPMD without all-gathering the sharded operand,
+        # and fuses with the consumer on a single device.  Strided runs
         # stay on the one-hot path: the reshaped-view update forces a
         # relayout copy of the whole array on TPU (feature-major layouts),
         # which is far worse than the contraction.
         nr = sidx.size
         vv = jnp.asarray(vals, dest.dtype).reshape((nr,) + dest.shape[1:])
-        return dest.at[ap[0]:ap[0] + nr].add(vv)
+        pad = [(ap[0], n - ap[0] - nr)] + [(0, 0)] * (dest.ndim - 1)
+        return dest + jnp.pad(vv, pad)
     if (sidx.size > MAX_ONEHOT
             or not jnp.issubdtype(dest.dtype, jnp.floating)):
         return dest.at[idx].add(vals)

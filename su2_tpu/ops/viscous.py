@@ -223,8 +223,11 @@ def viscous_flux(lib: ChemLib, lay: Layout, v_i, v_j, grad_i, grad_j,
         cp_s = cl.species_cp(lib, tmean)
         cmt = mu_t / (prandtl_turb * lewis_turb)
         # turbulent species transport
-        flux = flux.at[:, lay.RHOS:lay.RHOS + ns].add(
-            cmt[:, None] * jnp.einsum("fsd,fd->fs", gy, normal))
+        # pad+add instead of `.at[:, a:b].add` (scatter-add): elementwise,
+        # so GSPMD partitions it without all-gathering the sharded rows
+        spec_t = cmt[:, None] * jnp.einsum("fsd,fd->fs", gy, normal)
+        flux = flux + jnp.pad(
+            spec_t, ((0, 0), (lay.RHOS, flux.shape[1] - lay.RHOS - ns)))
         # Fick's-law enthalpy closure + sensible-enthalpy closure
         e_heat = e_heat + cmt * jnp.einsum(
             "fs,fs,fsd,fd->f", h_s, ysc, gy, normal)

@@ -68,8 +68,8 @@ def test_halo_ring_exchange():
 def test_sharded_step_uses_neighbor_collectives():
     """Structured-band sharding: the coupled step's neighbor traffic rides
     collective-permutes (roll slab exchanges — the ppermute halo of SURVEY
-    §2.3), not full-field all-gathers.  Only boundary-marker scatter-adds
-    may all-gather, and those are few."""
+    §2.3), not full-field all-gathers.  Boundary scatter-adds use pad+add
+    forms (ops/bgather.py) so none of them all-gather either."""
     import re
     import __graft_entry__ as g
 
@@ -87,4 +87,4 @@ def test_sharded_step_uses_neighbor_collectives():
     full_ags = re.findall(rf"f\d+\[{npad},[^\]]*\]\{{[^}}]*\}} all-gather\(",
                           txt)
     assert n_cp > 0, "no collective-permutes: halo exchange path not engaged"
-    assert len(full_ags) <= 6, (len(full_ags), len(ags))
+    assert len(full_ags) == 0, (len(full_ags), len(ags))
