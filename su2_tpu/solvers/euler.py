@@ -133,12 +133,11 @@ def _prim_row(lay, t, vel, p, rho, h, a, ys):
     ], axis=1)
 
 
-def euler_wall_residual(lib, lay, bc: BCMarker, v, turb_ke=None):
+def euler_wall_residual(lib, lay, nodes, normal, v, turb_ke=None):
     """Weak slip-wall: pressure (+ 2/3 rho k) flux on momentum
     (BC_Euler_Wall, solver_direct_reactive.cpp:2881-2995)."""
-    nodes = bc.nodes
-    area = jnp.linalg.norm(bc.normal, axis=1)
-    unit = -bc.normal / area[:, None]                     # outward
+    area = jnp.linalg.norm(normal, axis=1)
+    unit = -normal / area[:, None]                        # outward
     p = bg.rows(v, nodes)[:, lay.P]
     rho = bg.rows(v, nodes)[:, lay.PRHO]
     tke = bg.rows(turb_ke, nodes) if turb_ke is not None else 0.0
@@ -573,27 +572,48 @@ def chemistry_source_residual(lib, lay, mesh, prm, v, omega_turb=None):
     return res
 
 
-def bc_residuals(lib, lay, mesh, prm, bcs, v, dpdu_full, turb_ke=None):
-    """Sum of weak-BC convective residual contributions, scattered to nodes."""
-    res = jnp.zeros((v.shape[0], lay.nvar), dtype=v.dtype)
+def wall_bc_batch(bcs, kinds=("euler_wall", "isothermal_wall",
+                              "heatflux_wall")):
+    """Concatenated (nodes, normal) over all wall-kind markers, or None.
+
+    nodes stays static numpy so the downstream scatter keeps the one-hot /
+    contiguous-run fast paths in ops/bgather.py."""
+    sel = [bc for bc in bcs if bc.kind in kinds]
+    if not sel:
+        return None
+    nodes = np.concatenate([np.asarray(bc.nodes) for bc in sel])
+    normal = jnp.concatenate([bc.normal for bc in sel], axis=0)
+    return nodes, normal
+
+
+def flux_bc_batch(lib, lay, bcs, v, dpdu_full, tke_inf, coords=None):
+    """Ghost states of ALL weak flux-BC markers as one concatenated batch.
+
+    The kind-specific ghost-state constructions stay per marker (cheap
+    elementwise work on ~100-vertex arrays), but the expensive AUSM /
+    viscous flux kernels and the residual/Jacobian scatters downstream run
+    ONCE over the concatenated boundary face set instead of once per
+    marker.  (The reference loops markers then vertices,
+    integration_structure.cpp:95-193; on TPU, per-marker kernel launches on
+    tiny row counts waste dispatch and bloat the XLA program.)
+
+    Returns None when there are no flux BCs, else the tuple
+    (nodes, nn, normal, v_ghost, gamma, vel2) with nodes/nn static numpy.
+    """
     dpdu_e = dpdu_full[:, lay.RHOE]
+    nodes_l, nn_l, norm_l, vg_l, gam_l, vel2_l = [], [], [], [], [], []
     for bc in bcs:
-        if bc.kind == "euler_wall":
-            r = euler_wall_residual(lib, lay, bc, v, turb_ke)
-            res = bg.add_rows(res, bc.nodes, r)
+        if bc.kind in ("euler_wall", "isothermal_wall", "heatflux_wall"):
             continue
-        if bc.kind in ("isothermal_wall", "heatflux_wall"):
-            # inviscid contribution of no-slip walls = weak pressure wall
-            r = euler_wall_residual(lib, lay, bc, v, turb_ke)
-            res = bg.add_rows(res, bc.nodes, r)
-            continue
-        # flux BCs: AUSM between domain and ghost state over -vertex normal
         if bc.kind == "inlet":
-            v_ghost, gamma, vel2 = inlet_state(lib, lay, bc, v, dpdu_e, prm.tke_inf)
+            v_ghost, gamma, vel2 = inlet_state(lib, lay, bc, v, dpdu_e,
+                                               tke_inf)
         elif bc.kind == "outlet":
-            v_ghost, gamma, vel2, _ = outlet_state(lib, lay, bc, v, dpdu_e, prm.tke_inf)
+            v_ghost, gamma, vel2, _ = outlet_state(lib, lay, bc, v, dpdu_e,
+                                                   tke_inf)
         elif bc.kind == "supersonic_inlet":
-            v_ghost, gamma, vel2 = supersonic_inlet_state(lib, lay, bc, v, prm.tke_inf)
+            v_ghost, gamma, vel2 = supersonic_inlet_state(lib, lay, bc, v,
+                                                          tke_inf)
         elif bc.kind == "supersonic_outlet":
             v_ghost = bg.rows(v, bc.nodes)
             gamma = bg.rows(dpdu_e, bc.nodes) + 1.0
@@ -601,10 +621,49 @@ def bc_residuals(lib, lay, mesh, prm, bcs, v, dpdu_full, turb_ke=None):
             vel2 = jnp.sum(vel_d * vel_d, axis=1)
         elif bc.kind == "far_field":
             v_ghost, gamma, vel2 = far_field_state(lib, lay, bc, v, dpdu_e)
+        elif bc.kind == "engine_inflow":
+            from su2_tpu.solvers import engine_inflow as ei
+            v_ghost, gamma, vel2 = ei.engine_inflow_state(
+                lib, lay, bc, v, coords)
         else:
             raise NotImplementedError(f"BC kind {bc.kind}")
-        flux = ausm.ausm_flux(lay, bg.rows(v, bc.nodes), v_ghost, -bc.normal, prm.m_infty)
-        res = bg.add_rows(res, bc.nodes, flux)
+        nv = int(np.asarray(bc.nodes).shape[0])
+        nodes_l.append(np.asarray(bc.nodes))
+        nn_l.append(np.asarray(bc.nn))
+        norm_l.append(bc.normal)
+        vg_l.append(v_ghost)
+        gam_l.append(jnp.broadcast_to(jnp.asarray(gamma, v.dtype), (nv,)))
+        vel2_l.append(jnp.broadcast_to(jnp.asarray(vel2, v.dtype), (nv,)))
+    if not nodes_l:
+        return None
+    nodes = np.concatenate(nodes_l)
+    nn = np.concatenate(nn_l)
+    normal = jnp.concatenate(norm_l, axis=0)
+    v_ghost = jnp.concatenate(vg_l, axis=0)
+    gamma = jnp.concatenate(gam_l)
+    vel2 = jnp.concatenate(vel2_l)
+    return nodes, nn, normal, v_ghost, gamma, vel2
+
+
+def bc_residuals(lib, lay, mesh, prm, bcs, v, dpdu_full, turb_ke=None):
+    """Sum of weak-BC convective residual contributions, scattered to nodes.
+
+    Walls and flux BCs are each assembled as ONE batched call over the
+    concatenated marker face sets (see flux_bc_batch)."""
+    res = jnp.zeros((v.shape[0], lay.nvar), dtype=v.dtype)
+    # inviscid contribution of no-slip walls = weak pressure wall
+    wb = wall_bc_batch(bcs)
+    if wb is not None:
+        wn, wnorm = wb
+        r = euler_wall_residual(lib, lay, wn, wnorm, v, turb_ke)
+        res = bg.add_rows(res, wn, r)
+    fb = flux_bc_batch(lib, lay, bcs, v, dpdu_full, prm.tke_inf, mesh.coords)
+    if fb is not None:
+        nodes, _, normal, v_ghost, _, _ = fb
+        # flux BCs: AUSM between domain and ghost state over -vertex normal
+        flux = ausm.ausm_flux(lay, bg.rows(v, nodes), v_ghost, -normal,
+                              prm.m_infty)
+        res = bg.add_rows(res, nodes, flux)
     return res
 
 
@@ -723,11 +782,10 @@ def convective_system_fam(lib, lay, mesh, prm, v, grad, lim, dpdu_full):
     return res, diag, jac_j, -jac_i
 
 
-def euler_wall_jacobian(lib, lay, bc, v, dpdu_full):
+def euler_wall_jacobian(lib, lay, nodes, normal, v, dpdu_full):
     """d(pressure wall flux)/dU (BC_Euler_Wall implicit part, :2950-2974)."""
-    nodes = bc.nodes
-    area = jnp.linalg.norm(bc.normal, axis=1)
-    unit = -bc.normal / area[:, None]
+    area = jnp.linalg.norm(normal, axis=1)
+    unit = -normal / area[:, None]
     jac = jnp.zeros((nodes.shape[0], lay.nvar, lay.nvar), dtype=v.dtype)
     contrib = (unit * area[:, None])[:, :, None] * bg.rows(dpdu_full, nodes)[:, None, :]
     jac = jac.at[:, lay.RHOVX:lay.RHOVX + lay.ndim, :].set(contrib)
@@ -735,39 +793,29 @@ def euler_wall_jacobian(lib, lay, bc, v, dpdu_full):
 
 
 def bc_system(lib, lay, mesh, prm, bcs, v, dpdu_full, turb_ke=None):
-    """Weak-BC residual + diagonal Jacobian contributions."""
+    """Weak-BC residual + diagonal Jacobian contributions (batched over the
+    concatenated marker face sets, see flux_bc_batch)."""
     n = v.shape[0]
     res = jnp.zeros((n, lay.nvar), dtype=v.dtype)
     diag = jnp.zeros((n, lay.nvar, lay.nvar), dtype=v.dtype)
-    dpdu_e = dpdu_full[:, lay.RHOE]
-    for bc in bcs:
-        if bc.kind in ("euler_wall", "isothermal_wall", "heatflux_wall"):
-            r = euler_wall_residual(lib, lay, bc, v, turb_ke)
-            res = bg.add_rows(res, bc.nodes, r)
-            diag = bg.add_rows(diag, bc.nodes, 
-                euler_wall_jacobian(lib, lay, bc, v, dpdu_full))
-            continue
-        if bc.kind == "inlet":
-            v_ghost, gamma, vel2 = inlet_state(lib, lay, bc, v, dpdu_e, prm.tke_inf)
-        elif bc.kind == "outlet":
-            v_ghost, gamma, vel2, _ = outlet_state(lib, lay, bc, v, dpdu_e, prm.tke_inf)
-        elif bc.kind == "supersonic_inlet":
-            v_ghost, gamma, vel2 = supersonic_inlet_state(lib, lay, bc, v, prm.tke_inf)
-        elif bc.kind == "supersonic_outlet":
-            v_ghost = bg.rows(v, bc.nodes)
-            gamma = bg.rows(dpdu_e, bc.nodes) + 1.0
-            vel_d = v_ghost[:, lay.VX:lay.VX + lay.ndim]
-            vel2 = jnp.sum(vel_d * vel_d, axis=1)
-        elif bc.kind == "far_field":
-            v_ghost, gamma, vel2 = far_field_state(lib, lay, bc, v, dpdu_e)
-        else:
-            raise NotImplementedError(f"BC kind {bc.kind}")
+    wb = wall_bc_batch(bcs)
+    if wb is not None:
+        wn, wnorm = wb
+        res = bg.add_rows(res, wn,
+                          euler_wall_residual(lib, lay, wn, wnorm, v,
+                                              turb_ke))
+        diag = bg.add_rows(diag, wn,
+                           euler_wall_jacobian(lib, lay, wn, wnorm, v,
+                                               dpdu_full))
+    fb = flux_bc_batch(lib, lay, bcs, v, dpdu_full, prm.tke_inf, mesh.coords)
+    if fb is not None:
+        nodes, _, normal, v_ghost, gamma, vel2 = fb
         s_ghost = ghost_dpdu(lib, lay, v_ghost, gamma, vel2)
         flux, jac_i, _ = ausm.ausm_flux(
-            lay, bg.rows(v, bc.nodes), v_ghost, -bc.normal, prm.m_infty,
-            bg.rows(dpdu_full, bc.nodes), s_ghost)
-        res = bg.add_rows(res, bc.nodes, flux)
-        diag = bg.add_rows(diag, bc.nodes, jac_i)
+            lay, bg.rows(v, nodes), v_ghost, -normal, prm.m_infty,
+            bg.rows(dpdu_full, nodes), s_ghost)
+        res = bg.add_rows(res, nodes, flux)
+        diag = bg.add_rows(diag, nodes, jac_i)
     return res, diag
 
 

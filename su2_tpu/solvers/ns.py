@@ -350,70 +350,55 @@ def ns_assemble(lib: ChemLib, lay: Layout, mesh: MeshArrays, prm: NSParams,
                     _trans_rows(trans, i), _trans_rows(trans, j), **vf_args)
             res = res - mesh.scatter_edges(vflux)
 
-    # --- flux BCs: convective + viscous contributions ---
-    dpdu_e = dpdu_full[:, lay.RHOE]
-    for bc in bcs:
-        if bc.kind in ("euler_wall", "isothermal_wall", "heatflux_wall"):
-            continue
-        if bc.kind == "inlet":
-            v_ghost, gamma, vel2 = es.inlet_state(lib, lay, bc, v, dpdu_e, prm.tke_inf)
-        elif bc.kind == "outlet":
-            v_ghost, gamma, vel2, _ = es.outlet_state(lib, lay, bc, v, dpdu_e, prm.tke_inf)
-        elif bc.kind == "supersonic_inlet":
-            v_ghost, gamma, vel2 = es.supersonic_inlet_state(lib, lay, bc, v, prm.tke_inf)
-        elif bc.kind == "supersonic_outlet":
-            v_ghost = bg.rows(v, bc.nodes)
-            gamma = bg.rows(dpdu_e, bc.nodes) + 1.0
-            vel_d = v_ghost[:, lay.VX:lay.VX + nd]
-            vel2 = jnp.sum(vel_d * vel_d, axis=1)
-        elif bc.kind == "far_field":
-            v_ghost, gamma, vel2 = es.far_field_state(lib, lay, bc, v, dpdu_e)
-        elif bc.kind == "engine_inflow":
-            from su2_tpu.solvers import engine_inflow as ei
-            v_ghost, gamma, vel2 = ei.engine_inflow_state(
-                lib, lay, bc, v, mesh.coords)
-        else:
-            raise NotImplementedError(bc.kind)
-        s_ghost = es.ghost_dpdu(lib, lay, v_ghost, gamma, vel2)
-        nodes = bc.nodes
+    # --- flux BCs: convective + viscous contributions, assembled as ONE
+    # batched AUSM + ONE batched viscous call over the concatenated weak
+    # marker face set (es.flux_bc_batch) ---
+    fb = es.flux_bc_batch(lib, lay, bcs, v, dpdu_full, prm.tke_inf,
+                          mesh.coords)
+    if fb is not None:
+        nodes, nn, normal, v_ghost, gamma, vel2 = fb
         if implicit:
+            s_ghost = es.ghost_dpdu(lib, lay, v_ghost, gamma, vel2)
             cf, cj_i, _ = es.ausm.ausm_flux(
-                lay, bg.rows(v, nodes), v_ghost, -bc.normal, prm.m_infty,
+                lay, bg.rows(v, nodes), v_ghost, -normal, prm.m_infty,
                 bg.rows(dpdu_full, nodes), s_ghost)
-            diag = bg.add_rows(diag, nodes, cj_i)
         else:
-            cf = es.ausm.ausm_flux(lay, bg.rows(v, nodes), v_ghost, -bc.normal, prm.m_infty)
-        res = bg.add_rows(res, nodes, cf)
+            cf = es.ausm.ausm_flux(lay, bg.rows(v, nodes), v_ghost, -normal,
+                                   prm.m_infty)
         # viscous contribution: domain/ghost states, node-i gradients both
         # sides, boundary (uncorrected) variant, subtracted
         bargs = dict(
-            coord_i=bg.rows(mesh.coords, nodes), coord_j=bg.rows(mesh.coords, bc.nn),
+            coord_i=bg.rows(mesh.coords, nodes),
+            coord_j=bg.rows(mesh.coords, nn),
             corrected=False,
             turb_i=_turb_rows(turb, nodes), turb_j=_turb_rows(turb, nodes),
-            sigma_k=(bg.rows(turb.sigma_k, nodes) if turb is not None else None),
+            sigma_k=(bg.rows(turb.sigma_k, nodes)
+                     if turb is not None else None),
             prandtl_turb=prm.prandtl_turb, lewis_turb=prm.lewis_turb)
         tr_n = _trans_rows(trans, nodes, lib, lay, v)
+        g_n = bg.rows(grad, nodes)
         if implicit:
             vf, vj_i, _ = viscous.viscous_flux(
-                lib, lay, bg.rows(v, nodes), v_ghost, bg.rows(grad, nodes), bg.rows(grad, nodes),
-                -bc.normal, tr_n, tr_n,
-                s_i=bg.rows(dtdu_full, nodes), s_j=bg.rows(dtdu_full, nodes), **bargs)
-            diag = bg.add_rows(diag, nodes, -vj_i)
+                lib, lay, bg.rows(v, nodes), v_ghost, g_n, g_n,
+                -normal, tr_n, tr_n,
+                s_i=bg.rows(dtdu_full, nodes),
+                s_j=bg.rows(dtdu_full, nodes), **bargs)
+            diag = bg.add_rows(diag, nodes, cj_i - vj_i)
         else:
             vf = viscous.viscous_flux(
-                lib, lay, bg.rows(v, nodes), v_ghost, bg.rows(grad, nodes), bg.rows(grad, nodes),
-                -bc.normal, tr_n, tr_n,
-                **bargs)
-        res = bg.add_rows(res, nodes, -vf)
+                lib, lay, bg.rows(v, nodes), v_ghost, g_n, g_n,
+                -normal, tr_n, tr_n, **bargs)
+        res = bg.add_rows(res, nodes, cf - vf)
 
     # --- euler (slip) walls ---
-    for bc in bcs:
-        if bc.kind == "euler_wall":
-            r = es.euler_wall_residual(lib, lay, bc, v, turb_ke)
-            res = bg.add_rows(res, bc.nodes, r)
-            if implicit:
-                diag = bg.add_rows(diag, bc.nodes, 
-                    es.euler_wall_jacobian(lib, lay, bc, v, dpdu_full))
+    wb = es.wall_bc_batch(bcs, kinds=("euler_wall",))
+    if wb is not None:
+        wn, wnorm = wb
+        r = es.euler_wall_residual(lib, lay, wn, wnorm, v, turb_ke)
+        res = bg.add_rows(res, wn, r)
+        if implicit:
+            diag = bg.add_rows(diag, wn,
+                es.euler_wall_jacobian(lib, lay, wn, wnorm, v, dpdu_full))
 
     # --- chemistry source ---
     if prm.reactive_sources:

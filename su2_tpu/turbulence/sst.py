@@ -266,41 +266,58 @@ def sst_step(lay: Layout, mesh: MeshArrays, scfg: SSTConfig, bcs,
             w_wall = 60.0 * bg.rows(mu, bc.nn) / (bg.rows(rho, bc.nn) * BETA_1 * dnn * dnn)
             wall_mask = bg.set_rows(wall_mask, nodes, True)
             q_wall = bg.set_col_rows(q_wall, nodes, 1, w_wall)
-        elif bc.kind in ("inlet", "supersonic_inlet", "outlet",
-                         "supersonic_outlet", "far_field"):
-            # upwind flux between the domain state and the FLOW ghost state
-            # (the reference's turb BCs consume GetCharacPrimVar: BC_Inlet
-            # :3264, BC_Outlet :3360); inlets impose (kine_Inf, omega_Inf)
-            # on the incoming characteristic, outlets extrapolate.
-            from su2_tpu.solvers import euler as es
-            area_n = -bc.normal
-            if lib is not None and bc.kind == "inlet":
-                v_ghost, _, _ = es.inlet_state(lib, lay, bc, v, dpdu_e, tke_inf)
-                vel_g = v_ghost[:, lay.VX:lay.VX + lay.ndim]
-                rho_g = v_ghost[:, lay.PRHO]
-            elif lib is not None and bc.kind == "outlet":
-                v_ghost, _, _, _ = es.outlet_state(lib, lay, bc, v, dpdu_e, tke_inf)
-                vel_g = v_ghost[:, lay.VX:lay.VX + lay.ndim]
-                rho_g = v_ghost[:, lay.PRHO]
-            elif lib is not None and bc.kind == "supersonic_inlet":
-                v_ghost, _, _ = es.supersonic_inlet_state(lib, lay, bc, v, tke_inf)
-                vel_g = v_ghost[:, lay.VX:lay.VX + lay.ndim]
-                rho_g = v_ghost[:, lay.PRHO]
-            else:
-                vel_g = bg.rows(vel, nodes)
-                rho_g = bg.rows(rho, nodes)
-            qb = 0.5 * jnp.einsum("ed,ed->e", bg.rows(vel, nodes) + vel_g, area_n)
-            a0b = 0.5 * (qb + jnp.abs(qb))
-            a1b = 0.5 * (qb - jnp.abs(qb))
-            if bc.kind in ("inlet", "supersonic_inlet", "far_field"):
-                qin = jnp.stack([jnp.full_like(qb, kine_inf),
-                                 jnp.full_like(qb, omega_inf)], axis=1)
-            else:
-                qin = bg.rows(q, nodes)
-            bflux = a0b[:, None] * bg.rows(rho, nodes)[:, None] * bg.rows(q, nodes) \
-                + a1b[:, None] * rho_g[:, None] * qin
-            res = bg.add_rows(res, nodes, bflux)
-            diag = bg.add_rows(diag, nodes, a0b[:, None, None] * eye2)
+    # upwind flux between the domain state and the FLOW ghost state
+    # (the reference's turb BCs consume GetCharacPrimVar: BC_Inlet :3264,
+    # BC_Outlet :3360); inlets impose (kine_Inf, omega_Inf) on the incoming
+    # characteristic, outlets extrapolate.  Per-marker ghost construction,
+    # ONE batched flux + scatter over the concatenated marker face set.
+    from su2_tpu.solvers import euler as es
+    bn_l, bnorm_l, velg_l, rhog_l, imp_l = [], [], [], [], []
+    for bc in bcs:
+        if bc.kind not in ("inlet", "supersonic_inlet", "outlet",
+                           "supersonic_outlet", "far_field"):
+            continue
+        nodes = bc.nodes
+        if lib is not None and bc.kind == "inlet":
+            v_ghost, _, _ = es.inlet_state(lib, lay, bc, v, dpdu_e, tke_inf)
+            vel_g = v_ghost[:, lay.VX:lay.VX + lay.ndim]
+            rho_g = v_ghost[:, lay.PRHO]
+        elif lib is not None and bc.kind == "outlet":
+            v_ghost, _, _, _ = es.outlet_state(lib, lay, bc, v, dpdu_e,
+                                               tke_inf)
+            vel_g = v_ghost[:, lay.VX:lay.VX + lay.ndim]
+            rho_g = v_ghost[:, lay.PRHO]
+        elif lib is not None and bc.kind == "supersonic_inlet":
+            v_ghost, _, _ = es.supersonic_inlet_state(lib, lay, bc, v,
+                                                      tke_inf)
+            vel_g = v_ghost[:, lay.VX:lay.VX + lay.ndim]
+            rho_g = v_ghost[:, lay.PRHO]
+        else:
+            vel_g = bg.rows(vel, nodes)
+            rho_g = bg.rows(rho, nodes)
+        nv = int(np.asarray(nodes).shape[0])
+        bn_l.append(np.asarray(nodes))
+        bnorm_l.append(bc.normal)
+        velg_l.append(vel_g)
+        rhog_l.append(rho_g)
+        imp_l.append(np.full(nv, bc.kind in ("inlet", "supersonic_inlet",
+                                             "far_field")))
+    if bn_l:
+        bn = np.concatenate(bn_l)
+        area_n = -jnp.concatenate(bnorm_l, axis=0)
+        vel_g = jnp.concatenate(velg_l, axis=0)
+        rho_g = jnp.concatenate(rhog_l)
+        imposed = jnp.asarray(np.concatenate(imp_l))
+        qb = 0.5 * jnp.einsum("ed,ed->e", bg.rows(vel, bn) + vel_g, area_n)
+        a0b = 0.5 * (qb + jnp.abs(qb))
+        a1b = 0.5 * (qb - jnp.abs(qb))
+        q_inf = jnp.stack([jnp.full_like(qb, kine_inf),
+                           jnp.full_like(qb, omega_inf)], axis=1)
+        qin = jnp.where(imposed[:, None], q_inf, bg.rows(q, bn))
+        bflux = a0b[:, None] * bg.rows(rho, bn)[:, None] * bg.rows(q, bn) \
+            + a1b[:, None] * rho_g[:, None] * qin
+        res = bg.add_rows(res, bn, bflux)
+        diag = bg.add_rows(diag, bn, a0b[:, None, None] * eye2)
 
     # strong wall rows
     res = jnp.where(wall_mask[:, None], 0.0, res)
