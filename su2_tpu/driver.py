@@ -696,6 +696,26 @@ class Simulation:
         return self._multistep_jit(u, t_guess, q, mu_t, grad_k, sigma_k,
                                    ignites, cfl)
 
+    def flow_multistep(self, u, t_guess, k: int, cfl=None):
+        """K flow-only iterations (explicit or implicit, no turbulence) as
+        ONE device program; same dispatch-amortization as rans_multistep.
+        Returns the final (u, t) plus stacked (rms, rmax, nerr, min_dt)."""
+        if getattr(self, "_flow_multistep_jit", None) is None:
+            raw_step = (self._make_implicit_step()
+                        if self.cfg.time_discre_flow == "EULER_IMPLICIT"
+                        else self._make_explicit_step())
+
+            def multi(u, t, cfl, k):
+                def body(carry, _):
+                    out = raw_step(*carry, cfl=cfl)
+                    return out[:2], out[2:]
+
+                carry, ys = jax.lax.scan(body, (u, t), None, length=k)
+                return carry, ys
+
+            self._flow_multistep_jit = jax.jit(multi, static_argnums=3)
+        return self._flow_multistep_jit(u, t_guess, cfl, k)
+
     # ------------------------------------------------------------------
     def load_restart_state(self):
         """RESTART_SOL=YES: read the SU2-format restart (Load_Restart,
@@ -937,24 +957,30 @@ class Simulation:
     # ------------------------------------------------------------------
     def run(self, niter: int | None = None, log_every: int = 1,
             u=None, t_guess=None, turb_state=None, quiet=False,
-            chunk: int = 1):
+            chunk: int = 1, it0: int = 0, rms0=None):
+        """Main iteration loop.  `it0`/`rms0` continue a previous segment:
+        iteration numbering (logs, history file, ignition window,
+        convergence start) is absolute (it0+i), and the residual-reduction
+        criterion measures against the passed first-iteration rms."""
         niter = niter if niter is not None else self.cfg.ext_iter
         u = self.u0 if u is None else u
         t_guess = self.t0 if t_guess is None else t_guess
         if self.turbulent:
             q, mu_t, grad_k, sigma_k = (turb_state if turb_state is not None
                                         else self.initial_turb_state())
-        if chunk > 1 and self.turbulent and not self.cfg.cfl_adapt:
-            return self._run_chunked(niter, chunk, log_every, u, t_guess,
-                                     (q, mu_t, grad_k, sigma_k), quiet)
+        if chunk > 1 and not self.cfg.cfl_adapt:
+            return self._run_chunked(
+                niter, chunk, log_every, u, t_guess,
+                (q, mu_t, grad_k, sigma_k) if self.turbulent else None,
+                quiet, it0=it0, rms0=rms0)
         hist = []
         start = time.time()
-        rms0 = None
         turb_rms = None
         adapt = self.cfg.cfl_adapt
         cfl_now = float(self.cfg.cfl_number)
         rho_res_old = None
-        for it in range(niter):
+        for it_rel in range(niter):
+            it = it0 + it_rel
             cfl_arg = jnp.asarray(cfl_now, dtype=self.dtype) if adapt else None
             if self.turbulent:
                 ignite = jnp.asarray(
@@ -1032,17 +1058,20 @@ class Simulation:
         return u, t_guess, np.array(hist)
 
     def _run_chunked(self, niter, chunk, log_every, u, t_guess, turb_state,
-                     quiet):
+                     quiet, it0: int = 0, rms0=None):
         """Chunked driver loop: K iterations per device program via
-        rans_multistep.  Host-side work (history lines, convergence checks,
-        solution writes) happens at chunk boundaries from the stacked
-        per-iteration residual histories; convergence may therefore
-        overshoot by up to chunk-1 iterations."""
-        q, mu_t, grad_k, sigma_k = turb_state
+        rans_multistep / flow_multistep.  Host-side work (history lines,
+        convergence checks, solution writes) happens at chunk boundaries
+        from the stacked per-iteration residual histories; the RESIDUAL
+        criterion is detected at the exact in-chunk iteration (history is
+        truncated there), but the returned state is the end-of-chunk state
+        — up to chunk-1 extra iterations of integration."""
+        turbulent = turb_state is not None
+        if turbulent:
+            q, mu_t, grad_k, sigma_k = turb_state
         cfg = self.cfg
         hist = []
         start = time.time()
-        rms0 = None
         it = 0
         # keep one chunk size -> one compiled program; trailing remainder
         # iterations run through the per-iteration path
@@ -1050,52 +1079,75 @@ class Simulation:
             k = min(chunk, niter - it)
             if k < chunk:
                 break
-            if cfg.ignition:
-                ignites = np.arange(it, it + k) < cfg.ignition_iter
+            if turbulent:
+                if cfg.ignition:
+                    ignites = (np.arange(it0 + it, it0 + it + k)
+                               < cfg.ignition_iter)
+                else:
+                    ignites = np.zeros(k, bool)
+                carry, ys = self.rans_multistep(
+                    u, t_guess, q, mu_t, grad_k, sigma_k,
+                    jnp.asarray(ignites))
+                u, t_guess, q, mu_t, grad_k, sigma_k = carry
+                trms_a = np.asarray(ys[2])
+                nerr_a = np.asarray(ys[3])
+                mind_a = np.asarray(ys[4])
+                log_trms_a = np.log10(np.maximum(trms_a, 1e-300))
             else:
-                ignites = np.zeros(k, bool)
-            carry, ys = self.rans_multistep(
-                u, t_guess, q, mu_t, grad_k, sigma_k, jnp.asarray(ignites))
-            u, t_guess, q, mu_t, grad_k, sigma_k = carry
+                (u, t_guess), ys = self.flow_multistep(u, t_guess, k)
+                nerr_a = np.asarray(ys[2])
+                mind_a = np.asarray(ys[3])
+                log_trms_a = None
             rms_a = np.asarray(ys[0])
-            trms_a = np.asarray(ys[2])
-            nerr_a = np.asarray(ys[3])
-            mind_a = np.asarray(ys[4])
             log_rms_a = np.log10(np.maximum(rms_a, 1e-300))
-            log_trms_a = np.log10(np.maximum(trms_a, 1e-300))
+            converged = False
             for j in range(k):
-                gi = it + j
+                gi = it0 + it + j
                 hist.append(log_rms_a[j])
                 if rms0 is None:
                     rms0 = log_rms_a[j].copy()
                 if self.history is not None and gi % cfg.wrt_con_freq == 0:
-                    self.history.write(gi, log_rms_a[j], log_trms_a[j],
-                                       lin_iters=cfg.linear_solver_iter)
+                    self.history.write(
+                        gi, log_rms_a[j],
+                        log_trms_a[j] if turbulent else None,
+                        lin_iters=cfg.linear_solver_iter)
                 if not quiet and gi % log_every == 0:
-                    print(f"{gi:6d}  Res[Rho]: "
-                          f"{log_rms_a[j][self.lay.RHO]: .6f}  "
-                          f"Res[RhoE]: {log_rms_a[j][self.lay.RHOE]: .6f}  "
-                          f"Res[k]: {log_trms_a[j][0]: .4f}  "
-                          f"Res[w]: {log_trms_a[j][1]: .4f}  "
-                          f"dt_min: {float(mind_a[j]):.3e}  "
-                          f"nonphys: {int(nerr_a[j])}  "
-                          f"({time.time()-start:.1f}s)")
+                    msg = (f"{gi:6d}  Res[Rho]: "
+                           f"{log_rms_a[j][self.lay.RHO]: .6f}  "
+                           f"Res[RhoE]: {log_rms_a[j][self.lay.RHOE]: .6f}  ")
+                    if turbulent:
+                        msg += (f"Res[k]: {log_trms_a[j][0]: .4f}  "
+                                f"Res[w]: {log_trms_a[j][1]: .4f}  ")
+                    msg += (f"dt_min: {float(mind_a[j]):.3e}  "
+                            f"nonphys: {int(nerr_a[j])}  "
+                            f"({time.time()-start:.1f}s)")
+                    print(msg)
+                if cfg.conv_criteria == "RESIDUAL" and gi > cfg.startconv_iter:
+                    cur = log_rms_a[j][self.lay.RHO]
+                    if (cur < cfg.residual_minval or
+                            rms0[self.lay.RHO] - cur
+                            > cfg.residual_reduction):
+                        converged = True
+                        break
             it += k
-            if self.writer_state is not None and it % cfg.wrt_sol_freq == 0:
-                self.write_solution(u, t_guess, (q, mu_t))
-            if cfg.conv_criteria == "RESIDUAL" and it > cfg.startconv_iter:
-                last = log_rms_a[-1][self.lay.RHO]
-                if (last < cfg.residual_minval or
-                        rms0[self.lay.RHO] - last > cfg.residual_reduction):
-                    return (u, t_guess, np.array(hist),
-                            (q, mu_t, grad_k, sigma_k))
-        if it < niter:   # trailing remainder: finish per-iteration
+            if converged:
+                break
+            if (self.writer_state is not None
+                    and (it0 + it) % cfg.wrt_sol_freq == 0):
+                self.write_solution(
+                    u, t_guess, (q, mu_t) if turbulent else None)
+        if it < niter and not converged:   # trailing remainder
             out = self.run(niter - it, log_every, u, t_guess,
-                           (q, mu_t, grad_k, sigma_k), quiet)
-            u, t_guess, h2, turb_state = out
+                           (q, mu_t, grad_k, sigma_k) if turbulent else None,
+                           quiet, it0=it0 + it, rms0=rms0)
+            if turbulent:
+                u, t_guess, h2, (q, mu_t, grad_k, sigma_k) = out
+            else:
+                u, t_guess, h2 = out
             hist.extend(list(h2))
-            return u, t_guess, np.array(hist), turb_state
-        return u, t_guess, np.array(hist), (q, mu_t, grad_k, sigma_k)
+        if turbulent:
+            return u, t_guess, np.array(hist), (q, mu_t, grad_k, sigma_k)
+        return u, t_guess, np.array(hist)
 
 
 def main(argv=None):
@@ -1107,7 +1159,20 @@ def main(argv=None):
     niter = int(argv[1]) if len(argv) > 1 else None
     sim = Simulation(cfg)
     sim.enable_output()
-    out = sim.run(niter)
+    # Device-chunked main loop: K iterations per XLA program (lax.scan),
+    # amortizing the per-call host dispatch (the flagship combustion step
+    # is ~0.5 ms of device work but ~6 ms of tunnel latency per call).
+    # Per-iteration path when the host needs state every iteration:
+    # adaptive CFL (host feedback loop) or per-iteration force monitoring
+    # in the history file.  Override with SU2_TPU_CHUNK=<K> (1 disables).
+    env_chunk = os.environ.get("SU2_TPU_CHUNK")
+    if env_chunk is not None:
+        chunk = max(1, int(env_chunk))
+    elif cfg.cfl_adapt or cfg.marker_monitoring:
+        chunk = 1
+    else:
+        chunk = 25
+    out = sim.run(niter, chunk=chunk)
     if sim.turbulent:
         u, t_guess, hist, turb_state = out
         sim.write_solution(u, t_guess, (turb_state[0], turb_state[1]))
