@@ -188,9 +188,30 @@ class Simulation:
             tmin=cfg.temperature_min, tmax=cfg.temperature_max,
             clip_temp=cfg.clipping_temprature)
 
+        # The reference's reactive nondimensionalization overrides the cfg
+        # Mach with the freestream-derived value M = |v_inf|/a_inf
+        # (SetMach(ModVel_FreeStream/SoundSpeed_FreeStream),
+        # solver_direct_reactive.cpp:973).  It happens on the master rank
+        # only (the README's "IMPORTANT REMARK" bug) — we replicate the
+        # serial behavior, which is the well-defined one.  This feeds the
+        # AUSM+-up reference-Mach clamp, so low-Mach faces see fa(M_inf).
+        m_infty = cfg.mach_number
+        if cfg.reactive:
+            ys_inf = jnp.asarray(cfg.freestream_mass_frac, dtype=dtype)
+
+            def _a_inf(ys_in):
+                t = jnp.full((1,), cfg.freestream_temperature, dtype=dtype)
+                return cl.frozen_gamma_sound(self.lib, t, ys_in[None])[1][0]
+
+            a_inf = float(jax.device_get(jax.jit(_a_inf)(ys_inf)))
+            modvel = float(np.linalg.norm(
+                np.asarray(cfg.freestream_velocity[:self.grid.ndim])))
+            if modvel > 0.0 and a_inf > 0.0:
+                m_infty = modvel / a_inf
+
         common = dict(
             lay=self.lay, tparams=self.tparams,
-            m_infty=cfg.mach_number, cfl=cfg.cfl_number,
+            m_infty=m_infty, cfl=cfg.cfl_number,
             max_dt=cfg.max_delta_time,
             muscl=cfg.muscl_flow, use_limiter=cfg.limiter_flow,
             limiter_kind=cfg.slope_limiter_flow,
@@ -1073,6 +1094,7 @@ class Simulation:
         hist = []
         start = time.time()
         it = 0
+        converged = False
         # keep one chunk size -> one compiled program; trailing remainder
         # iterations run through the per-iteration path
         while it < niter:

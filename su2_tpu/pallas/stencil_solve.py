@@ -48,8 +48,10 @@ def supported(mesh, v: int, dtype) -> bool:
 
 def _roll(x, off):
     """x[..., p] -> x[..., p + off] (wrap; wrapped lanes hit zero blocks).
-    pltpu.roll wants a non-negative shift, so wrap it mod the lane count."""
-    return pltpu.roll(x, (-off) % x.shape[-1], axis=x.ndim - 1)
+    pltpu.roll wants a non-negative shift, so wrap it mod the lane count.
+    `int()` keeps the shift a host int (numpy int64 offsets would trace as
+    an i64 operand, which Mosaic's dynamic_rotate rejects under x64)."""
+    return pltpu.roll(x, jnp.int32(int(-off) % x.shape[-1]), axis=x.ndim - 1)
 
 
 def _offdiag(sel, x, offsets, v):
