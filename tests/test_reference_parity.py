@@ -148,3 +148,31 @@ def test_pasr_50_iteration_fields_match_reference(combustion_dir, tmp_path):
     for k in range(2):
         scale = np.abs(ref_t[:, k]).max()
         assert np.abs(qa[:, k] - ref_t[:, k]).max() / scale < 8e-3, k
+
+
+@pytest.mark.slow
+def test_flatplate_iteration0_matches_reference(flatplate_dir):
+    """Flat-plate iteration-0 FLOW residuals match the reference binary to
+    all printed digits (ref: Res[Rho] -0.717058, Res[RhoE] 4.711371).
+
+    Requires the serial freestream-Mach override M = |v_inf|/a_inf of the
+    reactive nondimensionalization (solver_direct_reactive.cpp:973): the
+    AUSM+-up fa(M_ref) clamp binds on the low-Mach farfield faces, so the
+    boundary rows are sensitive to M_inf.  SST residuals are assembled on
+    the post-update flow state and carry the documented linear-solver
+    deviation (~1e-3)."""
+    import jax.numpy as jnp
+
+    cfg = Config(os.path.join(flatplate_dir, "my_turbulent_flatplate_air.cfg"),
+                 overrides={"EXT_ITER": "1"})
+    sim = Simulation(cfg)
+    assert sim.params.m_infty == pytest.approx(0.2008903, abs=1e-6)
+    q0, mu_t0, grad_k0, sigma_k0 = sim.initial_turb_state()
+    carry, hist = sim.rans_multistep(sim.u0, sim.t0, q0, mu_t0, grad_k0,
+                                     sigma_k0, jnp.zeros((1,), bool))
+    rms = np.log10(np.maximum(np.asarray(hist[0]), 1e-300))
+    trms = np.log10(np.maximum(np.asarray(hist[2]), 1e-300))
+    assert rms[0, sim.lay.RHO] == pytest.approx(-0.717058, abs=2e-5)
+    assert rms[0, sim.lay.RHOE] == pytest.approx(4.711371, abs=2e-5)
+    assert trms[0, 0] == pytest.approx(2.174569, abs=2e-3)
+    assert trms[0, 1] == pytest.approx(6.139606, abs=2e-3)
