@@ -314,13 +314,13 @@ def make_solver_ops(mesh: MeshArrays, jac: BlockJacobian,
     sgs = kind in ("LU_SGS", "ILU0", "LINELET") and color_masks is not None
     if sgs and mesh.stencil_sel is not None:
         from su2_tpu.pallas import stencil_solve as stks
-        if stks.supported(mesh, v, jac.diag.dtype):
+        if stks.supported(mesh, v, jac.diag.dtype, len(color_masks)):
             sel = gather_offdiag(mesh, jac)
             ops = stks.StencilSolveOps(mesh, sel, dinv, jac.diag,
                                        color_masks)
             return ops.matvec, ops.precond, ops.precond_matvec
         if (jac.diag.dtype == jnp.float32
-                and stks.supported(mesh, v, jnp.bfloat16)):
+                and stks.supported(mesh, v, jnp.bfloat16, len(color_masks))):
             # blocks too wide for an f32 VMEM-resident sweep: run the
             # preconditioner (quality-only) from bf16 blocks in one
             # launch; the Krylov matvec keeps the f32 blocks so the
@@ -355,11 +355,11 @@ def make_solver_ops_fam(mesh: MeshArrays, diag: jax.Array, sel: jax.Array,
     sgs = kind in ("LU_SGS", "ILU0", "LINELET") and color_masks is not None
     if sgs:
         from su2_tpu.pallas import stencil_solve as stks
-        if stks.supported(mesh, v, diag.dtype):
+        if stks.supported(mesh, v, diag.dtype, len(color_masks)):
             ops = stks.StencilSolveOps(mesh, sel, dinv, diag, color_masks)
             return ops.matvec, ops.precond, ops.precond_matvec
         if (diag.dtype == jnp.float32
-                and stks.supported(mesh, v, jnp.bfloat16)):
+                and stks.supported(mesh, v, jnp.bfloat16, len(color_masks))):
             # bf16-block preconditioner sweep (one launch, sel read from
             # HBM once); f32 matvec preserves the linear tolerance
             ops = stks.StencilSolveOps(mesh, sel, dinv, diag, color_masks,
@@ -409,12 +409,12 @@ def make_solver_ops_stencil_t(mesh: MeshArrays, diag: jax.Array,
     sgs = kind in ("LU_SGS", "ILU0", "LINELET") and color_masks is not None
     if sgs:
         from su2_tpu.pallas import stencil_solve as stks
-        if stks.supported(mesh, v, diag.dtype):
+        if stks.supported(mesh, v, diag.dtype, len(color_masks)):
             ops = stks.StencilSolveOps(mesh, sel_t, dinv, diag, color_masks,
                                        sel_is_t=True)
             return ops.matvec, ops.precond, ops.precond_matvec
         if (diag.dtype == jnp.float32
-                and stks.supported(mesh, v, jnp.bfloat16)):
+                and stks.supported(mesh, v, jnp.bfloat16, len(color_masks))):
             ops = stks.StencilSolveOps(mesh, sel_t, dinv, diag, color_masks,
                                        sel_dtype=jnp.bfloat16, sel_is_t=True)
             mv = lambda x: _bmv(diag, x) + _offdiag_apply_t(mesh, sel_t, x)

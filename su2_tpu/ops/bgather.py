@@ -34,6 +34,9 @@ import jax.numpy as jnp
 # being trivially cheap and XLA's native gather vectorizes anyway.
 MAX_ONEHOT = 4096
 
+# Strided-AP gathers via reshape + simple slice (benchmark toggle).
+_STRIDED_RESHAPE = True
+
 
 def _static_idx(idx):
     """Return idx as a host numpy array if it is trace-time static."""
@@ -73,6 +76,37 @@ def _sel_dot(onehot_f, xf):
     return o3[:, :w] + o3[:, w:2 * w] + o3[:, 2 * w:]
 
 
+def _ap_segments(sidx, max_seg=8):
+    """Split sidx into maximal arithmetic-progression runs.
+
+    Batched BC index sets are concatenations of per-marker runs (each an AP
+    in the structured ordering), so a handful of segments covers them; each
+    segment then takes the slice / pad+add fast path instead of the
+    (nb, n) one-hot contraction.  Returns [(pos, len, (start, stride))] or
+    None when more than max_seg segments would be needed."""
+    n = sidx.size
+    if n < 2:
+        return None
+    d = np.diff(sidx)
+    segs = []
+    i = 0
+    while i < n:
+        if i == n - 1:
+            segs.append((i, 1, (int(sidx[i]), 1)))
+            break
+        st = d[i]
+        j = i + 1
+        while j < n - 1 and d[j] == st:
+            j += 1
+        if st <= 0:
+            return None
+        segs.append((i, j - i + 1, (int(sidx[i]), int(st))))
+        i = j + 1
+        if len(segs) > max_seg:
+            return None
+    return segs
+
+
 def _arith_prog(sidx):
     """(start, stride) if sidx is a positive-stride arithmetic progression.
 
@@ -90,17 +124,44 @@ def _arith_prog(sidx):
 
 
 
+def _rows_ap(x, ap, nb):
+    """x[start : start + nb*stride : stride] via simple slices, or None.
+
+    stride 1: one slice.  stride s with n % s == 0: view the node dim as
+    (n/s, s) and take a SIMPLE middle-dim slice — reads only the touched
+    (8,128) tiles instead of contracting an (nb, n) one-hot (which
+    materializes ~n*nb bytes; the dominant BC cost at 142k cells).  A
+    *strided* lax.slice is still avoided — that form forced full-array
+    relayout copies (142k mesh: 14 -> 58 ms/iter)."""
+    start, s = ap
+    if s == 1:
+        return jax.lax.slice_in_dim(x, start, start + nb, axis=0)
+    if s > 1 and x.shape[0] % s == 0 and _STRIDED_RESHAPE:
+        r0, c0 = divmod(start, s)
+        x3 = x.reshape((x.shape[0] // s, s) + x.shape[1:])
+        out = jax.lax.slice_in_dim(
+            jax.lax.slice_in_dim(x3, r0, r0 + nb, axis=0),
+            c0, c0 + 1, axis=1)
+        return out.reshape((nb,) + x.shape[1:])
+    return None
+
+
 def rows(x: jax.Array, idx) -> jax.Array:
     """x[idx] for float x of shape (n, ...) with a small static idx."""
     sidx = _static_idx(idx)
     if sidx is None or sidx.size == 0 or x.ndim == 0:
         return x[idx]
     ap = _arith_prog(sidx)
-    if ap is not None and ap[1] == 1:  # contiguous run, any dtype: one slice
-        # strided runs stay on the one-hot path: a strided lax.slice on the
-        # feature-major layouts blocks fusion with the producers and forces
-        # full-array relayout copies (142k mesh: 14 -> 58 ms/iter)
-        return jax.lax.slice_in_dim(x, ap[0], ap[0] + sidx.size, axis=0)
+    if ap is not None:
+        out = _rows_ap(x, ap, sidx.size)
+        if out is not None:
+            return out.reshape(sidx.shape + x.shape[1:])
+    segs = _ap_segments(sidx) if _STRIDED_RESHAPE else None
+    if segs is not None:
+        parts = [_rows_ap(x, sap, ln) for _, ln, sap in segs]
+        if all(p is not None for p in parts):
+            return jnp.concatenate(parts, axis=0).reshape(
+                sidx.shape + x.shape[1:])
     if sidx.size > MAX_ONEHOT or not jnp.issubdtype(x.dtype, jnp.floating):
         return x[idx]
     n = x.shape[0]
@@ -109,27 +170,56 @@ def rows(x: jax.Array, idx) -> jax.Array:
     return out.reshape(sidx.shape + x.shape[1:])
 
 
+def _pad_ap(ap, nb, n, vv):
+    """Zero-padded (n, ...) update carrying vv at the AP rows, or None.
+
+    An elementwise pad+add (unlike `.at[idx].add`, which lowers to
+    scatter-add) is partitioned by GSPMD without all-gathering the sharded
+    operand, and fuses with the consumer on a single device.  Strided APs
+    (stride s, n % s == 0) route through the (n/s, s) view so the pad stays
+    simple — replacing the one-hot .T contraction that materializes an
+    (n, nb) selector (the dominant BC scatter cost at 100k+ cells)."""
+    start, s = ap
+    if s == 1:
+        pad = [(start, n - start - nb)] + [(0, 0)] * (vv.ndim - 1)
+        return jnp.pad(vv, pad)
+    if s > 1 and n % s == 0 and _STRIDED_RESHAPE:
+        r0, c0 = divmod(start, s)
+        nr = n // s
+        vv3 = vv.reshape((nb, 1) + vv.shape[1:])
+        pad = [(r0, nr - r0 - nb), (c0, s - c0 - 1)] \
+            + [(0, 0)] * (vv.ndim - 1)
+        return jnp.pad(vv3, pad).reshape((n,) + vv.shape[1:])
+    return None
+
+
 def add_rows(dest: jax.Array, idx, vals: jax.Array) -> jax.Array:
     """dest.at[idx].add(vals) for float dest (n, ...), small static idx."""
     sidx = _static_idx(idx)
     if sidx is None or sidx.size == 0:
         return dest.at[idx].add(vals)
     n = dest.shape[0]
+    isf = jnp.issubdtype(dest.dtype, jnp.floating)
     ap = _arith_prog(sidx)
-    if ap is not None and ap[1] == 1:
-        # contiguous run: zero-pad to full length and add.  An elementwise
-        # pad+add (unlike `.at[a:b].add`, which lowers to scatter-add) is
-        # partitioned by GSPMD without all-gathering the sharded operand,
-        # and fuses with the consumer on a single device.  Strided runs
-        # stay on the one-hot path: the reshaped-view update forces a
-        # relayout copy of the whole array on TPU (feature-major layouts),
-        # which is far worse than the contraction.
-        nr = sidx.size
-        vv = jnp.asarray(vals, dest.dtype).reshape((nr,) + dest.shape[1:])
-        pad = [(ap[0], n - ap[0] - nr)] + [(0, 0)] * (dest.ndim - 1)
-        return dest + jnp.pad(vv, pad)
-    if (sidx.size > MAX_ONEHOT
-            or not jnp.issubdtype(dest.dtype, jnp.floating)):
+    if ap is not None and isf:
+        vv = jnp.asarray(vals, dest.dtype).reshape(
+            (sidx.size,) + dest.shape[1:])
+        upd = _pad_ap(ap, sidx.size, n, vv)
+        if upd is not None:
+            return dest + upd
+    segs = _ap_segments(sidx) if (_STRIDED_RESHAPE and isf) else None
+    if segs is not None:
+        vv = jnp.asarray(vals, dest.dtype).reshape(
+            (sidx.size,) + dest.shape[1:])
+        upds = [_pad_ap(sap, ln, n,
+                        jax.lax.slice_in_dim(vv, pos, pos + ln, axis=0))
+                for pos, ln, sap in segs]
+        if all(u is not None for u in upds):
+            out = dest
+            for u in upds:
+                out = out + u
+            return out
+    if sidx.size > MAX_ONEHOT or not isf:
         return dest.at[idx].add(vals)
     vf = vals.reshape(sidx.size, -1).astype(dest.dtype)
     upd = _sel_dot(_onehot(sidx, n, dest.dtype).T, vf)

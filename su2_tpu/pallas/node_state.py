@@ -90,6 +90,10 @@ def _tables(lib, dtype):
 
 _CHUNK = 128
 _WIN = 256
+# node-tile width (lanes) per grid step; module-level so benchmarks can
+# sweep it
+_TILE = 512
+_BISECT = ""
 
 
 def spline_gather(tab_ref, nrows, klo, *, ntp, split, dtype):
@@ -157,12 +161,12 @@ def _pad_cols(x, npad):
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2))
 def cons2prim_fused(lay, tp, nt_meta, u_t, t_guess, tke, b_h, b_all, mm, ri,
-                    wk_cmass, wk_cden, wk_cdoff):
+                    b_wilke):
     """u_t: (nVar, N) feature-major conserved state; t_guess, tke: (N,).
 
     tp: state.TSolveParams (static).  nt_meta: (t0, dt, nT) static.
     b_h/b_all: stacked spline tables (see module doc); mm, ri: (S, 1);
-    wk_*: (S, S) static Wilke pair matrices (cdoff = 1.065*cden*(1-eye)).
+    b_wilke: (2S, 3S) stacked Wilke contraction blocks — see node_state.
 
     The secant constants c1 = (-rhoE + rho k + rho|v|^2/2)/(rho R) and
     c2 = 1/R plus the enthalpy weights w_h = Y_s/M_s ride in as dedicated
@@ -177,7 +181,7 @@ def cons2prim_fused(lay, tp, nt_meta, u_t, t_guess, tke, b_h, b_all, mm, ri,
     nd, ns, nvar, nprim = lay.ndim, lay.ns, lay.nvar, lay.nprim
     n = u_t.shape[-1]
     dtype = u_t.dtype
-    tile = 512 if n >= 512 else max(128, n)
+    tile = _TILE if n >= _TILE else max(128, n)
     npad = -(-n // tile) * tile
 
     # ---- XLA pre-pass: exactly the cons2prim head (state.py:183-204) ----
@@ -196,11 +200,10 @@ def cons2prim_fused(lay, tp, nt_meta, u_t, t_guess, tke, b_h, b_all, mm, ri,
     ins = [_pad_cols(u_t, npad), _pad_cols(t_guess[None], npad),
            _pad_cols(tke[None], npad), _pad_cols(c1_in[None], npad),
            _pad_cols(c2_in[None], npad), _pad_cols(wh_in, npad),
-           b_h, b_all, mm, ri, wk_cmass, wk_cden, wk_cdoff]
+           b_h, b_all, mm, ri, b_wilke]
 
     def kernel(u_ref, tg_ref, tke_ref, c1_ref, c2_ref, wh_ref,
-               bh_ref, ba_ref, mm_ref, ri_ref,
-               cm_ref, cd_ref, cdo_ref,
+               bh_ref, ba_ref, mm_ref, ri_ref, bw_ref,
                uc_ref, v_ref, np_ref, dt_ref, dp_ref, mu_ref, ka_ref,
                xs_ref):
         u = u_ref[...]
@@ -336,6 +339,8 @@ def cons2prim_fused(lay, tp, nt_meta, u_t, t_guess, tke, b_h, b_all, mm, ri,
             (jnp.asarray(0, jnp.int32), _concrete(ta0), _concrete(tb0),
              _concrete(0.5 * (ta0 + tb0)), bdone0))
         t = jnp.where(sec_ok, t_sec2[0], tbis2[0])
+        if _BISECT == "nosecant":
+            t = tg[0]
 
         # ---- primitives (cons2prim, state.py:208-237) ----
         nonphys = jnp.maximum(
@@ -346,7 +351,12 @@ def cons2prim_fused(lay, tp, nt_meta, u_t, t_guess, tke, b_h, b_all, mm, ri,
         press = jnp.maximum(press, EPS)
 
         # one matmul for h/cp/mu/kappa at the final T
-        allq = lookup(ba_ref, 16 * ns, t)         # (4S, tile) molar rows
+        if _BISECT == "nolookup":
+            allq = jnp.broadcast_to(mm_ref[...], (ns, t.shape[-1]))
+            allq = jnp.concatenate([allq * 30.0, allq * 1000.0,
+                                    allq * 1e-5, allq * 0.02], axis=0)
+        else:
+            allq = lookup(ba_ref, 16 * ns, t)         # (4S, tile) molar rows
         h_mol = allq[:ns]
         cp_mol = allq[ns:2 * ns]
         mu_s = allq[2 * ns:3 * ns]
@@ -390,23 +400,32 @@ def cons2prim_fused(lay, tp, nt_meta, u_t, t_guess, tke, b_h, b_all, mm, ri,
         dp_ref[lay.RHOS:lay.RHOS + ns, :] = ric * t[None, :] \
             - gm1[None, :] * e_s
 
-        # ---- Wilke mu / Wasilewska kappa (library.py:284-318); middle-axis
-        #      sums unrolled over species (Mosaic 3D-reduce limitation) ----
+        # ---- Wilke mu / Wasilewska kappa (library.py:284-318) as ONE MXU
+        #      contraction.  The pair polynomial expands exactly:
+        #        (1 + (r_i/r_k) cm_ik)^2 cX_ik =
+        #          cX_ik + r_i * (2 cX cm)_ik / r_k + r_i^2 (cX cm^2)_ik / r_k^2
+        #      so each phi is three (S,S) contractions of [yom; yom/r;
+        #      yom/r^2] recombined with per-row r_i weights.  b_wilke is the
+        #      (6S, 3S) block-diagonal stack of those matrices (built in
+        #      node_state) — one MXU dot replaces the O(S^2) elementwise
+        #      loop that dominated the kernel's VPU time ----
         yom = ys / mmc                             # (S, tile)
-        r = jnp.sqrt(mu_s)
-        cm = cm_ref[...]
-        cd = cd_ref[...]
-        cdo = cdo_ref[...]
-        phi_mu = jnp.zeros_like(yom)
-        phi_ka = yom
-        for k in range(ns):
-            ratio_k = r / r[k][None, :]            # (S, tile)
-            num_k = 1.0 + ratio_k * cm[:, k][:, None]
-            pair_k = num_k * num_k
-            phi_mu = phi_mu + pair_k * cd[:, k][:, None] * yom[k][None, :]
-            phi_ka = phi_ka + pair_k * cdo[:, k][:, None] * yom[k][None, :]
-        mu_ref[0, :] = jnp.sum(mu_s * yom / phi_mu, axis=0)
-        ka_ref[0, :] = jnp.sum(ka_s * yom / phi_ka, axis=0)
+        if _BISECT == "nowilke":
+            mu_ref[0, :] = jnp.sum(mu_s * yom, axis=0)
+            ka_ref[0, :] = jnp.sum(ka_s * yom, axis=0)
+        else:
+            r = jnp.sqrt(mu_s)
+            rinv = 1.0 / r
+            w1 = yom * rinv
+            w = jnp.concatenate([yom, w1, w1 * rinv], axis=0)   # (3S, tile)
+            phis = jnp.dot(bw_ref[...], w, preferred_element_type=dtype,
+                           precision=jax.lax.Precision.HIGHEST)  # (6S, tile)
+            r2 = r * r
+            phi_mu = phis[:ns] + r * phis[ns:2 * ns] + r2 * phis[2 * ns:3 * ns]
+            phi_ka = phis[3 * ns:4 * ns] + r * phis[4 * ns:5 * ns] \
+                + r2 * phis[5 * ns:]
+            mu_ref[0, :] = jnp.sum(mu_s * yom / phi_mu, axis=0)
+            ka_ref[0, :] = jnp.sum(ka_s * yom / phi_ka, axis=0)
 
         # ---- mole fractions (molar_from_mass, library.py) ----
         xs = ys / mmc
@@ -425,7 +444,7 @@ def cons2prim_fused(lay, tp, nt_meta, u_t, t_guess, tke, b_h, b_all, mm, ri,
         in_specs=[bs(nvar), bs(1), bs(1), bs(1), bs(1), bs(s),
                   fb(b_h.shape[0], b_h.shape[1]),
                   fb(b_all.shape[0], b_all.shape[1]),
-                  fb(s, 1), fb(s, 1), fb(s, s), fb(s, s), fb(s, s)],
+                  fb(s, 1), fb(s, 1), fb(6 * s, 3 * s)],
         out_specs=[bs(nvar), bs(nprim), bs(1), bs(nvar), bs(nvar),
                    bs(1), bs(1), bs(s)],
         out_shape=[
@@ -453,6 +472,19 @@ def node_state(lib, lay, tp, u, t_guess, turb_ke=None):
     wk_cmass = (mmn[None, :] / mmn[:, None]) ** 0.25
     wk_cden = 1.0 / np.sqrt(8.0 * (1.0 + mmn[:, None] / mmn[None, :]))
     wk_cdoff = 1.065 * wk_cden * (1.0 - np.eye(lay.ns))
+    # (6S, 3S) block-diagonal Wilke contraction stack (see kernel): row
+    # blocks [mu order-0/1/2, kappa order-0/1/2], column block j holds the
+    # order-j matrix.  kappa's order-0 block carries +I for the phi_ka
+    # self-term (the loop form started the accumulation at yom).
+    s = lay.ns
+    b_wk = np.zeros((6 * s, 3 * s))
+    for j, m in enumerate([wk_cden, 2.0 * wk_cden * wk_cmass,
+                           wk_cden * wk_cmass ** 2]):
+        b_wk[j * s:(j + 1) * s, j * s:(j + 1) * s] = m
+    for j, m in enumerate([wk_cdoff + np.eye(s),
+                           2.0 * wk_cdoff * wk_cmass,
+                           wk_cdoff * wk_cmass ** 2]):
+        b_wk[(3 + j) * s:(4 + j) * s, j * s:(j + 1) * s] = m
     b_h, b_all = _tables(lib, u.dtype)
     tke = jnp.zeros_like(t_guess) if turb_ke is None else turb_ke
     uc, v, nonp, dtdu, dpdu, mu, ka, xs = cons2prim_fused(
@@ -460,6 +492,5 @@ def node_state(lib, lay, tp, u, t_guess, turb_ke=None):
         u.T, t_guess, tke, b_h, b_all,
         jnp.asarray(lib.mm, u.dtype)[:, None],
         jnp.asarray(lib.ri, u.dtype)[:, None],
-        jnp.asarray(wk_cmass, u.dtype), jnp.asarray(wk_cden, u.dtype),
-        jnp.asarray(wk_cdoff, u.dtype))
+        jnp.asarray(b_wk, u.dtype))
     return (uc.T, v.T, nonp > 0.5, dtdu.T, dpdu.T, mu, ka, xs.T)

@@ -25,9 +25,25 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# VMEM budget for the resident sel blocks (bytes); beyond this the XLA
-# gather/roll path is used instead.
-_VMEM_SEL_BUDGET = 6 * 1024 * 1024
+# Mosaic scoped-VMEM ceiling requested for these kernels (v5e has 128 MB of
+# VMEM; the default 16 MB scoped limit rejects full-field sweeps well before
+# physical capacity).
+_VMEM_LIMIT = 96 * 1024 * 1024
+
+
+def _est_stack_bytes(k: int, v: int, npad: int, ncolor: int,
+                     sel_itemsize: int, itemsize: int = 4) -> int:
+    """Conservative scoped-VMEM stack estimate for the fused sweep.
+
+    Calibrated against a measured Mosaic allocation (k=4, v=2,
+    npad=141824, bf16 sel -> 27.05 MB): the working set beyond the
+    resident sel blocks is dominated by per-color temporaries (rolled
+    states, block products, masks), modeled as
+    (v*v [dinv] + ncolor [masks] + 6v [r/z/acc/zn/y] + k*v [rolls]) rows
+    with a 2x safety factor."""
+    sel_rows = k * v * v
+    f32_rows = 2 * (v * v + ncolor + 6 * v + k * v)
+    return npad * (sel_rows * sel_itemsize + f32_rows * itemsize)
 
 
 def _pad_lanes(x, npad):
@@ -38,12 +54,30 @@ def _pad_lanes(x, npad):
         [x, jnp.zeros(x.shape[:-1] + (extra,), x.dtype)], axis=-1)
 
 
-def supported(mesh, v: int, dtype) -> bool:
+# f32 sel keeps the original tight resident-blocks budget: wide-block f32
+# sweeps that miss it measured slower than the bf16-sel + f32-XLA-matvec
+# combination (flat plate v=7), so exceeding it should fall through to the
+# bf16 tier rather than run a VMEM-thrashing f32 kernel.
+_F32_SEL_BUDGET = 6 * 1024 * 1024
+
+
+def supported(mesh, v: int, dtype, ncolor: int | None = None) -> bool:
     if mesh.stencil_offsets is None or mesh.n_shards != 1:
         return False
     k = len(mesh.stencil_offsets)
     npad = -(-mesh.npoint // 128) * 128
-    return k * v * v * npad * jnp.dtype(dtype).itemsize <= _VMEM_SEL_BUDGET
+    itemsize = jnp.dtype(dtype).itemsize
+    if dtype != jnp.bfloat16:
+        return k * v * v * npad * itemsize <= _F32_SEL_BUDGET
+    est = _est_stack_bytes(k, v, npad, ncolor if ncolor else k + 1, itemsize)
+    return est <= _VMEM_LIMIT
+
+
+def _cparams():
+    """Raise the Mosaic scoped-VMEM ceiling: full-field sweeps at 100k+
+    nodes exceed the default 16 MB scoped limit long before the 128 MB of
+    physical VMEM; supported() models the stack against _VMEM_LIMIT."""
+    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
 
 
 def _roll(x, off):
@@ -108,6 +142,7 @@ def _sgs_matvec_call(sel_t, dinv_t, diag_t, masks_t, r_t, *, offsets, v,
     z, w = pl.pallas_call(
         kernel,
         interpret=interpret,
+        compiler_params=None if interpret else _cparams(),
         in_specs=[full(sel_t), full(dinv_t), full(diag_t), full(masks_t),
                   full(r_t)],
         out_specs=[full(r_t), full(r_t)],
@@ -132,6 +167,7 @@ def _sgs_call(sel_t, dinv_t, masks_t, r_t, *, offsets, v, ncolor, interpret):
     return pl.pallas_call(
         kernel,
         interpret=interpret,
+        compiler_params=None if interpret else _cparams(),
         in_specs=[full(sel_t), full(dinv_t), full(masks_t), full(r_t)],
         out_specs=full(r_t),
         out_shape=jax.ShapeDtypeStruct((v, npad), dtype),
@@ -152,6 +188,7 @@ def _matvec_call(sel_t, diag_t, x_t, *, offsets, v, interpret):
     return pl.pallas_call(
         kernel,
         interpret=interpret,
+        compiler_params=None if interpret else _cparams(),
         in_specs=[full(sel_t), full(diag_t), full(x_t)],
         out_specs=full(x_t),
         out_shape=jax.ShapeDtypeStruct((v, npad), dtype),
