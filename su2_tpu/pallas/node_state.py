@@ -93,7 +93,6 @@ _WIN = 256
 # node-tile width (lanes) per grid step; module-level so benchmarks can
 # sweep it
 _TILE = 512
-_BISECT = ""
 
 
 def spline_gather(tab_ref, nrows, klo, *, ntp, split, dtype):
@@ -339,8 +338,6 @@ def cons2prim_fused(lay, tp, nt_meta, u_t, t_guess, tke, b_h, b_all, mm, ri,
             (jnp.asarray(0, jnp.int32), _concrete(ta0), _concrete(tb0),
              _concrete(0.5 * (ta0 + tb0)), bdone0))
         t = jnp.where(sec_ok, t_sec2[0], tbis2[0])
-        if _BISECT == "nosecant":
-            t = tg[0]
 
         # ---- primitives (cons2prim, state.py:208-237) ----
         nonphys = jnp.maximum(
@@ -351,12 +348,7 @@ def cons2prim_fused(lay, tp, nt_meta, u_t, t_guess, tke, b_h, b_all, mm, ri,
         press = jnp.maximum(press, EPS)
 
         # one matmul for h/cp/mu/kappa at the final T
-        if _BISECT == "nolookup":
-            allq = jnp.broadcast_to(mm_ref[...], (ns, t.shape[-1]))
-            allq = jnp.concatenate([allq * 30.0, allq * 1000.0,
-                                    allq * 1e-5, allq * 0.02], axis=0)
-        else:
-            allq = lookup(ba_ref, 16 * ns, t)         # (4S, tile) molar rows
+        allq = lookup(ba_ref, 16 * ns, t)             # (4S, tile) molar rows
         h_mol = allq[:ns]
         cp_mol = allq[ns:2 * ns]
         mu_s = allq[2 * ns:3 * ns]
@@ -408,24 +400,20 @@ def cons2prim_fused(lay, tp, nt_meta, u_t, t_guess, tke, b_h, b_all, mm, ri,
         #      yom/r^2] recombined with per-row r_i weights.  b_wilke is the
         #      (6S, 3S) block-diagonal stack of those matrices (built in
         #      node_state) — one MXU dot replaces the O(S^2) elementwise
-        #      loop that dominated the kernel's VPU time ----
+        #      loop (~7% of the kernel at 9 species) ----
         yom = ys / mmc                             # (S, tile)
-        if _BISECT == "nowilke":
-            mu_ref[0, :] = jnp.sum(mu_s * yom, axis=0)
-            ka_ref[0, :] = jnp.sum(ka_s * yom, axis=0)
-        else:
-            r = jnp.sqrt(mu_s)
-            rinv = 1.0 / r
-            w1 = yom * rinv
-            w = jnp.concatenate([yom, w1, w1 * rinv], axis=0)   # (3S, tile)
-            phis = jnp.dot(bw_ref[...], w, preferred_element_type=dtype,
-                           precision=jax.lax.Precision.HIGHEST)  # (6S, tile)
-            r2 = r * r
-            phi_mu = phis[:ns] + r * phis[ns:2 * ns] + r2 * phis[2 * ns:3 * ns]
-            phi_ka = phis[3 * ns:4 * ns] + r * phis[4 * ns:5 * ns] \
-                + r2 * phis[5 * ns:]
-            mu_ref[0, :] = jnp.sum(mu_s * yom / phi_mu, axis=0)
-            ka_ref[0, :] = jnp.sum(ka_s * yom / phi_ka, axis=0)
+        r = jnp.sqrt(mu_s)
+        rinv = 1.0 / r
+        w1 = yom * rinv
+        w = jnp.concatenate([yom, w1, w1 * rinv], axis=0)   # (3S, tile)
+        phis = jnp.dot(bw_ref[...], w, preferred_element_type=dtype,
+                       precision=jax.lax.Precision.HIGHEST)  # (6S, tile)
+        r2 = r * r
+        phi_mu = phis[:ns] + r * phis[ns:2 * ns] + r2 * phis[2 * ns:3 * ns]
+        phi_ka = phis[3 * ns:4 * ns] + r * phis[4 * ns:5 * ns] \
+            + r2 * phis[5 * ns:]
+        mu_ref[0, :] = jnp.sum(mu_s * yom / phi_mu, axis=0)
+        ka_ref[0, :] = jnp.sum(ka_s * yom / phi_ka, axis=0)
 
         # ---- mole fractions (molar_from_mass, library.py) ----
         xs = ys / mmc
