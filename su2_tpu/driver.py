@@ -636,8 +636,11 @@ class Simulation:
             if mesh.pg_src is not None:
                 u_new = self._pg_refresh_u(u_new)
             rho_old = v[:, lay.PRHO]
-            nsd2 = st.node_state(lib, lay, u_new, v[:, lay.T], tparams,
-                                 turb_ke=tke)
+            # reduced pass: the turb system reads v, X_s, mu and gamma-1
+            # only; the full bundle is rebuilt at the next iteration's head
+            # (with the updated tke in the temperature secant)
+            nsd2 = st.node_state_lite(lib, lay, u_new, v[:, lay.T], tparams,
+                                      turb_ke=tke)
             u_new, v_new, nonphys2 = nsd2.u, nsd2.v, nsd2.nonphys
             qgrad = vis.ns_gradient_vars(lib, lay, v_new, xs=nsd2.xs)
             # ride the (k, omega) gradients in the same WLS/GG sweep when
@@ -652,7 +655,7 @@ class Simulation:
                 grad_new = es.compute_gradients(mesh, prm, qgrad)
                 gq_turb = None
             strain, vort = sst.strain_and_vorticity(lay, grad_new)
-            trans_new = vis.Transport(mu=nsd2.mu, kappa=nsd2.kappa, dij=None)
+            trans_new = vis.Transport(mu=nsd2.mu, kappa=None, dij=None)
             if cfg.kind_turb_model == "SA":
                 from su2_tpu.turbulence import sa
                 gamma_eff = None
@@ -678,12 +681,11 @@ class Simulation:
                         lm_state, sigma_k, rms_scale * rms, rmax,
                         rms_scale * turb_rms,
                         nonphys.sum() + nonphys2.sum(), min_dt)
-            dpdu_new = nsd2.dpdu
             q_new, turb_rms, outs = sst.sst_step(
                 lay, mesh, scfg, bcs, q, v_new, grad_new,
                 trans_new.mu, mu_t, strain, dist, rho_old, dt,
                 self.kine_inf, self.omega_inf,
-                lib=lib, dpdu_e=dpdu_new[:, lay.RHOE], tke_inf=prm.tke_inf,
+                lib=lib, dpdu_e=nsd2.gm1, tke_inf=prm.tke_inf,
                 gq=gq_turb)
             return (u_new, v_new[:, lay.T], q_new, outs["mu_t"],
                     outs["grad_k"], outs["sigma_k"], rms_scale * rms, rmax,

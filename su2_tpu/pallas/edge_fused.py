@@ -36,6 +36,10 @@ from jax.experimental import pallas as pl
 from su2_tpu.ops import ausm_t, viscous_t
 from su2_tpu.ops.viscous_t import SpeciesConsts
 
+# edge-tile width (lanes) per grid step; module-level so benchmarks can
+# sweep it (see scripts/bench_node_state.py for the node-side sweep)
+_TILE = 512
+
 
 def _pad_cols(x, npad):
     """Pad trailing edge axis with copies of column 0 (valid data)."""
@@ -86,7 +90,7 @@ def fused_edge_flux_pallas(lay, m_infty, prandtl_turb, lewis_turb,
     nd, ns, nvar, nprim = lay.ndim, lay.ns, lay.nvar, lay.nprim
     gd = (1 + nd + ns) * nd
     ne = f_i.shape[-1]
-    tile = 512 if ne >= 512 else max(128, ne)
+    tile = _TILE if ne >= _TILE else max(128, ne)
     npad = -(-ne // tile) * tile
     mm_sum = sc.mm_sum
 
@@ -297,7 +301,7 @@ def fused_edge_implicit_pallas(lay, m_infty, prandtl_turb, lewis_turb,
     ng = 2 + nd + ns
     r = _implicit_rows(lay)
     ne = f_i.shape[-1]
-    tile = 512 if ne >= 512 else max(128, ne)
+    tile = _TILE if ne >= _TILE else max(128, ne)
     npad = -(-ne // tile) * tile
     mm_sum = sc.mm_sum
     eps = 1e-16

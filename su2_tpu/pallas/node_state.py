@@ -64,18 +64,22 @@ def _split3(x):
     return jnp.concatenate([t1, t2, t3], axis=0)
 
 
-def _tables(lib, dtype):
+def _tables(lib, dtype, lite=False):
     """(b_h (4S, nTp), b_all (16S, nTp)) stacked spline tables, with the
     knot axis padded to a multiple of the 128-lane chunk (padding repeats
     the last knot; never selected — klo is clipped to nt-1).
+
+    lite: b_all carries only the [cp, mu] families (8S rows) — the reduced
+    turb-phase call needs neither h (only dT/dU, dP/dU read it) nor kappa.
 
     For f32 states the tables ride as 3-level bf16 splits (see _split3),
     tripling the row count."""
     fams = [_stack4(lib.h_y, lib.h_y2), _stack4(lib.cp_y, lib.cp_y2),
             _stack4(lib.mu_y, lib.mu_y2), _stack4(lib.ka_y, lib.ka_y2)]
     b_h = jnp.concatenate(fams[0], axis=0).astype(dtype)
+    use = [fams[1], fams[2]] if lite else fams
     b_all = jnp.concatenate(
-        [fams[f][k] for k in range(4) for f in range(4)], axis=0
+        [use[f][k] for k in range(4) for f in range(len(use))], axis=0
     ).astype(dtype)
     nt = b_h.shape[1]
     ntp = -(-nt // _CHUNK) * _CHUNK
@@ -158,14 +162,20 @@ def _pad_cols(x, npad):
     return jnp.concatenate([x, rep], axis=-1)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2))
-def cons2prim_fused(lay, tp, nt_meta, u_t, t_guess, tke, b_h, b_all, mm, ri,
-                    b_wilke):
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def cons2prim_fused(lay, tp, nt_meta, lite, u_t, t_guess, tke, b_h, b_all,
+                    mm, ri, b_wilke):
     """u_t: (nVar, N) feature-major conserved state; t_guess, tke: (N,).
 
     tp: state.TSolveParams (static).  nt_meta: (t0, dt, nT) static.
     b_h/b_all: stacked spline tables (see module doc); mm, ri: (S, 1);
     b_wilke: (2S, 3S) stacked Wilke contraction blocks — see node_state.
+
+    lite (static): the reduced turb-phase variant — the second call per
+    outer iteration only feeds the turbulence system (driver.py), which
+    reads v, X_s, mu and dP/dU's RHOE entry (= gamma-1).  Skips dT/dU,
+    dP/dU, the h table family and the Wasilewska kappa mixing, and returns
+    (uclip_t, v_t, nonphys, gm1, mu, xs_t) instead.
 
     The secant constants c1 = (-rhoE + rho k + rho|v|^2/2)/(rho R) and
     c2 = 1/R plus the enthalpy weights w_h = Y_s/M_s ride in as dedicated
@@ -202,11 +212,18 @@ def cons2prim_fused(lay, tp, nt_meta, u_t, t_guess, tke, b_h, b_all, mm, ri,
            b_h, b_all, mm, ri, b_wilke]
 
     def kernel(u_ref, tg_ref, tke_ref, c1_ref, c2_ref, wh_ref,
-               bh_ref, ba_ref, mm_ref, ri_ref, bw_ref,
-               uc_ref, v_ref, np_ref, dt_ref, dp_ref, mu_ref, ka_ref,
-               xs_ref):
+               bh_ref, ba_ref, mm_ref, ri_ref, bw_ref, *outs):
+        if lite:
+            uc_ref, v_ref, np_ref, gm1_ref, mu_ref, xs_ref = outs
+        else:
+            (uc_ref, v_ref, np_ref, dt_ref, dp_ref, mu_ref, ka_ref,
+             xs_ref) = outs
         u = u_ref[...]
         mmc = mm_ref[...]                     # (S, 1)
+        # reciprocal once per tile: the (S, tile) divides by the constant
+        # molar masses (cp_s, h_sp, yom, xs) become multiplies — TPU VPU
+        # divides are multi-cycle and this kernel is VPU-bound
+        mminv = 1.0 / mmc
         ric = ri_ref[...]
 
         rho_s = u[lay.RHOS:lay.RHOS + ns]
@@ -215,10 +232,11 @@ def cons2prim_fused(lay, tp, nt_meta, u_t, t_guess, tke, b_h, b_all, mm, ri,
         rho = u[lay.RHO]
         nonphys = jnp.maximum(nonphys, (rho < EPS).astype(dtype))
         rho = jnp.maximum(rho, EPS)
-        ys = rho_s / rho[None, :]
+        rhoinv = 1.0 / rho
+        ys = rho_s * rhoinv[None, :]
         nonphys = jnp.maximum(
             nonphys, (jnp.abs(jnp.sum(ys, axis=0) - 1.0) > 0.1).astype(dtype))
-        vel = u[lay.RHOVX:lay.RHOVX + nd] / rho[None, :]
+        vel = u[lay.RHOVX:lay.RHOVX + nd] * rhoinv[None, :]
         sqvel = jnp.sum(vel * vel, axis=0)
         rgas = jnp.sum(ric * ys, axis=0)
 
@@ -347,15 +365,21 @@ def cons2prim_fused(lay, tp, nt_meta, u_t, t_guess, tke, b_h, b_all, mm, ri,
         nonphys = jnp.maximum(nonphys, (press < EPS).astype(dtype))
         press = jnp.maximum(press, EPS)
 
-        # one matmul for h/cp/mu/kappa at the final T
-        allq = lookup(ba_ref, 16 * ns, t)             # (4S, tile) molar rows
-        h_mol = allq[:ns]
-        cp_mol = allq[ns:2 * ns]
-        mu_s = allq[2 * ns:3 * ns]
-        ka_s = allq[3 * ns:]
+        # one matmul for h/cp/mu/kappa at the final T ([cp, mu] only in the
+        # lite variant — h feeds only dT/dU-dP/dU, kappa only Wasilewska)
+        if lite:
+            allq = lookup(ba_ref, 8 * ns, t)          # (2S, tile) molar rows
+            cp_mol = allq[:ns]
+            mu_s = allq[ns:]
+            h_mol = ka_s = None
+        else:
+            allq = lookup(ba_ref, 16 * ns, t)         # (4S, tile) molar rows
+            h_mol = allq[:ns]
+            cp_mol = allq[ns:2 * ns]
+            mu_s = allq[2 * ns:3 * ns]
+            ka_s = allq[3 * ns:]
 
-        cp_s = cp_mol / mmc                       # specific, matches /lib.mm
-        h_sp = h_mol / mmc
+        cp_s = cp_mol * mminv                     # specific, matches /lib.mm
         cp_mix = jnp.sum(ys * cp_s, axis=0)
         gamma = cp_mix / (cp_mix - rgas)
         sound = jnp.sqrt(gamma * press / rho)
@@ -376,21 +400,26 @@ def cons2prim_fused(lay, tp, nt_meta, u_t, t_guess, tke, b_h, b_all, mm, ri,
         uc_ref[lay.RHO, :] = rho
         np_ref[0, :] = nonphys
 
-        # ---- dT/dU, dP/dU (state.py:254-291) ----
-        e_s = h_sp - ric * t[None, :]
-        cv = cp_mix - rgas
-        rho_cv = rho * cv
-        dt_ref[lay.RHO, :] = 0.5 * sqvel / rho_cv
-        dt_ref[lay.RHOVX:lay.RHOVX + nd, :] = -vel / rho_cv[None, :]
-        dt_ref[lay.RHOE, :] = 1.0 / rho_cv
-        dt_ref[lay.RHOS:lay.RHOS + ns, :] = -e_s / rho_cv[None, :]
-
+        # ---- dT/dU, dP/dU (state.py:254-291); lite: only the RHOE entry
+        #      of dP/dU (= gamma-1) survives to the turb system ----
         gm1 = gamma - 1.0
-        dp_ref[lay.RHO, :] = gm1 * 0.5 * sqvel
-        dp_ref[lay.RHOVX:lay.RHOVX + nd, :] = (1.0 - gamma)[None, :] * vel
-        dp_ref[lay.RHOE, :] = gm1
-        dp_ref[lay.RHOS:lay.RHOS + ns, :] = ric * t[None, :] \
-            - gm1[None, :] * e_s
+        if lite:
+            gm1_ref[0, :] = gm1
+        else:
+            h_sp = h_mol * mminv
+            e_s = h_sp - ric * t[None, :]
+            cv = cp_mix - rgas
+            rho_cv = rho * cv
+            dt_ref[lay.RHO, :] = 0.5 * sqvel / rho_cv
+            dt_ref[lay.RHOVX:lay.RHOVX + nd, :] = -vel / rho_cv[None, :]
+            dt_ref[lay.RHOE, :] = 1.0 / rho_cv
+            dt_ref[lay.RHOS:lay.RHOS + ns, :] = -e_s / rho_cv[None, :]
+
+            dp_ref[lay.RHO, :] = gm1 * 0.5 * sqvel
+            dp_ref[lay.RHOVX:lay.RHOVX + nd, :] = (1.0 - gamma)[None, :] * vel
+            dp_ref[lay.RHOE, :] = gm1
+            dp_ref[lay.RHOS:lay.RHOS + ns, :] = ric * t[None, :] \
+                - gm1[None, :] * e_s
 
         # ---- Wilke mu / Wasilewska kappa (library.py:284-318) as ONE MXU
         #      contraction.  The pair polynomial expands exactly:
@@ -401,30 +430,37 @@ def cons2prim_fused(lay, tp, nt_meta, u_t, t_guess, tke, b_h, b_all, mm, ri,
         #      (6S, 3S) block-diagonal stack of those matrices (built in
         #      node_state) — one MXU dot replaces the O(S^2) elementwise
         #      loop (~7% of the kernel at 9 species) ----
-        yom = ys / mmc                             # (S, tile)
+        yom = ys * mminv                           # (S, tile)
         r = jnp.sqrt(mu_s)
         rinv = 1.0 / r
         w1 = yom * rinv
         w = jnp.concatenate([yom, w1, w1 * rinv], axis=0)   # (3S, tile)
         phis = jnp.dot(bw_ref[...], w, preferred_element_type=dtype,
-                       precision=jax.lax.Precision.HIGHEST)  # (6S, tile)
+                       precision=jax.lax.Precision.HIGHEST)
         r2 = r * r
         phi_mu = phis[:ns] + r * phis[ns:2 * ns] + r2 * phis[2 * ns:3 * ns]
-        phi_ka = phis[3 * ns:4 * ns] + r * phis[4 * ns:5 * ns] \
-            + r2 * phis[5 * ns:]
         mu_ref[0, :] = jnp.sum(mu_s * yom / phi_mu, axis=0)
-        ka_ref[0, :] = jnp.sum(ka_s * yom / phi_ka, axis=0)
+        if not lite:
+            phi_ka = phis[3 * ns:4 * ns] + r * phis[4 * ns:5 * ns] \
+                + r2 * phis[5 * ns:]
+            ka_ref[0, :] = jnp.sum(ka_s * yom / phi_ka, axis=0)
 
-        # ---- mole fractions (molar_from_mass, library.py) ----
-        xs = ys / mmc
-        xs_ref[...] = xs * (jnp.sum(ys, axis=0)
-                            / jnp.sum(xs, axis=0))[None, :]
+        # ---- mole fractions (molar_from_mass, library.py); ys/M is the
+        #      Wilke yom above ----
+        xs_ref[...] = yom * (jnp.sum(ys, axis=0)
+                             / jnp.sum(yom, axis=0))[None, :]
 
     grid = (npad // tile,)
     interpret = jax.devices()[0].platform != "tpu"
     bs = lambda w: pl.BlockSpec((w, tile), lambda i: (0, i))
     fb = lambda a, b: pl.BlockSpec((a, b), lambda i: (0, 0))
     s = lay.ns
+    if lite:
+        out_widths = [nvar, nprim, 1, 1, 1, s]
+        bw_rows = 3 * s
+    else:
+        out_widths = [nvar, nprim, 1, nvar, nvar, 1, 1, s]
+        bw_rows = 6 * s
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -432,30 +468,26 @@ def cons2prim_fused(lay, tp, nt_meta, u_t, t_guess, tke, b_h, b_all, mm, ri,
         in_specs=[bs(nvar), bs(1), bs(1), bs(1), bs(1), bs(s),
                   fb(b_h.shape[0], b_h.shape[1]),
                   fb(b_all.shape[0], b_all.shape[1]),
-                  fb(s, 1), fb(s, 1), fb(6 * s, 3 * s)],
-        out_specs=[bs(nvar), bs(nprim), bs(1), bs(nvar), bs(nvar),
-                   bs(1), bs(1), bs(s)],
-        out_shape=[
-            jax.ShapeDtypeStruct((nvar, npad), dtype),
-            jax.ShapeDtypeStruct((nprim, npad), dtype),
-            jax.ShapeDtypeStruct((1, npad), dtype),
-            jax.ShapeDtypeStruct((nvar, npad), dtype),
-            jax.ShapeDtypeStruct((nvar, npad), dtype),
-            jax.ShapeDtypeStruct((1, npad), dtype),
-            jax.ShapeDtypeStruct((1, npad), dtype),
-            jax.ShapeDtypeStruct((s, npad), dtype),
-        ],
+                  fb(s, 1), fb(s, 1), fb(bw_rows, 3 * s)],
+        out_specs=[bs(w) for w in out_widths],
+        out_shape=[jax.ShapeDtypeStruct((w, npad), dtype)
+                   for w in out_widths],
     )(*ins)
+    if lite:
+        uc, v, nonp, gm1, mu, xs = outs
+        return (uc[:, :n], v[:, :n], nonp[0, :n], gm1[0, :n],
+                mu[0, :n], xs[:, :n])
     uc, v, nonp, dtdu, dpdu, mu, ka, xs = outs
     return (uc[:, :n], v[:, :n], nonp[0, :n], dtdu[:, :n], dpdu[:, :n],
             mu[0, :n], ka[0, :n], xs[:, :n])
 
 
-def node_state(lib, lay, tp, u, t_guess, turb_ke=None):
+def node_state(lib, lay, tp, u, t_guess, turb_ke=None, lite=False):
     """Row-major wrapper: run the fused kernel on (N, nVar) conserved state.
 
     Returns (u_clip, v, nonphys_bool, dtdu, dpdu, mu, kappa, xs), all
-    row-major."""
+    row-major; with lite=True (u_clip, v, nonphys_bool, gm1, mu, xs) —
+    see cons2prim_fused."""
     mmn = np.asarray(lib.mm)
     wk_cmass = (mmn[None, :] / mmn[:, None]) ** 0.25
     wk_cden = 1.0 / np.sqrt(8.0 * (1.0 + mmn[:, None] / mmn[None, :]))
@@ -463,7 +495,8 @@ def node_state(lib, lay, tp, u, t_guess, turb_ke=None):
     # (6S, 3S) block-diagonal Wilke contraction stack (see kernel): row
     # blocks [mu order-0/1/2, kappa order-0/1/2], column block j holds the
     # order-j matrix.  kappa's order-0 block carries +I for the phi_ka
-    # self-term (the loop form started the accumulation at yom).
+    # self-term (the loop form started the accumulation at yom).  The lite
+    # variant carries only the mu rows.
     s = lay.ns
     b_wk = np.zeros((6 * s, 3 * s))
     for j, m in enumerate([wk_cden, 2.0 * wk_cden * wk_cmass,
@@ -473,12 +506,18 @@ def node_state(lib, lay, tp, u, t_guess, turb_ke=None):
                            2.0 * wk_cdoff * wk_cmass,
                            wk_cdoff * wk_cmass ** 2]):
         b_wk[(3 + j) * s:(4 + j) * s, j * s:(j + 1) * s] = m
-    b_h, b_all = _tables(lib, u.dtype)
+    if lite:
+        b_wk = b_wk[:3 * s]
+    b_h, b_all = _tables(lib, u.dtype, lite=lite)
     tke = jnp.zeros_like(t_guess) if turb_ke is None else turb_ke
-    uc, v, nonp, dtdu, dpdu, mu, ka, xs = cons2prim_fused(
-        lay, tp, (float(lib.t0), float(lib.dt), int(lib.nt)),
+    outs = cons2prim_fused(
+        lay, tp, (float(lib.t0), float(lib.dt), int(lib.nt)), lite,
         u.T, t_guess, tke, b_h, b_all,
         jnp.asarray(lib.mm, u.dtype)[:, None],
         jnp.asarray(lib.ri, u.dtype)[:, None],
         jnp.asarray(b_wk, u.dtype))
+    if lite:
+        uc, v, nonp, gm1, mu, xs = outs
+        return (uc.T, v.T, nonp > 0.5, gm1, mu, xs.T)
+    uc, v, nonp, dtdu, dpdu, mu, ka, xs = outs
     return (uc.T, v.T, nonp > 0.5, dtdu.T, dpdu.T, mu, ka, xs.T)

@@ -272,6 +272,26 @@ jax.tree_util.register_dataclass(
     NodeState, data_fields=["u", "v", "nonphys", "dtdu", "dpdu", "mu",
                             "kappa", "xs"], meta_fields=[])
 
+
+@dataclass
+class NodeStateLite:
+    """Reduced node-state bundle for the turbulence phase: the second
+    Cons2Prim pass per outer iteration only feeds the turb system, which
+    reads v, X_s, mu and dP/dU's RHOE entry (driver.py) — dT/dU, the rest
+    of dP/dU and kappa are recomputed next iteration anyway (with the
+    updated turbulent kinetic energy in the secant)."""
+    u: jax.Array        # clipped conserved (N, nVar)
+    v: jax.Array        # primitives (N, nPrim)
+    nonphys: jax.Array  # (N,) bool
+    gm1: jax.Array      # (N,) dP/dU[RHOE] = gamma - 1
+    mu: jax.Array       # (N,) laminar viscosity
+    xs: jax.Array       # (N, S) mole fractions
+
+
+jax.tree_util.register_dataclass(
+    NodeStateLite, data_fields=["u", "v", "nonphys", "gm1", "mu", "xs"],
+    meta_fields=[])
+
 # "xla" composes the individual state.py/library.py functions; "pallas"
 # runs the fused node-state TPU kernel (pallas/node_state.py).
 _NODE_STATE_MODE = "xla"
@@ -300,6 +320,26 @@ def node_state(lib: ChemLib, lay: Layout, u: jax.Array, t_guess: jax.Array,
         uc, v, nonphys, dtdu(lib, lay, v), dpdu(lib, lay, v),
         cl.mixture_viscosity(lib, t, ys), cl.mixture_conductivity(lib, t, ys),
         cl.molar_from_mass(lib, ys))
+
+
+def node_state_lite(lib: ChemLib, lay: Layout, u: jax.Array,
+                    t_guess: jax.Array, p: TSolveParams,
+                    turb_ke: jax.Array | None = None) -> NodeStateLite:
+    """Reduced preprocessing pass for the turbulence phase (see
+    NodeStateLite).  On the pallas path this skips the h/kappa table
+    families, dT/dU and dP/dU inside the kernel; on the XLA path jit's
+    dead-code elimination trims the unused chains."""
+    if _NODE_STATE_MODE == "pallas" and not p.clip_temp:
+        from su2_tpu.pallas import node_state as nst
+        uc, v, nonphys, gm1, mu, xs = nst.node_state(
+            lib, lay, p, u, t_guess, turb_ke=turb_ke, lite=True)
+        return NodeStateLite(uc, v, nonphys, gm1, mu, xs)
+    uc, v, nonphys = cons2prim(lib, lay, u, t_guess, p, turb_ke=turb_ke)
+    t = v[:, lay.T]
+    ys = v[:, lay.YS:lay.YS + lay.ns]
+    return NodeStateLite(
+        uc, v, nonphys, dpdu(lib, lay, v)[:, lay.RHOE],
+        cl.mixture_viscosity(lib, t, ys), cl.molar_from_mass(lib, ys))
 
 
 def prim2cons(lib: ChemLib, lay: Layout, v: jax.Array) -> jax.Array:

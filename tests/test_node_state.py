@@ -72,6 +72,26 @@ def test_node_state_matches_chain(pasr_sim):
     _compare(sim.lib, sim.lay, sim.tparams, sim.u0, sim.t0, q[:, 0])
 
 
+def test_node_state_lite_matches_full(pasr_sim):
+    """The reduced turb-phase variant (lite=True) returns bit-identical
+    v/u/nonphys/mu/xs and gm1 == dpdu[:, RHOE] of the full kernel."""
+    sim, q = pasr_sim
+    lib, lay, tp = sim.lib, sim.lay, sim.tparams
+    tke = q[:, 0]
+    full = nst.node_state(lib, lay, tp, sim.u0, sim.t0, turb_ke=tke)
+    lite = nst.node_state(lib, lay, tp, sim.u0, sim.t0, turb_ke=tke,
+                          lite=True)
+    uc, v, nonphys, gm1, mu, xs = lite
+    np.testing.assert_array_equal(np.asarray(uc), np.asarray(full[0]))
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(full[1]))
+    np.testing.assert_array_equal(np.asarray(nonphys), np.asarray(full[2]))
+    np.testing.assert_allclose(np.asarray(gm1),
+                               np.asarray(full[4][:, lay.RHOE]), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(mu), np.asarray(full[5]),
+                               rtol=1e-12)
+    np.testing.assert_array_equal(np.asarray(xs), np.asarray(full[7]))
+
+
 def test_node_state_bisection_path(pasr_sim):
     """Force most cells through the bisection fallback (secant budget 1)."""
     sim, q = pasr_sim
