@@ -100,6 +100,44 @@ def test_pasr_residual_history_matches_reference(combustion_dir, tmp_path):
 
 
 @pytest.mark.slow
+def test_first_chem_residual_history_matches_reference(combustion_dir,
+                                                       tmp_path):
+    """The FIRST reaction set (my_combustion_first_chem_PaSR.cfg,
+    test_chem_first.txt — the other shipped chemistry) matches the same
+    reference rows: the rebuilt reference binary confirms both chemistries
+    are numerically identical while the jet is inert (fields agree to
+    1e-14 relative after 50 chained iterations; PaSR + the cold state keep
+    both reaction sets from firing before the IGNITION window at iter
+    8000).  This pins the first-chem manifest/reaction parsing and library
+    setup end-to-end."""
+    import jax.numpy as jnp
+    from su2_tpu.io import restart as rio
+
+    fix = np.load(os.path.join(os.path.dirname(__file__), "fixtures",
+                               "ref_restart_nochem.npz"))
+    coords = np.zeros((fix["u"].shape[0], 2))
+    import os as _os
+    cwd = _os.getcwd()
+    _os.chdir(tmp_path)
+    try:
+        rio.write_restart("restart_flow.dat", coords, fix["u"], fix["turb"])
+        cfg = Config(os.path.join(combustion_dir,
+                                  "my_combustion_first_chem_PaSR.cfg"))
+        sim = Simulation(cfg)
+        q = sim.initial_turb_state()
+        state = (sim.u0, sim.t0) + q
+        rows = []
+        for it in range(3):
+            out = sim._step(*state, jnp.asarray(False))
+            state = tuple(out[:6])
+            rms = np.log10(np.maximum(np.asarray(out[6]), 1e-300))
+            rows.append([rms[sim.lay.RHO], rms[sim.lay.RHOE]])
+        np.testing.assert_allclose(np.array(rows), REF_PASR, atol=5e-4)
+    finally:
+        _os.chdir(cwd)
+
+
+@pytest.mark.slow
 def test_pasr_50_iteration_fields_match_reference(combustion_dir, tmp_path):
     """Field-level parity: after 50 coupled PaSR iterations from the
     reference's no-chem restart, the conservative fields match the reference
