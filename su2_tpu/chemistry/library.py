@@ -196,7 +196,13 @@ def build_library(files: LibraryFiles, dtype=jnp.float64) -> ChemLib:
     lnkp = -dg / (R_UNGAS * t[None, :])
     lnkc = lnkp - dnu[:, None] * np.log(R_UNGAS_ATM * t[None, :])
 
-    a = lambda x: jnp.asarray(x, dtype=dtype)
+    # HOST numpy, deliberately: the library tables are static data that
+    # jitted functions close over.  As device (jnp) arrays every lowering
+    # that embeds them as an MLIR constant first pulls them BACK from the
+    # device (ArrayImpl._value) — on a tunneled TPU one such readback
+    # measured 124 s of the 142k-cell setup.  numpy constants embed from
+    # host memory and upload once with the compiled executable.
+    a = lambda x: np.asarray(x, dtype=np.dtype(dtype))
     return ChemLib(
         mm=a(mix.molar_masses), ri=a(R_UNGAS / mix.molar_masses),
         diff_vol=a(mix.diff_volumes), h_form=a(mix.formation_enthalpies),

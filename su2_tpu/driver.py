@@ -197,13 +197,12 @@ class Simulation:
         # AUSM+-up reference-Mach clamp, so low-Mach faces see fa(M_inf).
         m_infty = cfg.mach_number
         if cfg.reactive:
-            ys_inf = jnp.asarray(cfg.freestream_mass_frac, dtype=dtype)
-
-            def _a_inf(ys_in):
-                t = jnp.full((1,), cfg.freestream_temperature, dtype=dtype)
-                return cl.frozen_gamma_sound(self.lib, t, ys_in[None])[1][0]
-
-            a_inf = float(jax.device_get(jax.jit(_a_inf)(ys_inf)))
+            # pure-host evaluation (chemistry/host.py): no jit compile or
+            # device readback at setup — the tunnel readback path stalls
+            from su2_tpu.chemistry import host as clh
+            _, _, _, _, a_inf = clh.freestream_scalars(
+                self.lib, cfg.freestream_temperature,
+                cfg.freestream_mass_frac)
             modvel = float(np.linalg.norm(
                 np.asarray(cfg.freestream_velocity[:self.grid.ndim])))
             if modvel > 0.0 and a_inf > 0.0:
@@ -330,14 +329,11 @@ class Simulation:
         t_inf = cfg.freestream_temperature
         p_inf = cfg.freestream_pressure
 
-        def scalars(ys_in):
-            t = jnp.full((1,), t_inf, dtype=self.dtype)
-            return (cl.mixture_rgas(self.lib, ys_in[None])[0],
-                    cl.mixture_enthalpy(self.lib, t, ys_in[None])[0],
-                    cl.mixture_viscosity(self.lib, t, ys_in[None])[0])
-
-        rgas, h, mu = jax.device_get(jax.jit(scalars)(ys))
-        rgas, h = float(rgas), float(h)
+        # pure-host evaluation (chemistry/host.py): the jitted chain this
+        # replaces cost a remote compile + a device->host readback at setup
+        from su2_tpu.chemistry import host as clh
+        rgas, h, mu, _, _ = clh.freestream_scalars(
+            self.lib, t_inf, cfg.freestream_mass_frac)
         self._fs_mu_inf = float(mu)
         rho_inf = p_inf / (rgas * t_inf)
         vel_inf = np.array(cfg.freestream_velocity[:self.lay.ndim])
