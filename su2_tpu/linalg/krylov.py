@@ -36,20 +36,6 @@ def _pow2_scale(b):
     return jnp.where(absmax > 0, s, jnp.ones_like(s))
 
 
-def _lstsq_small(h, e1):
-    """min ||e1 - h y|| for a tiny static (r, c) Hessenberg block via normal
-    equations (jnp.linalg.lstsq lowers to SVD — slow on TPU)."""
-    from su2_tpu.linalg.smallsolve import gauss_solve
-
-    hth = h.T @ h
-    # tiny ridge to survive Arnoldi breakdown (lstsq handled rank deficiency)
-    ridge = 1e-14 * jnp.trace(hth) / h.shape[1] + 1e-300
-    hth = hth + ridge * jnp.eye(h.shape[1], dtype=h.dtype)
-    rhs = (h.T @ e1)[:, None]
-    y = gauss_solve(hth, rhs)[:, 0]
-    return y
-
-
 def fgmres(matvec, precond, b, x0=None, max_iter: int = 5, tol: float = 1e-6,
            precond_matvec=None):
     """Flexible GMRES (right preconditioning), single cycle of `max_iter`
@@ -123,14 +109,24 @@ def fgmres(matvec, precond, b, x0=None, max_iter: int = 5, tol: float = 1e-6,
         cur = jnp.abs(gj1)
         res_hist = jnp.where(active, cur, res_hist)
         active = active & (cur / norm0 >= tol)
-        cols.append(col + [hj1])
+        # fully-rotated upper-triangular column of R: entries rc[0..j-1]
+        # carry the previous rotations, the diagonal is the new rotation's
+        # annihilated magnitude (R_jj = cj*rc[j] + sj*rc[j+1] = denom)
+        cols.append(rc[:j] + [cj * rc[j] + sj * rc[j + 1]])
 
-    # final correction from the small least squares, as before
-    h = jnp.stack(
-        [jnp.stack(c + [zero] * (m - 1 - j)) for j, c in enumerate(cols)],
-        axis=1)
-    e1 = jnp.zeros(m + 1, dtype=b.dtype).at[0].set(beta)
-    y = _lstsq_small(h, e1)
+    # y from back-substitution on the Givens-rotated R y = g — the exact
+    # least-squares solution via the QR factors already built above (the
+    # same recurrence the reference's FGMRES uses: SolveReduced,
+    # linear_solvers_structure.cpp:309).  Replaces a pivoted dense solve of
+    # the normal equations (~450 scalar HLO ops per call).
+    y = [zero] * m
+    for j in range(m - 1, -1, -1):
+        acc = g[j]
+        for i in range(j + 1, m):
+            acc = acc - cols[i][j] * y[i]
+        rjj = cols[j][j]
+        y[j] = acc / jnp.where(rjj == 0.0, 1.0, rjj)
+        y[j] = jnp.where(rjj == 0.0, zero, y[j])
     dx = sum(y[j] * zs[j] for j in range(m))
     x = x + dx
     return x * s, res_hist / norm0, iters

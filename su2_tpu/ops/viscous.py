@@ -101,6 +101,41 @@ def _molar2mass_operator(lib: ChemLib, ys, xs):
     return eye * diag[..., :, None] + (1.0 - eye) * off
 
 
+def _molar2mass_solve(lib: ChemLib, ys, xs, b):
+    """Solve M_tilde gy = b without materializing M_tilde.
+
+    Row-major port of the fused edge kernel's rank-2 Woodbury form
+    (ops/viscous_t.py _molar2mass_solve_t): M = D + u 1^T + w z^T with
+    D = diag(mm_sum*sigma/mm), u = mm_sum*ys/mm, w = -mm_sum*xs,
+    z = 1/mm, so the solve is O(S) per row instead of the O(S^3)
+    Gauss-Jordan — and ~50 HLO ops fewer per boundary-flux call.
+
+    ys, xs: (..., S); b: (..., S, k).  Returns (..., S, k)."""
+    mm = lib.mm
+    mm_sum = mm.sum()
+    sigma = xs.sum(-1)                                   # (...,)
+    dinv = (mm / mm_sum)[..., :, None] / sigma[..., None, None]  # (.., S, 1)
+    u = (mm_sum * ys / mm)[..., None]                    # (.., S, 1)
+    w = (-mm_sum * xs)[..., None]
+    z = (1.0 / mm)[:, None]                              # (S, 1)
+
+    du = dinv * u
+    dw = dinv * w
+    g11 = 1.0 + du.sum(-2)                               # (.., 1)
+    g12 = dw.sum(-2)
+    g21 = (z * du).sum(-2)
+    g22 = 1.0 + (z * dw).sum(-2)
+    det = g11 * g22 - g12 * g21
+    det = jnp.where(det == 0.0, 1.0, det)
+
+    db = dinv * b                                        # (.., S, k)
+    c1 = db.sum(-2, keepdims=True)                       # (.., 1, k)
+    c2 = (z * db).sum(-2, keepdims=True)
+    a1 = (g22[..., None, :] * c1 - g12[..., None, :] * c2) / det[..., None, :]
+    a2 = (g11[..., None, :] * c2 - g21[..., None, :] * c1) / det[..., None, :]
+    return db - du * a1 - dw * a2
+
+
 def _stefan_maxwell_jd(lib, rho, xs, ys, dij, grad_xs_norm):
     """Solve (Gamma + alpha y 1^T) Jd = -grad_xs_norm (Solve_SM, :451-470).
 
@@ -215,10 +250,9 @@ def viscous_flux(lib: ChemLib, lay: Layout, v_i, v_j, grad_i, grad_j,
             * jnp.eye(nd, dtype=v_i.dtype)
         mom = mom + jnp.einsum("fij,fi->fj", tau_t, normal)
         e_tau = e_tau + jnp.einsum("fij,fj,fi->f", tau_t, vel, normal)
-        # mass-fraction gradients via the molar->mass operator
-        from su2_tpu.linalg.smallsolve import gauss_solve
-        m_tilde = _molar2mass_operator(lib, ysc, xs)         # (nF, S, S)
-        gy = gauss_solve(m_tilde, g_xs, pivot=False)         # (nF, S, d)
+        # mass-fraction gradients via the molar->mass operator (rank-2
+        # Woodbury closed form — see _molar2mass_solve)
+        gy = _molar2mass_solve(lib, ysc, xs, g_xs)           # (nF, S, d)
         gy = jnp.where(jnp.abs(g_xs) < 1e-8, 0.0, gy)
         cp_s = cl.species_cp(lib, tmean)
         cmt = mu_t / (prandtl_turb * lewis_turb)

@@ -100,7 +100,9 @@ _TILE = 512
 
 
 def spline_gather(tab_ref, nrows, klo, *, ntp, split, dtype):
-    """One-hot MXU gather of spline-table rows at knot indices klo (tile,).
+    """One-hot MXU gather of spline-table rows at knot indices klo (tile,)
+    — or a TUPLE of index vectors, contracted together in one dot and
+    returned lane-concatenated (nrows, sum(tiles)).
 
     tab_ref: (R', ntp) stacked table ref (R' = nrows for f64, 3*nrows for
     f32 bf16 3-level splits — see _split3).  Returns (nrows, tile).
@@ -111,22 +113,33 @@ def spline_gather(tab_ref, nrows, klo, *, ntp, split, dtype):
     window (ignition fronts) fall back to one full-table dot.  This replaces
     the per-128-chunk lax.cond skip loop, which paid ~10 branch overheads
     per lookup."""
-    tile_n = klo.shape[0]
-    kmin = jnp.min(klo)
-    kmax = jnp.max(klo)
+    klos = klo if isinstance(klo, tuple) else (klo,)
+    kmin = jnp.min(klos[0])
+    kmax = jnp.max(klos[0])
+    for k in klos[1:]:
+        kmin = jnp.minimum(kmin, jnp.min(k))
+        kmax = jnp.maximum(kmax, jnp.max(k))
+
+    def _onehot(base, wn, odt):
+        # 2-D lane-concat of the per-vector one-hots (Mosaic has no 1-D
+        # concat; lanes offsets are 128-aligned for the 512-wide tiles)
+        ohs = []
+        for k in klos:
+            rows = jax.lax.broadcasted_iota(
+                jnp.int32, (wn, k.shape[0]), 0) + base
+            ohs.append((rows == k[None, :]).astype(odt))
+        return ohs[0] if len(ohs) == 1 else jnp.concatenate(ohs, axis=1)
 
     def contract(win, base):
-        rows = jax.lax.broadcasted_iota(
-            jnp.int32, (win.shape[1], tile_n), 0) + base
         if split:
-            ohc = (rows == klo[None, :]).astype(jnp.bfloat16)
+            ohc = _onehot(base, win.shape[1], jnp.bfloat16)
             # DEFAULT, not the session-wide HIGHEST: bf16 inputs with an
             # fp32 contract precision are rejected by Mosaic (and need no
             # pass splitting)
             r3 = jnp.dot(win, ohc, preferred_element_type=dtype,
                          precision=jax.lax.Precision.DEFAULT)
             return r3[:nrows] + r3[nrows:2 * nrows] + r3[2 * nrows:]
-        ohc = (rows == klo[None, :]).astype(dtype)
+        ohc = _onehot(base, win.shape[1], dtype)
         # HIGHEST: exact selection (Mosaic supports only DEFAULT and
         # HIGHEST dot precisions; DEFAULT would round f64 tables to bf16)
         return jnp.dot(win, ohc, preferred_element_type=dtype,
@@ -244,14 +257,7 @@ def cons2prim_fused(lay, tp, nt_meta, lite, u_t, t_guess, tke, b_h, b_all,
 
         split = dtype == jnp.float32
 
-        def lookup(tab_ref, nrows, t):
-            """One-hot spline eval; tab rows grouped [yl; yc; y2l; y2c] with
-            nrows//4 species rows per group.  Returns (nrows//4, tile).
-            See spline_gather for the windowed one-hot contraction."""
-            tc = jnp.clip(t, t0, tmax_tab)
-            klo = jnp.clip(((tc - t0) / dtg).astype(jnp.int32) + 1, 1, nt - 1)
-            g = spline_gather(tab_ref, nrows, klo, ntp=tab_ref.shape[1],
-                              split=split, dtype=dtype)
+        def _cubic(g, nrows, tc, klo):
             s4 = nrows // 4
             xk = t0 + klo.astype(dtype) * dtg
             a = ((xk - tc) / dtg)[None, :]
@@ -260,6 +266,35 @@ def cons2prim_fused(lay, tp, nt_meta, lite, u_t, t_guess, tke, b_h, b_all,
             y2l, y2c = g[2 * s4:3 * s4], g[3 * s4:]
             return a * yl + b * yc \
                 + ((a ** 3 - a) * y2l + (b ** 3 - b) * y2c) * (dtg * dtg) / 6.0
+
+        def _klo(t):
+            tc = jnp.clip(t, t0, tmax_tab)
+            return tc, jnp.clip(((tc - t0) / dtg).astype(jnp.int32) + 1,
+                                1, nt - 1)
+
+        def lookup(tab_ref, nrows, t):
+            """One-hot spline eval; tab rows grouped [yl; yc; y2l; y2c] with
+            nrows//4 species rows per group.  Returns (nrows//4, tile).
+            See spline_gather for the windowed one-hot contraction."""
+            tc, klo = _klo(t)
+            g = spline_gather(tab_ref, nrows, klo, ntp=tab_ref.shape[1],
+                              split=split, dtype=dtype)
+            return _cubic(g, nrows, tc, klo)
+
+        def lookup_pair(tab_ref, nrows, t_a, t_b):
+            """Spline eval at TWO temperature vectors with ONE contraction.
+
+            The one-hot gather is per-column independent, so stacking both
+            klo sets into a (2*tile)-lane contraction returns values
+            bit-equal to two separate lookups at ~1.3x the cost of one —
+            used for the secant's initial (h(tg), h(tg+1)) pair."""
+            tc_a, klo_a = _klo(t_a)
+            tc_b, klo_b = _klo(t_b)
+            g = spline_gather(tab_ref, nrows, (klo_a, klo_b),
+                              ntp=tab_ref.shape[1], split=split, dtype=dtype)
+            w = t_a.shape[0]
+            return (_cubic(g[:, :w], nrows, tc_a, klo_a),
+                    _cubic(g[:, w:], nrows, tc_b, klo_b))
 
         wh = wh_ref[...]                            # (S, tile) Y_s/M_s
 
@@ -291,8 +326,6 @@ def cons2prim_fused(lay, tp, nt_meta, lite, u_t, t_guess, tke, b_h, b_all,
             and unifies toward the init)."""
             return jnp.where(tg == tg, x, tg)
 
-        h_old0 = _concrete(h_mix2(t_old0))
-
         def sec_cond(c):
             # tile-level early exit: steady-state tiles converge in 2-3
             # rounds; each skipped round saves an h_mix2 spline lookup
@@ -319,10 +352,33 @@ def cons2prim_fused(lay, tp, nt_meta, lite, u_t, t_guess, tke, b_h, b_all,
             h_n = jnp.where(dmask, h_old, (t - c12 - f) / c22)
             return it + 1, t_n, told_n, h_n, sdone_n
 
+        # Round 0 is peeled out of the while loop so its two enthalpy
+        # evaluations — h(tg) and h(tg+1) — ride ONE pair contraction
+        # (lookup_pair) instead of two separate spline gathers.  The
+        # arithmetic below is sec_body verbatim at (t=tg, t_old=tg+1,
+        # sdone=0), so every iterate is bit-equal to the unpeeled loop;
+        # warm-started steady-state tiles converge here and skip the loop
+        # entirely (1 fused lookup per call instead of 2).
+        assert tp.secant_iters >= 1
+        h00_raw, h_old0_raw = lookup_pair(bh_ref, 4 * ns, tg[0], t_old0[0])
+        h00 = jnp.sum(wh * h00_raw, axis=0, keepdims=True)
+        h_old0 = _concrete(jnp.sum(wh * h_old0_raw, axis=0, keepdims=True))
+        f0 = tg - c12 - c22 * h00
+        f_old0 = t_old0 - c12 - c22 * h_old0
+        df0 = f0 - f_old0
+        safe_df0 = jnp.where(df0 == 0.0, 1.0, df0)
+        t_new0 = tg - f0 * (tg - t_old0) / safe_df0
+        t_new0 = jnp.where(df0 == 0.0, tg, t_new0)
+        t_new0 = jnp.clip(t_new0, -1.0e8, 1.0e8)
+        conv0 = jnp.abs(t_new0 - tg) \
+            < jnp.maximum(tp.secant_tol, eps4 * jnp.abs(t_new0))
+        sdone1 = _concrete(conv0.astype(dtype))
+        t1 = _concrete(jnp.where(conv0, tg, t_new0))
+        h1 = _concrete((tg - c12 - f0) / c22)
+
         _, t_sec2, _, _, sec_done2 = jax.lax.while_loop(
             sec_cond, sec_body,
-            (jnp.asarray(0, jnp.int32), tg, _concrete(t_old0), h_old0,
-             _concrete(jnp.zeros_like(tg))))
+            (jnp.asarray(1, jnp.int32), t1, _concrete(tg), h1, sdone1))
         sec_ok = sec_done2[0] > 0.5
 
         ta0 = jnp.full_like(tg, tp.tmin)

@@ -185,3 +185,23 @@ def test_viscous_jacobians_t_match_edge_major(airlib):
         scale = np.abs(want).max()
         np.testing.assert_allclose(got, want, rtol=1e-8,
                                    atol=1e-10 * max(scale, 1.0))
+
+
+def test_molar2mass_woodbury_matches_dense(airlib):
+    """The rank-2 Woodbury molar->mass solve equals a dense Gauss-Jordan on
+    the materialized Get_Molar2MassGrad_Operator M_tilde."""
+    from su2_tpu.linalg.smallsolve import gauss_solve
+
+    rng = np.random.default_rng(7)
+    s = airlib.nspecies
+    nf, d = 23, 2
+    ys = rng.random((nf, s)) + 0.05
+    ys = ys / ys.sum(-1, keepdims=True)
+    xs = np.asarray(cl.molar_from_mass(airlib, jnp.asarray(ys)))
+    b = rng.standard_normal((nf, s, d))
+    m = viscous._molar2mass_operator(airlib, jnp.asarray(ys), jnp.asarray(xs))
+    ref = gauss_solve(m, jnp.asarray(b), pivot=False)
+    got = viscous._molar2mass_solve(airlib, jnp.asarray(ys), jnp.asarray(xs),
+                                    jnp.asarray(b))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-10, atol=1e-12)
