@@ -578,10 +578,10 @@ class Simulation:
                 lam_v = ns.viscous_lambda(lib, mesh, lay, prm, v, trans0,
                                           dpdu_full, turb)
                 dt, min_dt = flow_dt(lam_v)
-                res, wall_mask, trans, grad, jac = ns.ns_assemble(
+                res, wall_mask, trans, grad, jac, flow_fb = ns.ns_assemble(
                     lib, lay, mesh, prm, bcs, v, dt, implicit=True,
                     turb=turb, omega_turb=omega_t, sigma_k_edge=sigma_k_edge,
-                    nsd=nsd)
+                    nsd=nsd, want_bc_states=True)
                 if dual_order:
                     res, jac = ns.add_dual_time(
                         lay, mesh, res, jac, u, u_n, u_nm1, dt_phys, dual_order)
@@ -603,10 +603,10 @@ class Simulation:
                 rms = jnp.sqrt(jnp.mean(rhs * rhs, axis=0))
                 rmax = jnp.abs(rhs).max(axis=0)
             else:
-                res, wall_mask, trans, grad, lams = ns.ns_assemble(
+                res, wall_mask, trans, grad, lams, flow_fb = ns.ns_assemble(
                     lib, lay, mesh, prm, bcs, v, turb=turb,
                     omega_turb=omega_t, sigma_k_edge=sigma_k_edge,
-                    want_lambdas=True, nsd=nsd)
+                    want_lambdas=True, nsd=nsd, want_bc_states=True)
                 if lams is not None:
                     # fused edge kernel returned the interior spectral-radius
                     # sums for free; add the boundary-vertex terms
@@ -682,7 +682,7 @@ class Simulation:
                 trans_new.mu, mu_t, strain, dist, rho_old, dt,
                 self.kine_inf, self.omega_inf,
                 lib=lib, dpdu_e=nsd2.gm1, tke_inf=prm.tke_inf,
-                gq=gq_turb)
+                gq=gq_turb, flow_fb=flow_fb)
             return (u_new, v_new[:, lay.T], q_new, outs["mu_t"],
                     outs["grad_k"], outs["sigma_k"], rms_scale * rms, rmax,
                     rms_scale * turb_rms,

@@ -169,7 +169,8 @@ def viscous_lambda(lib: ChemLib, mesh: MeshArrays, lay: Layout, prm: NSParams,
 def ns_assemble(lib: ChemLib, lay: Layout, mesh: MeshArrays, prm: NSParams,
                 bcs, v, dt=None, implicit=False,
                 turb: TurbFlowData | None = None, omega_turb=None,
-                sigma_k_edge=None, want_lambdas=False, nsd=None):
+                sigma_k_edge=None, want_lambdas=False, nsd=None,
+                want_bc_states=False):
     """Full NS residual (and Jacobian when implicit): convective + viscous +
     BC + chemistry source + strong wall treatment.
 
@@ -179,7 +180,13 @@ def ns_assemble(lib: ChemLib, lay: Layout, mesh: MeshArrays, prm: NSParams,
     timestep.boundary_lambda_inv / viscous_lambda_boundary.
 
     nsd: optional st.NodeState from the fused node-state kernel — reuses
-    its dP/dU, dT/dU, mu/kappa and mole fractions instead of recomputing."""
+    its dP/dU, dT/dU, mu/kappa and mole fractions instead of recomputing.
+
+    want_bc_states: additionally return the weak-BC ghost-state batch
+    (es.flux_bc_batch tuple, or None) so the turbulence system can consume
+    the flow-phase ghost states — the reference's CharacPrimVar handoff
+    (flow BCs store them, turb BCs read them:
+    solver_direct_turbulent.cpp:3293,3381)."""
     n = v.shape[0]
     nd, ns_ = lay.ndim, lay.ns
 
@@ -468,7 +475,11 @@ def ns_assemble(lib: ChemLib, lay: Layout, mesh: MeshArrays, prm: NSParams,
 
     if not implicit:
         if want_lambdas:
+            if want_bc_states:
+                return res, wall_mask, trans, grad, lambdas, fb
             return res, wall_mask, trans, grad, lambdas
+        if want_bc_states:
+            return res, wall_mask, trans, grad, fb
         return res, wall_mask, trans, grad
 
     # momentum rows of wall nodes -> identity (DeleteValsRowi)
@@ -508,6 +519,8 @@ def ns_assemble(lib: ChemLib, lay: Layout, mesh: MeshArrays, prm: NSParams,
     else:
         cls = FamilyJacobian if fam_imp else BlockJacobian
         jac = cls(diag=diag, off_ij=off_ij, off_ji=off_ji)
+    if want_bc_states:
+        return res, wall_mask, trans, grad, jac, fb
     return res, wall_mask, trans, grad, jac
 
 

@@ -113,14 +113,19 @@ class SSTConfig:
 def sst_step(lay: Layout, mesh: MeshArrays, scfg: SSTConfig, bcs,
              q, v, flow_grad, mu, mu_t_node, strain_mag, dist,
              rho_old, dt, kine_inf, omega_inf,
-             lib=None, dpdu_e=None, tke_inf: float = 0.0, gq=None):
+             lib=None, dpdu_e=None, tke_inf: float = 0.0, gq=None,
+             flow_fb=None):
     """One implicit Euler iteration of the SST system.
 
     q: (N, 2) primitive (k, omega); v: flow primitives; flow_grad: NS
     gradient set; mu: laminar viscosity; mu_t_node: current eddy viscosity;
     rho_old: density used in the conservative update.  gq: optional
     precomputed (k, omega) gradients (the driver rides them in the flow
-    gradient sweep when both use the same method).  Returns
+    gradient sweep when both use the same method).  flow_fb: the flow
+    phase's weak-BC ghost-state batch (es.flux_bc_batch tuple) — the
+    reference's CharacPrimVar handoff: flow BCs store the ghost states,
+    turb BCs read them (solver_direct_turbulent.cpp:3293,3381), so the
+    turb system must NOT rebuild them from the updated state.  Returns
     (q_new, rms, turb outputs dict).
     """
     n = q.shape[0]
@@ -272,13 +277,31 @@ def sst_step(lay: Layout, mesh: MeshArrays, scfg: SSTConfig, bcs,
     # characteristic, outlets extrapolate.  Per-marker ghost construction,
     # ONE batched flux + scatter over the concatenated marker face set.
     from su2_tpu.solvers import euler as es
+    _SST_BC_KINDS = ("inlet", "supersonic_inlet", "outlet",
+                     "supersonic_outlet", "far_field")
+    # static row offsets of each weak marker inside the flow-phase
+    # ghost-state batch (flux_bc_batch concatenates in bcs order, walls
+    # skipped)
+    fb_pos = {}
+    if flow_fb is not None:
+        pos = 0
+        for k, bc in enumerate(bcs):
+            if bc.kind in ("euler_wall", "isothermal_wall", "heatflux_wall"):
+                continue
+            fb_pos[k] = pos
+            pos += int(np.asarray(bc.nodes).shape[0])
     bn_l, bnorm_l, velg_l, rhog_l, imp_l = [], [], [], [], []
-    for bc in bcs:
-        if bc.kind not in ("inlet", "supersonic_inlet", "outlet",
-                           "supersonic_outlet", "far_field"):
+    for k, bc in enumerate(bcs):
+        if bc.kind not in _SST_BC_KINDS:
             continue
         nodes = bc.nodes
-        if lib is not None and bc.kind == "inlet":
+        nv = int(np.asarray(nodes).shape[0])
+        if flow_fb is not None:
+            v_ghost = jax.lax.slice_in_dim(flow_fb[3], fb_pos[k],
+                                           fb_pos[k] + nv, axis=0)
+            vel_g = v_ghost[:, lay.VX:lay.VX + lay.ndim]
+            rho_g = v_ghost[:, lay.PRHO]
+        elif lib is not None and bc.kind == "inlet":
             v_ghost, _, _ = es.inlet_state(lib, lay, bc, v, dpdu_e, tke_inf)
             vel_g = v_ghost[:, lay.VX:lay.VX + lay.ndim]
             rho_g = v_ghost[:, lay.PRHO]
@@ -295,7 +318,6 @@ def sst_step(lay: Layout, mesh: MeshArrays, scfg: SSTConfig, bcs,
         else:
             vel_g = bg.rows(vel, nodes)
             rho_g = bg.rows(rho, nodes)
-        nv = int(np.asarray(nodes).shape[0])
         bn_l.append(np.asarray(nodes))
         bnorm_l.append(bc.normal)
         velg_l.append(vel_g)
