@@ -447,13 +447,17 @@ class Simulation:
                     lib, lay, mesh, prm, bcs, v, dt, implicit=True)
                 u = ns.enforce_wall_velocity(lay, u, wall_mask)
                 rhs = -res
-                mv, pc, pm = blockcsr.make_solver_ops(
+                mv, pc, pm, solve = blockcsr.make_solver_ops(
                     mesh, jac, cfg.linear_solver_prec, color_masks,
                     linelets=self.linelets)
                 if cfg.linear_solver == "BCGSTAB":
                     sol, _, iters = krylov.bcgstab(
                         mv, pc, rhs, max_iter=cfg.linear_solver_iter,
                         tol=cfg.linear_solver_error)
+                elif solve is not None:
+                    # whole FGMRES cycle in one pallas launch
+                    sol, _, iters = solve(rhs, cfg.linear_solver_iter,
+                                          cfg.linear_solver_error)
                 else:
                     sol, _, iters = krylov.fgmres(
                         mv, pc, rhs, max_iter=cfg.linear_solver_iter,
@@ -587,13 +591,17 @@ class Simulation:
                         lay, mesh, res, jac, u, u_n, u_nm1, dt_phys, dual_order)
                 u = ns.enforce_wall_velocity(lay, u, wall_mask)
                 rhs = -res
-                mv, pc, pm = blockcsr.make_solver_ops(
+                mv, pc, pm, solve = blockcsr.make_solver_ops(
                     mesh, jac, cfg.linear_solver_prec, color_masks,
                     linelets=self.linelets)
                 if cfg.linear_solver == "BCGSTAB":
                     sol, _, _ = krylov.bcgstab(
                         mv, pc, rhs, max_iter=cfg.linear_solver_iter,
                         tol=cfg.linear_solver_error)
+                elif solve is not None:
+                    # whole FGMRES cycle in one pallas launch
+                    sol, _, _ = solve(rhs, cfg.linear_solver_iter,
+                                      cfg.linear_solver_error)
                 else:
                     sol, _, _ = krylov.fgmres(
                         mv, pc, rhs, max_iter=cfg.linear_solver_iter,

@@ -275,12 +275,15 @@ def multicolor_sgs_apply(mesh: MeshArrays, jac: BlockJacobian,
 
 def make_solver_ops(mesh: MeshArrays, jac: BlockJacobian,
                     kind: str = "JACOBI", color_masks=None, linelets=None):
-    """(matvec, precond, precond_matvec|None) for a Krylov solve.
+    """(matvec, precond, precond_matvec|None, solve|None) for a Krylov
+    solve.
 
     On static-stencil meshes with small blocks the SGS-class preconditioner
     and the matvec run as single fused pallas kernels (VMEM-resident sweep,
     pallas/stencil_solve.py); precond_matvec computes (z, A z) in one launch
-    for FGMRES.  Elsewhere this is the gather-based XLA path.
+    for FGMRES, and `solve(b, max_iter, tol)` runs the WHOLE FGMRES cycle
+    as one launch when the working set fits VMEM (stencil_solve._fgmres_call).
+    Elsewhere this is the gather-based XLA path.
 
     linelets: (nL, Lmax) host index matrix from linelet.build_linelets —
     with kind == "LINELET" enables the true block-Thomas line
@@ -302,7 +305,7 @@ def make_solver_ops(mesh: MeshArrays, jac: BlockJacobian,
         else:
             sel = gather_offdiag(mesh, jac)
             mv = lambda x: matvec(mesh, jac, x, sel)
-        return mv, pc, None
+        return mv, pc, None, None
     if isinstance(jac, StencilJacobianT):
         return make_solver_ops_stencil_t(mesh, jac.diag, jac.sel_t,
                                          kind, color_masks)
@@ -318,7 +321,9 @@ def make_solver_ops(mesh: MeshArrays, jac: BlockJacobian,
             sel = gather_offdiag(mesh, jac)
             ops = stks.StencilSolveOps(mesh, sel, dinv, jac.diag,
                                        color_masks)
-            return ops.matvec, ops.precond, ops.precond_matvec
+            return ops.matvec, ops.precond, ops.precond_matvec, \
+                _fused_solve(stks, ops, mesh, v, jac.diag.dtype,
+                             len(color_masks))
         if (jac.diag.dtype == jnp.float32
                 and stks.supported(mesh, v, jnp.bfloat16, len(color_masks))):
             # blocks too wide for an f32 VMEM-resident sweep: run the
@@ -330,7 +335,7 @@ def make_solver_ops(mesh: MeshArrays, jac: BlockJacobian,
                                        color_masks,
                                        sel_dtype=jnp.bfloat16)
             mv = lambda x: matvec(mesh, jac, x, sel)
-            return mv, ops.precond, None
+            return mv, ops.precond, None, None
     sel = gather_offdiag(mesh, jac)
     mv = lambda x: matvec(mesh, jac, x, sel)
     if sgs:
@@ -338,12 +343,22 @@ def make_solver_ops(mesh: MeshArrays, jac: BlockJacobian,
                                             offdiag=sel)
     else:
         pc = lambda r: block_jacobi_apply(dinv, r)
-    return mv, pc, None
+    return mv, pc, None, None
+
+
+def _fused_solve(stks, ops, mesh, v, dtype, ncolor):
+    """solve(b, max_iter, tol) bound to the one-launch FGMRES kernel when
+    its VMEM working set fits, else None (caller falls back to the XLA
+    Krylov loop over precond_matvec)."""
+    def solve(b, max_iter, tol):
+        return ops.fgmres(b, max_iter, tol)
+    return solve if stks.fgmres_supported(mesh, v, dtype, ncolor) else None
 
 
 def make_solver_ops_fam(mesh: MeshArrays, diag: jax.Array, sel: jax.Array,
                         kind: str = "JACOBI", color_masks=None):
-    """(matvec, precond, precond_matvec|None) from family-major blocks.
+    """(matvec, precond, precond_matvec|None, solve|None) from family-major
+    blocks.
 
     For assemblies that produce the off-diagonal blocks directly in the
     static-stencil layout sel (K, nP, v, v) — sel[k, p] multiplies
@@ -357,7 +372,9 @@ def make_solver_ops_fam(mesh: MeshArrays, diag: jax.Array, sel: jax.Array,
         from su2_tpu.pallas import stencil_solve as stks
         if stks.supported(mesh, v, diag.dtype, len(color_masks)):
             ops = stks.StencilSolveOps(mesh, sel, dinv, diag, color_masks)
-            return ops.matvec, ops.precond, ops.precond_matvec
+            return ops.matvec, ops.precond, ops.precond_matvec, \
+                _fused_solve(stks, ops, mesh, v, diag.dtype,
+                             len(color_masks))
         if (diag.dtype == jnp.float32
                 and stks.supported(mesh, v, jnp.bfloat16, len(color_masks))):
             # bf16-block preconditioner sweep (one launch, sel read from
@@ -365,7 +382,7 @@ def make_solver_ops_fam(mesh: MeshArrays, diag: jax.Array, sel: jax.Array,
             ops = stks.StencilSolveOps(mesh, sel, dinv, diag, color_masks,
                                        sel_dtype=jnp.bfloat16)
             mv = lambda x: _bmv(diag, x) + _offdiag_apply(mesh, sel, x)
-            return mv, ops.precond, None
+            return mv, ops.precond, None, None
     mv = lambda x: _bmv(diag, x) + _offdiag_apply(mesh, sel, x)
     if sgs:
         z_jac = BlockJacobian(diag=diag, off_ij=diag, off_ji=diag)
@@ -373,7 +390,7 @@ def make_solver_ops_fam(mesh: MeshArrays, diag: jax.Array, sel: jax.Array,
                                             r, offdiag=sel)
     else:
         pc = lambda r: block_jacobi_apply(dinv, r)
-    return mv, pc, None
+    return mv, pc, None, None
 
 
 def _offdiag_apply_t(mesh: MeshArrays, sel_t: jax.Array, x: jax.Array):
@@ -398,8 +415,9 @@ def _offdiag_apply_t(mesh: MeshArrays, sel_t: jax.Array, x: jax.Array):
 def make_solver_ops_stencil_t(mesh: MeshArrays, diag: jax.Array,
                               sel_t: jax.Array, kind: str = "JACOBI",
                               color_masks=None):
-    """(matvec, precond, precond_matvec|None) from lane-layout off-diagonal
-    blocks (StencilJacobianT) — the fused implicit assembly's native form.
+    """(matvec, precond, precond_matvec|None, solve|None) from lane-layout
+    off-diagonal blocks (StencilJacobianT) — the fused implicit assembly's
+    native form.
     The stencil pallas kernels consume sel_t directly (zero relayout);
     elsewhere it is converted back to the node-major stencil form once."""
     dinv = block_diag_inv(diag)
@@ -412,13 +430,15 @@ def make_solver_ops_stencil_t(mesh: MeshArrays, diag: jax.Array,
         if stks.supported(mesh, v, diag.dtype, len(color_masks)):
             ops = stks.StencilSolveOps(mesh, sel_t, dinv, diag, color_masks,
                                        sel_is_t=True)
-            return ops.matvec, ops.precond, ops.precond_matvec
+            return ops.matvec, ops.precond, ops.precond_matvec, \
+                _fused_solve(stks, ops, mesh, v, diag.dtype,
+                             len(color_masks))
         if (diag.dtype == jnp.float32
                 and stks.supported(mesh, v, jnp.bfloat16, len(color_masks))):
             ops = stks.StencilSolveOps(mesh, sel_t, dinv, diag, color_masks,
                                        sel_dtype=jnp.bfloat16, sel_is_t=True)
             mv = lambda x: _bmv(diag, x) + _offdiag_apply_t(mesh, sel_t, x)
-            return mv, ops.precond, None
+            return mv, ops.precond, None, None
     sel = sel_t.reshape(k, v, v, n).transpose(0, 3, 1, 2)
     mv = lambda x: _bmv(diag, x) + _offdiag_apply(mesh, sel, x)
     if sgs:
@@ -427,7 +447,7 @@ def make_solver_ops_stencil_t(mesh: MeshArrays, diag: jax.Array,
                                             r, offdiag=sel)
     else:
         pc = lambda r: block_jacobi_apply(dinv, r)
-    return mv, pc, None
+    return mv, pc, None, None
 
 
 def make_preconditioner(mesh: MeshArrays, jac: BlockJacobian,

@@ -73,6 +73,21 @@ def supported(mesh, v: int, dtype, ncolor: int | None = None) -> bool:
     return est <= _VMEM_LIMIT
 
 
+def fgmres_supported(mesh, v: int, dtype, ncolor: int,
+                     m: int = 5) -> bool:
+    """Whether the one-launch FGMRES kernel's working set fits VMEM: the
+    f32 sweep budget plus the resident Krylov basis ((m+1) v's + m z's +
+    scratch vectors)."""
+    if not supported(mesh, v, dtype, ncolor) or dtype == jnp.bfloat16:
+        return False
+    k = len(mesh.stencil_offsets)
+    npad = -(-mesh.npoint // 128) * 128
+    est = _est_stack_bytes(k, v, npad, ncolor,
+                           jnp.dtype(dtype).itemsize)
+    est += npad * (2 * m + 6) * v * 4
+    return est <= _VMEM_LIMIT
+
+
 def _cparams():
     """Raise the Mosaic scoped-VMEM ceiling: full-field sweeps at 100k+
     nodes exceed the default 16 MB scoped limit long before the 128 MB of
@@ -195,6 +210,122 @@ def _matvec_call(sel_t, diag_t, x_t, *, offsets, v, interpret):
     )(sel_t, diag_t, x_t)
 
 
+@functools.partial(jax.jit, static_argnames=("offsets", "v", "ncolor", "m",
+                                              "tol", "interpret"))
+def _fgmres_call(sel_t, dinv_t, diag_t, masks_t, b_t, *, offsets, v, ncolor,
+                 m, tol, interpret):
+    """ONE pallas launch for a whole FGMRES cycle (right-preconditioned,
+    multicolor-SGS preconditioner, m Krylov vectors).
+
+    Replicates krylov.fgmres arithmetic — pow2 scaling, modified
+    Gram-Schmidt, Givens-rotation residual recurrence, back-substitution —
+    with the SGS sweep and matvec inlined (_sgs_body/_offdiag), so the
+    ~10 kernel launches + ~400 scalar XLA ops of the driver-side loop
+    collapse into a single launch.  All basis vectors stay VMEM-resident.
+
+    Returns (x_t, stats) with stats (2, 128): row 0 = final relative
+    residual, row 1 = iterations used."""
+    npad = b_t.shape[-1]
+    dtype = b_t.dtype
+
+    def kernel(sel_ref, dinv_ref, diag_ref, masks_ref, b_ref, x_ref,
+               stats_ref):
+        sel = sel_ref[...]
+        dinv = dinv_ref[...]
+        diag = diag_ref[...]
+        masks = masks_ref[...]
+        b = b_ref[...]
+
+        # ---- _pow2_scale: exact exponent-shift normalization ----
+        absmax = jnp.max(jnp.abs(b))
+        ex = jnp.floor(jnp.log2(jnp.maximum(absmax, 1e-300)))
+        s = jnp.exp2(jnp.clip(ex, -120.0, 120.0)).astype(dtype)
+        s = jnp.where(absmax > 0, s, jnp.ones_like(s))
+        b = b / s
+
+        def dot(a, c):
+            return jnp.sum(a * c)
+
+        def norm(a):
+            return jnp.sqrt(dot(a, a))
+
+        r = b                                     # x0 = 0
+        beta = norm(r)
+        norm0 = jnp.maximum(norm(b), 1e-300)
+        one = jnp.ones_like(beta)
+        zero = jnp.zeros_like(beta)
+
+        vs = [r / jnp.maximum(beta, 1e-300)]
+        zs = []
+        cols = []
+        cs, sn = [], []
+        g = [beta]
+        active = beta / norm0 >= tol
+        iters = zero
+        res_hist = beta
+        for j in range(m):
+            z = _sgs_body(sel, dinv, masks, vs[j], offsets, v, ncolor)
+            w = _bapply(diag, z, v) + _offdiag(sel, z, offsets, v)
+            zs.append(z)
+            col = []
+            for i in range(j + 1):
+                hij = dot(vs[i], w)
+                hij = jnp.where(active, hij, one * (i == j))
+                col.append(hij)
+                w = w - jnp.where(active, hij, 0.0) * vs[i]
+            hj1 = norm(w)
+            hj1 = jnp.where(active, hj1, 0.0)
+            vs.append(jnp.where(active, w / jnp.maximum(hj1, 1e-300), vs[j]))
+            iters = iters + active.astype(dtype)
+            rc = list(col) + [hj1]
+            for i in range(j):
+                t = cs[i] * rc[i] + sn[i] * rc[i + 1]
+                rc[i + 1] = -sn[i] * rc[i] + cs[i] * rc[i + 1]
+                rc[i] = t
+            denom = jnp.sqrt(rc[j] * rc[j] + rc[j + 1] * rc[j + 1])
+            safe = jnp.maximum(denom, 1e-300)
+            cj = jnp.where(denom == 0.0, one, rc[j] / safe)
+            sj = jnp.where(denom == 0.0, zero, rc[j + 1] / safe)
+            cs.append(cj)
+            sn.append(sj)
+            gj1 = -sj * g[j]
+            g[j] = cj * g[j]
+            g.append(gj1)
+            cur = jnp.abs(gj1)
+            res_hist = jnp.where(active, cur, res_hist)
+            active = active & (cur / norm0 >= tol)
+            cols.append(rc[:j] + [cj * rc[j] + sj * rc[j + 1]])
+
+        # back-substitution on the Givens-rotated R (krylov.fgmres tail)
+        y = [zero] * m
+        for j in range(m - 1, -1, -1):
+            acc = g[j]
+            for i in range(j + 1, m):
+                acc = acc - cols[i][j] * y[i]
+            rjj = cols[j][j]
+            y[j] = acc / jnp.where(rjj == 0.0, 1.0, rjj)
+            y[j] = jnp.where(rjj == 0.0, zero, y[j])
+        dx = zs[0] * y[0]
+        for j in range(1, m):
+            dx = dx + y[j] * zs[j]
+        x_ref[...] = dx * s
+        stats_ref[0, :] = jnp.broadcast_to(res_hist / norm0, (128,))
+        stats_ref[1, :] = jnp.broadcast_to(iters, (128,))
+
+    full = lambda a: pl.BlockSpec(a.shape, lambda: (0,) * a.ndim)
+    x_t, stats = pl.pallas_call(
+        kernel,
+        interpret=interpret,
+        compiler_params=None if interpret else _cparams(),
+        in_specs=[full(sel_t), full(dinv_t), full(diag_t), full(masks_t),
+                  full(b_t)],
+        out_specs=[full(b_t), pl.BlockSpec((2, 128), lambda: (0, 0))],
+        out_shape=[jax.ShapeDtypeStruct((v, npad), dtype),
+                   jax.ShapeDtypeStruct((2, 128), dtype)],
+    )(sel_t, dinv_t, diag_t, masks_t, b_t)
+    return x_t, stats
+
+
 def _interpret():
     return jax.devices()[0].platform != "tpu"
 
@@ -270,3 +401,14 @@ class StencilSolveOps:
                            offsets=self.offsets, v=self.v,
                            interpret=_interpret())
         return self._from_t(y_t)
+
+    def fgmres(self, b, max_iter: int, tol: float):
+        """Whole FGMRES cycle as ONE kernel launch (see _fgmres_call).
+        Same (x, rel, iters) contract as krylov.fgmres with x0=None."""
+        assert not self.mixed
+        x_t, stats = _fgmres_call(
+            self.sel_t, self.dinv_t, self.diag_t, self.masks_t,
+            self._to_t(b), offsets=self.offsets, v=self.v,
+            ncolor=self.ncolor, m=int(max_iter), tol=float(tol),
+            interpret=_interpret())
+        return self._from_t(x_t), stats[0, 0], stats[1, 0].astype(jnp.int32)

@@ -898,11 +898,15 @@ def implicit_euler_update(lib, lay, mesh, prm, bcs, u, v, dt, lower, upper,
     res, jac = assemble_system(lib, lay, mesh, prm, bcs, v, dt,
                                omega_turb, turb_ke)
     rhs = -res
-    mv, pc, pm = blockcsr.make_solver_ops(mesh, jac, precond, color_masks)
+    mv, pc, pm, solve = blockcsr.make_solver_ops(mesh, jac, precond,
+                                                 color_masks)
     if linear_solver == "BCGSTAB":
         sol, rel_res, iters = krylov.bcgstab(mv, pc, rhs,
                                              max_iter=linear_iter,
                                              tol=linear_tol)
+    elif solve is not None:
+        # whole FGMRES cycle in one pallas launch (stencil_solve)
+        sol, rel_res, iters = solve(rhs, linear_iter, linear_tol)
     else:
         sol, rel_res, iters = krylov.fgmres(mv, pc, rhs,
                                             max_iter=linear_iter,

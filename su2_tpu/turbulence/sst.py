@@ -361,15 +361,18 @@ def sst_step(lay: Layout, mesh: MeshArrays, scfg: SSTConfig, bcs,
     rhs = -res
     if fam_off is not None:
         sel = fam_off[:, :, :, None] * eye2                  # (K, nP, 2, 2)
-        mv, pc, pm = blockcsr.make_solver_ops_fam(
+        mv, pc, pm, solve = blockcsr.make_solver_ops_fam(
             mesh, diag, sel, scfg.linear_prec, scfg.color_masks)
     else:
         jac = BlockJacobian(diag=diag, off_ij=off_ij, off_ji=off_ji)
-        mv, pc, pm = blockcsr.make_solver_ops(mesh, jac, scfg.linear_prec,
-                                              scfg.color_masks)
+        mv, pc, pm, solve = blockcsr.make_solver_ops(
+            mesh, jac, scfg.linear_prec, scfg.color_masks)
     if scfg.linear_solver == "BCGSTAB":
         sol, _, _ = krylov.bcgstab(mv, pc, rhs, max_iter=scfg.linear_iter,
                                    tol=scfg.linear_tol)
+    elif solve is not None:
+        # whole FGMRES cycle in one pallas launch (stencil_solve)
+        sol, _, _ = solve(rhs, scfg.linear_iter, scfg.linear_tol)
     else:
         sol, _, _ = krylov.fgmres(mv, pc, rhs, max_iter=scfg.linear_iter,
                                   tol=scfg.linear_tol, precond_matvec=pm)

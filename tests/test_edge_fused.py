@@ -147,8 +147,8 @@ def test_fused_implicit_assembly_matches_xla(flatplate_state):
 
     # and the lane-layout solver ops agree with the family ops
     colors = sim.color_masks
-    mv0, pc0, _ = blockcsr.make_solver_ops(mesh, jac0, "LU_SGS", colors)
-    mv1, pc1, _ = blockcsr.make_solver_ops(mesh, jac1, "LU_SGS", colors)
+    mv0, pc0, _, _ = blockcsr.make_solver_ops(mesh, jac0, "LU_SGS", colors)
+    mv1, pc1, _, _ = blockcsr.make_solver_ops(mesh, jac1, "LU_SGS", colors)
     rng = np.random.default_rng(3)
     x = jnp.asarray(rng.normal(0, 1, (n, nvar)), v.dtype)
     np.testing.assert_allclose(np.asarray(mv1(x)), np.asarray(mv0(x)),

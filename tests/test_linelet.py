@@ -103,7 +103,7 @@ def test_linelet_solver_ops_route(setup):
         diag=jnp.asarray(rng.normal(size=(n, v, v)) + 5.0 * np.eye(v)),
         off_ij=jnp.asarray(0.1 * rng.normal(size=(ne, v, v))),
         off_ji=jnp.asarray(0.1 * rng.normal(size=(ne, v, v))))
-    mv, pc, pm = blockcsr.make_solver_ops(mesh, jac, "LINELET",
+    mv, pc, pm, _ = blockcsr.make_solver_ops(mesh, jac, "LINELET",
                                           linelets=lines)
     r = jnp.asarray(rng.normal(size=(n, v)))
     from su2_tpu.linalg import krylov

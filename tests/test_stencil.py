@@ -168,7 +168,7 @@ def test_stencil_solve_ops_match_xla_path():
     colors = blockcsr.greedy_coloring(np.asarray(ma.node_nbrs))
     masks = [jnp.asarray(colors == c) for c in range(colors.max() + 1)]
 
-    mv, pc, pm = blockcsr.make_solver_ops(ma, jac, "LU_SGS", masks)
+    mv, pc, pm, _ = blockcsr.make_solver_ops(ma, jac, "LU_SGS", masks)
     assert pm is not None, "stencil pallas path not selected"
 
     want_mv = blockcsr.matvec(ma, jac, r)
@@ -225,6 +225,49 @@ def test_driver_renumbers_combustion_mesh(combustion_dir):
     grid = build_dual_grid(raw)
     offs = stn.edge_offsets(inv[np.asarray(grid.edges)])
     assert 0 < len(offs) <= stn.MAX_OFFSETS
+
+
+def test_stencil_fused_fgmres_matches_krylov():
+    """The one-launch FGMRES kernel (stencil_solve._fgmres_call) replicates
+    krylov.fgmres arithmetic exactly (same MGS / Givens / back-substitution
+    order), so the solutions must agree to roundoff, and make_solver_ops
+    must expose it as the 4th return on the stencil path."""
+    mesh = _quad_grid(6, 7)
+    grid = build_dual_grid(mesh)
+    ma = mesh_arrays(grid)
+    assert ma.stencil_sel is not None
+
+    v = 2
+    rng = np.random.default_rng(13)
+    jac = blockcsr.BlockJacobian(
+        diag=jnp.asarray(rng.normal(0, .2, (ma.npoint, v, v))
+                         + 3 * np.eye(v)),
+        off_ij=jnp.asarray(rng.normal(0, .2, (ma.nedge, v, v))),
+        off_ji=jnp.asarray(rng.normal(0, .2, (ma.nedge, v, v))))
+    b = jnp.asarray(rng.normal(0, 1, (ma.npoint, v)))
+    colors = blockcsr.greedy_coloring(np.asarray(ma.node_nbrs))
+    masks = [jnp.asarray(colors == c) for c in range(colors.max() + 1)]
+
+    mv, pc, pm, solve = blockcsr.make_solver_ops(ma, jac, "LU_SGS", masks)
+    assert solve is not None, "fused FGMRES path not selected"
+
+    for m, tol in ((5, 1e-6), (3, 1e-12)):
+        want_x, want_rel, want_it = krylov.fgmres(mv, pc, b, max_iter=m,
+                                                  tol=tol,
+                                                  precond_matvec=pm)
+        x, rel, it = solve(b, m, tol)
+        np.testing.assert_allclose(np.asarray(x), np.asarray(want_x),
+                                   rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(float(rel), float(want_rel), rtol=1e-8)
+        assert int(it) == int(want_it)
+
+    # overflow-safe pow2 scaling survives the fused path too
+    big = b * 1e18
+    x, rel, _ = solve(big.astype(b.dtype), 5, 1e-6)
+    want_x, want_rel, _ = krylov.fgmres(mv, pc, big, max_iter=5, tol=1e-6,
+                                        precond_matvec=pm)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(want_x),
+                               rtol=1e-9, atol=1e-3)
 
 
 def test_stencil_bf16_precond_mode():
