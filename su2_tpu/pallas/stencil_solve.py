@@ -68,6 +68,15 @@ def supported(mesh, v: int, dtype, ncolor: int | None = None) -> bool:
     npad = -(-mesh.npoint // 128) * 128
     itemsize = jnp.dtype(dtype).itemsize
     if dtype != jnp.bfloat16:
+        import os
+        if v <= 3 and os.environ.get("SU2_TPU_NARROW_F32"):
+            # EXPERIMENTAL (opt-in): narrow blocks (SST/SA/scalar systems)
+            # may stay fast well past the wide-block budget; gate on the
+            # full stack estimate instead.  Off by default until measured
+            # on hardware at 142k nodes.
+            est = _est_stack_bytes(k, v, npad, ncolor if ncolor else k + 1,
+                                   itemsize)
+            return est <= _VMEM_LIMIT
         return k * v * v * npad * itemsize <= _F32_SEL_BUDGET
     est = _est_stack_bytes(k, v, npad, ncolor if ncolor else k + 1, itemsize)
     return est <= _VMEM_LIMIT
