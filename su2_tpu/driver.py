@@ -86,8 +86,12 @@ class Simulation:
             if not cfg.freestream_mass_frac:
                 cfg.freestream_mass_frac = [1.0]
 
-        raw = raw_mesh if raw_mesh is not None \
-            else read_su2_mesh(cfg.resolve(cfg.mesh_filename))
+        if raw_mesh is not None:
+            raw = raw_mesh
+        else:
+            from su2_tpu.io.cgns_mesh import read_mesh
+            raw = read_mesh(cfg.resolve(cfg.mesh_filename),
+                            cfg.mesh_format)
         self.raw = raw
         self.perm = None
         self.pghost = None

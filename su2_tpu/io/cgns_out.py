@@ -23,6 +23,7 @@ from __future__ import annotations
 import numpy as np
 
 # CGNS SIDS element type codes
+_BAR_2 = 3
 _TRI_3, _QUAD_4 = 5, 7
 _TETRA_4, _PYRA_5, _PENTA_6, _HEXA_8 = 10, 12, 14, 17
 _MIXED = 20
@@ -90,6 +91,25 @@ def write_cgns_volume(path: str, raw_mesh, fields: dict) -> None:
               np.asarray([1, ne], np.int32))
         _node(el, "ElementConnectivity", "DataArray_t", "I4",
               np.asarray(conn, np.int32))
+
+        # one boundary Elements_t section per marker (the convention the
+        # reference's CGNS reader maps back to markers)
+        btable = {2: _BAR_2, **_NVERT} if nd == 3 else {2: _BAR_2}
+        at = ne + 1
+        for tag, melems in getattr(raw_mesh, "markers", {}).items():
+            bconn = []
+            for row in np.asarray(melems):
+                nn = row[row >= 0]
+                bconn.append(btable[len(nn)])
+                bconn.extend(int(x) + 1 for x in nn)
+            nb = len(np.asarray(melems))
+            bel = _node(zone, tag.replace("/", "_")[:32], "Elements_t",
+                        "I4", np.asarray([_MIXED, 0], np.int32))
+            _node(bel, "ElementRange", "IndexRange_t", "I4",
+                  np.asarray([at, at + nb - 1], np.int32))
+            _node(bel, "ElementConnectivity", "DataArray_t", "I4",
+                  np.asarray(bconn, np.int32))
+            at += nb
 
         sol = _node(zone, "FlowSolution", "FlowSolution_t", "MT", None)
         _node(sol, "GridLocation", "GridLocation_t", "C1",

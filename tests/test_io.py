@@ -156,3 +156,62 @@ def test_cgns_writer(tmp_path):
         assert conn.max() == raw.npoint       # 1-based
         sol = f["Base/Zone/FlowSolution/Density/ data"][...]
         np.testing.assert_array_equal(sol, rho)
+
+
+def test_cgns_mesh_roundtrip(tmp_path, combustion_dir):
+    """MESH_FORMAT= CGNS: the shipped combustion mesh written to the CGNS
+    HDF5 flavor reads back identically (coords, element types/connectivity,
+    all four boundary markers) — geometry_structure.cpp Read_CGNS parity."""
+    import os
+    import numpy as np
+    from su2_tpu.io.mesh import read_su2_mesh
+    from su2_tpu.io.cgns_out import write_cgns_volume
+    from su2_tpu.io.cgns_mesh import read_cgns_mesh, read_mesh
+
+    raw = read_su2_mesh(os.path.join(combustion_dir, "mesh_stretched.su2"))
+    p = tmp_path / "mesh.cgns"
+    write_cgns_volume(str(p), raw, {})
+    got = read_cgns_mesh(str(p))
+
+    assert got.ndim == raw.ndim
+    np.testing.assert_allclose(got.coords, raw.coords, rtol=0, atol=0)
+    np.testing.assert_array_equal(got.elem_types, raw.elem_types)
+    np.testing.assert_array_equal(got.elem_nodes, raw.elem_nodes)
+    assert set(got.markers) == set(raw.markers)
+    for tag in raw.markers:
+        np.testing.assert_array_equal(got.marker_types[tag],
+                                      raw.marker_types[tag])
+        np.testing.assert_array_equal(got.markers[tag], raw.markers[tag])
+    # and the dispatch helper routes on the cfg enum
+    got2 = read_mesh(str(p), "CGNS")
+    np.testing.assert_array_equal(got2.elem_nodes, got.elem_nodes)
+
+
+def test_cgns_mesh_3d_and_uniform(tmp_path):
+    """3D CGNS meshes (hexa volume + quad boundary sections) and
+    uniform-type (non-MIXED) sections both parse."""
+    import numpy as np
+    import h5py
+    from su2_tpu.geometry.structured import box_mesh
+    from su2_tpu.io.cgns_out import write_cgns_volume
+    from su2_tpu.io.cgns_mesh import read_cgns_mesh
+
+    raw = box_mesh(3, 3, 3)
+    p = tmp_path / "box.cgns"
+    write_cgns_volume(str(p), raw, {})
+    got = read_cgns_mesh(str(p))
+    assert got.ndim == 3
+    np.testing.assert_array_equal(got.elem_nodes, raw.elem_nodes)
+    assert set(got.markers) == set(raw.markers)
+
+    # rewrite the volume section in uniform HEXA_8 form (stride layout)
+    with h5py.File(p, "r+") as f:
+        el = f["Base/Zone/Elements"]
+        conn = el["ElementConnectivity/ data"][...].reshape(-1, 9)
+        assert (conn[:, 0] == 17).all()
+        el[" data"][...] = np.asarray([17, 0], np.int32)
+        del el["ElementConnectivity/ data"]
+        el["ElementConnectivity"].create_dataset(
+            " data", data=conn[:, 1:].ravel().astype(np.int32))
+    got2 = read_cgns_mesh(str(p))
+    np.testing.assert_array_equal(got2.elem_nodes, raw.elem_nodes)
