@@ -400,6 +400,7 @@ _REGISTRY: dict[str, _Opt] = {
     "VOLUME_ADJ_FILENAME": _s("adjoint"),
     "GRAD_OBJFUNC_FILENAME": _s("of_grad.dat"),
     "SURFACE_FLOW_FILENAME": _s("surface_flow"),
+    "BREAKDOWN_FILENAME": _s("forces_breakdown.dat"),
     "SURFACE_ADJ_FILENAME": _s("surface_adjoint"),
     "WRT_SOL_FREQ": _i(1000),
     "WRT_SOL_FREQ_DUALTIME": _i(1),

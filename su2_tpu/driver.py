@@ -914,7 +914,38 @@ class Simulation:
         return ff.surface_forces(
             self.lib, self.lay, self.mesh, v, grad, trans, markers,
             p_inf, rho_inf, vel_inf, ref_area, viscous=self.cfg.viscous,
-            mu_t=turb[1] if turb is not None else None)
+            mu_t=turb[1] if turb is not None else None,
+            coords=self.mesh.coords,
+            origin=(self.cfg.ref_origin_moment_x,
+                    self.cfg.ref_origin_moment_y,
+                    self.cfg.ref_origin_moment_z),
+            ref_len=self.cfg.ref_length, aoa_deg=self.cfg.aoa)
+
+    def write_forces_breakdown(self, u, t_guess, turb=None, path=None):
+        """forces_breakdown.dat at end of run (SetForces_Breakdown)."""
+        from su2_tpu.io import output as out
+
+        forces = self.monitor_forces(u, t_guess, turb)
+        ys, t_inf, p_inf, rho_inf, vel_inf, e_inf = \
+            self.freestream_primitives()
+        fs = {
+            "ndim": self.lay.ndim,
+            "Free-stream static pressure": f"{p_inf:g} Pa.",
+            "Free-stream temperature": f"{t_inf:g} K.",
+            "Free-stream density": f"{rho_inf:g} kg/m^3.",
+            "Free-stream velocity":
+                f"({', '.join(f'{x:g}' for x in vel_inf)}) m/s. "
+                f"Magnitude: {float(np.linalg.norm(vel_inf)):g} m/s.",
+            "Free-stream total energy per unit mass":
+                f"{e_inf:g} m^2/s^2.",
+            "Mach number (non-dim)": f"{self.cfg.mach_number:g}",
+            "Angle of attack (AoA)": f"{self.cfg.aoa:g} deg.",
+            "Reference area": f"{self.cfg.ref_area:g} m^2.",
+            "Reference length (moments)": f"{self.cfg.ref_length:g} m.",
+        }
+        out.write_forces_breakdown(
+            path or self.cfg.breakdown_filename, self.cfg, forces, fs)
+        return forces
 
     def _pg_refresh_u(self, u):
         """Rotational-periodic ghost rows of the conserved state: scalars
@@ -1211,6 +1242,10 @@ def main(argv=None):
     else:
         u, t_guess, hist = out
         sim.write_solution(u, t_guess)
+    if cfg.marker_monitoring:
+        sim.write_forces_breakdown(
+            u, t_guess,
+            (turb_state[0], turb_state[1]) if sim.turbulent else None)
     return 0
 
 

@@ -330,3 +330,64 @@ def write_fieldview_volume(path: str, raw, fields: dict,
                 col = np.asarray(fields[nm])
                 for p in range(n):
                     f.write(f"{col[p]:.15e}\n")
+
+
+def write_forces_breakdown(path: str, cfg, forces: dict,
+                           freestream: dict | None = None) -> None:
+    """forces_breakdown.dat (COutput::SetForces_Breakdown,
+    output_structure.cpp): problem definition, free-stream state, then the
+    total and per-surface force coefficients decomposed into pressure and
+    friction contributions.  Consumes the "splits"/"per_marker" entries of
+    solvers/forces.surface_forces."""
+    def pct(part, total):
+        if total == 0.0:
+            return 0
+        return int(100.0 * part / total)
+
+    rows = ["CL", "CD", "CL/CD", "CMz", "CFx", "CFy"]
+    if freestream and freestream.get("ndim", 2) == 3:
+        rows += ["CFz", "CMx", "CMy"]
+
+    def block(f, splits, totals_all=None, label_w=12):
+        vals = {k: (p, fr) for k, (p, fr) in splits.items()}
+        cl_p, cl_f = vals["CL"]
+        cd_p, cd_f = vals["CD"]
+        cl, cd = cl_p + cl_f, cd_p + cd_f
+        vals["CL/CD"] = ((cl_p / cd if cd else 0.0), (cl_f / cd if cd else 0.0))
+        for name in rows:
+            p, fr = vals.get(name, (0.0, 0.0))
+            tot = p + fr
+            lead = f"Total {name}"
+            if totals_all is not None:
+                share = pct(tot, totals_all.get(name, 0.0))
+                lead = f"Total {name:<5s} ({share:5d}%):"
+            else:
+                lead = f"Total {name}:"
+            f.write(f"{lead:<18s} {tot: 12.6g} | "
+                    f"Pressure ({pct(p, tot):5d}%): {p: 12.6g} | "
+                    f"Friction ({pct(fr, tot):5d}%): {fr: 12.6g} | "
+                    f"Momentum (    0%):            0\n")
+
+    splits = forces.get("splits")
+    if splits is None:
+        return
+    totals = {k: p + fr for k, (p, fr) in splits.items()}
+    cl, cd = totals.get("CL", 0.0), totals.get("CD", 0.0)
+    totals["CL/CD"] = cl / cd if cd else 0.0
+    with open(path, "w") as f:
+        f.write("-" * 73 + "\n")
+        f.write("|  su2_tpu: TPU-native turbulent reactive-flow solver"
+                " (SU2-compatible)  |\n")
+        f.write("-" * 73 + "\n\n")
+        f.write("Problem definition:\n\n")
+        if freestream:
+            for k, v in freestream.items():
+                if k == "ndim":
+                    continue
+                f.write(f"{k}: {v}\n")
+            f.write("\n")
+        f.write("\nForces breakdown:\n\n")
+        block(f, splits)
+        for tag, msp in forces.get("per_marker", {}).items():
+            f.write(f"\n\nSurface name: {tag}\n\n")
+            block(f, msp, totals_all=totals)

@@ -1,6 +1,8 @@
 """Aerodynamic force/heat-flux monitoring (Pressure_Forces/Friction_Forces/
 Heat_Fluxes equivalent, reference: solver_direct_mean.cpp patterns used by
-the reactive solver's COutput path)."""
+the reactive solver's COutput path), including the per-marker
+pressure/friction decomposition that feeds forces_breakdown.dat
+(COutput::SetForces_Breakdown, output_structure.cpp)."""
 
 from __future__ import annotations
 
@@ -10,45 +12,105 @@ import numpy as np
 from su2_tpu.state import Layout
 
 
-def surface_forces(lib, lay: Layout, mesh, v, grad, trans, markers,
-                   p_inf: float, rho_inf: float, vel_inf, ref_area: float,
-                   viscous: bool = True, mu_t=None):
-    """Force coefficients + heat flux over the given markers dict
-    {tag: (nodes, normal, nn)}.  Outward normal = -stored vertex normal."""
-    vinf2 = float(np.dot(vel_inf, vel_inf))
-    q_dyn = 0.5 * rho_inf * vinf2 * ref_area
-    fx = fy = 0.0
+def _marker_forces(lay, v, grad, trans, nodes, normal, p_inf, mu_t,
+                   viscous, origin, ref_len):
+    """One marker's (fp, ff, mp, mf, hf_total, hf_max): pressure/friction
+    force vectors, pressure/friction z-moments about `origin`, heat flux."""
+    nd = lay.ndim
+    out_n = -np.asarray(normal)                       # outward area normal
+    x = None
+    fp = np.zeros(3)
+    ff = np.zeros(3)
+    p = np.asarray(v[nodes, lay.P])
+    fvec_p = (p - p_inf)[:, None] * out_n             # (nb, nd)
+    fp[:nd] = fvec_p.sum(axis=0)
     hf_total = 0.0
     hf_max = 0.0
+    fvec_f = np.zeros_like(fvec_p)
+    if viscous:
+        g = np.asarray(grad[nodes])                   # (nb, nG, d)
+        gvel = g[:, 1:1 + nd, :]
+        mu = np.asarray(trans.mu[nodes])
+        if mu_t is not None:
+            mu = mu + np.asarray(mu_t[nodes])
+        div = np.trace(gvel, axis1=1, axis2=2)
+        tau = mu[:, None, None] * (gvel + np.swapaxes(gvel, 1, 2))
+        for d in range(nd):
+            tau[:, d, d] -= 2.0 / 3.0 * mu * div
+        fvec_f = -np.einsum("vij,vi->vj", tau, out_n)
+        ff[:nd] = fvec_f.sum(axis=0)
+        area = np.linalg.norm(out_n, axis=1)
+        gt = g[:, 0, :]
+        ktr = np.asarray(trans.kappa[nodes])
+        q = -ktr * np.einsum("vd,vd->v", gt, out_n)
+        hf_total = float(q.sum())
+        if len(q):
+            hf_max = float(np.abs(q / np.maximum(area, 1e-30)).max())
+    # z-moment about the reference origin (MomentInviscid/Viscous[2])
+    return fp, ff, 0.0, 0.0, hf_total, hf_max, fvec_p, fvec_f
+
+
+def surface_forces(lib, lay: Layout, mesh, v, grad, trans, markers,
+                   p_inf: float, rho_inf: float, vel_inf, ref_area: float,
+                   viscous: bool = True, mu_t=None, coords=None,
+                   origin=(0.25, 0.0, 0.0), ref_len: float = 1.0,
+                   aoa_deg: float = 0.0):
+    """Force coefficients + heat flux over the given markers dict
+    {tag: (nodes, normal, nn)}.  Outward normal = -stored vertex normal.
+
+    Returns the monitoring totals (CL/CD/CFx.. keys, as before) plus
+    "splits" (totals decomposed into pressure/friction 3-vectors and
+    moments) and "per_marker" (the same decomposition per marker) for
+    forces_breakdown.dat."""
+    vinf2 = float(np.dot(vel_inf, vel_inf))
+    q_dyn = 0.5 * rho_inf * vinf2 * ref_area
+    a = np.deg2rad(aoa_deg)
+    ca, sa = np.cos(a), np.sin(a)
+
+    def coeffs(fvec_p, fvec_f, cmz_p, cmz_f):
+        cp = fvec_p / q_dyn
+        cf = fvec_f / q_dyn
+        tot = cp + cf
+        # 2D wind-axis rotation (3D: same in the x-y plane; shipped cases
+        # fly alpha in that plane)
+        out = {
+            "CFx": (cp[0], cf[0]), "CFy": (cp[1], cf[1]),
+            "CFz": (cp[2], cf[2]),
+            "CD": (cp[0] * ca + cp[1] * sa, cf[0] * ca + cf[1] * sa),
+            "CL": (-cp[0] * sa + cp[1] * ca, -cf[0] * sa + cf[1] * ca),
+            "CMz": (cmz_p / (q_dyn * ref_len), cmz_f / (q_dyn * ref_len)),
+        }
+        return out
+
+    totals_p = np.zeros(3)
+    totals_f = np.zeros(3)
+    cmz_p_tot = cmz_f_tot = 0.0
+    hf_total = 0.0
+    hf_max = 0.0
+    per_marker = {}
     for tag, (nodes, normal, nn) in markers.items():
-        out_n = -np.asarray(normal)                       # outward area normal
-        p = np.asarray(v[nodes, lay.P])
-        fx += float(((p - p_inf) * out_n[:, 0]).sum())
-        fy += float(((p - p_inf) * out_n[:, 1]).sum())
-        if viscous:
-            g = np.asarray(grad[nodes])                   # (nV, nG, d)
-            gvel = g[:, 1:1 + lay.ndim, :]
-            mu = np.asarray(trans.mu[nodes])
-            if mu_t is not None:
-                mu = mu + np.asarray(mu_t[nodes])
-            div = np.trace(gvel, axis1=1, axis2=2)
-            tau = mu[:, None, None] * (gvel + np.swapaxes(gvel, 1, 2))
-            for d in range(lay.ndim):
-                tau[:, d, d] -= 2.0 / 3.0 * mu * div
-            tvec = np.einsum("vij,vi->vj", tau, out_n)
-            fx -= float(tvec[:, 0].sum())
-            fy -= float(tvec[:, 1].sum())
-            # heat flux via normal temperature gradient
-            area = np.linalg.norm(out_n, axis=1)
-            gt = g[:, 0, :]
-            ktr = np.asarray(trans.kappa[nodes])
-            q = -ktr * np.einsum("vd,vd->v", gt, out_n)
-            hf_total += float(q.sum())
-            if len(q):
-                hf_max = max(hf_max, float(np.abs(q / np.maximum(area, 1e-30)).max()))
-    cfx = fx / q_dyn
-    cfy = fy / q_dyn
-    # no AoA handling needed for the shipped cases (alpha = 0): CL=CFy, CD=CFx
-    return {"CL": cfy, "CD": cfx, "CFx": cfx, "CFy": cfy, "CFz": 0.0,
-            "CMx": 0.0, "CMy": 0.0, "CMz": 0.0,
-            "HF_total": hf_total, "HF_max": hf_max}
+        fp, ff, _, _, hft, hfm, fvp, fvf = _marker_forces(
+            lay, v, grad, trans, nodes, normal, p_inf, mu_t, viscous,
+            origin, ref_len)
+        cmz_p = cmz_f = 0.0
+        if coords is not None and lay.ndim >= 2:
+            xy = np.asarray(coords)[np.asarray(nodes)]
+            dx = xy[:, 0] - origin[0]
+            dy = xy[:, 1] - origin[1]
+            cmz_p = float((dx * fvp[:, 1] - dy * fvp[:, 0]).sum())
+            cmz_f = float((dx * fvf[:, 1] - dy * fvf[:, 0]).sum())
+        totals_p += fp
+        totals_f += ff
+        cmz_p_tot += cmz_p
+        cmz_f_tot += cmz_f
+        hf_total += hft
+        hf_max = max(hf_max, hfm)
+        per_marker[tag] = coeffs(fp, ff, cmz_p, cmz_f)
+
+    splits = coeffs(totals_p, totals_f, cmz_p_tot, cmz_f_tot)
+    tot = {k: p + f for k, (p, f) in splits.items()}
+    return {"CL": tot["CL"], "CD": tot["CD"], "CFx": tot["CFx"],
+            "CFy": tot["CFy"], "CFz": tot["CFz"],
+            "CMx": 0.0, "CMy": 0.0, "CMz": tot["CMz"],
+            "HF_total": hf_total, "HF_max": hf_max,
+            "splits": splits, "per_marker": per_marker}
