@@ -46,7 +46,7 @@ def main():
         state = (sim.u0, sim.t0, q0, mu_t0, grad_k0, sigma_k0)
         state = advance(state)
         jax.block_until_ready(state[0])
-        n_iter = 30
+        n_iter = 100
         t0 = time.time()
         for _ in range(n_iter // 10):
             state = advance(state)

@@ -1220,7 +1220,11 @@ def main(argv=None):
         return 1
     cfg = Config(argv[0])
     niter = int(argv[1]) if len(argv) > 1 else None
-    sim = Simulation(cfg)
+    # SU2_TPU_DEVICES=N shards the mesh over N devices (the mpirun -n N
+    # analog; structured-band sharding, parallel/sharding.py)
+    env_dev = os.environ.get("SU2_TPU_DEVICES")
+    ndevices = int(env_dev) if env_dev else None
+    sim = Simulation(cfg, ndevices=ndevices)
     sim.enable_output()
     # Device-chunked main loop: K iterations per XLA program (lax.scan),
     # amortizing the per-call host dispatch (the flagship combustion step

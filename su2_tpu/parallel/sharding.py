@@ -46,8 +46,13 @@ def pad_grid(grid: DualGrid, d: int) -> DualGrid:
     n_new = np_ + extra_nodes
     ne_new = ne + ne_pad
 
-    coords = np.vstack([grid.coords,
-                        np.zeros((extra_nodes, grid.ndim))])
+    # distinct dummy coordinates: coincident pads make every edge-length
+    # division on the dummy edges 0/0 (e.g. the viscous edge-projection
+    # correction), and the resulting pad-row NaNs propagate into real rows
+    # through 0*NaN in the roll-based stencil sweeps
+    pad_xyz = (1.0 + np.arange(extra_nodes, dtype=np.float64))[:, None] \
+        * np.ones((1, grid.ndim))
+    coords = np.vstack([grid.coords, pad_xyz])
     volume = np.concatenate([grid.volume, np.ones(extra_nodes)])
     da, db = (np_, np_ + 1) if extra_nodes >= 2 else (0, 0)
     pad_edges = np.tile(np.array([[da, db]]), (ne_new - ne, 1))

@@ -35,6 +35,38 @@ def test_multichip_matches_single_device():
                                atol=1e-10 * np.abs(u1).max())
 
 
+def test_multichip_real_combustion_case(combustion_dir):
+    """8 virtual devices vs 1 on the SHIPPED combustion mesh (9000 nodes,
+    pads to 9008): regression pin for the pad-row NaN bug — coincident
+    dummy-node coordinates made the viscous edge-projection divide 0/0 on
+    dummy edges, and the pad NaNs spread into real rows through 0*NaN in
+    the roll-based stencil sweeps.  Both sims renumber into the same
+    structured order, so rows compare directly."""
+    import os
+    from su2_tpu.config import Config
+    from su2_tpu.driver import Simulation
+
+    cfg = Config(os.path.join(combustion_dir, "my_combustion_no_chem.cfg"))
+    sim1 = Simulation(cfg, dtype=jnp.float64)
+    sim8 = Simulation(cfg, dtype=jnp.float64, ndevices=8)
+    assert sim8.mesh.n_shards == 8
+    q1 = sim1.initial_turb_state()
+    q8 = sim8.initial_turb_state()
+    o1 = sim1._step(sim1.u0, sim1.t0, *q1, jnp.asarray(False))
+    o8 = sim8._step(sim8.u0, sim8.t0, *q8, jnp.asarray(False))
+    u1, u8 = np.asarray(o1[0]), np.asarray(o8[0])
+    q1n, q8n = np.asarray(o1[2]), np.asarray(o8[2])
+    n = u1.shape[0]
+    assert not np.isnan(u8).any() and not np.isnan(q8n).any()
+    sc = np.abs(u1).max(axis=0)
+    sc[sc == 0] = 1.0
+    np.testing.assert_array_less(
+        np.abs(u8[:n] - u1) / sc[None, :], 1e-9)
+    scq = np.abs(q1n).max(axis=0)
+    np.testing.assert_array_less(
+        np.abs(q8n[:n] - q1n) / scq[None, :], 1e-12)
+
+
 def test_halo_ring_exchange():
     """shard_map + ppermute halo exchange moves the right values."""
     from jax.sharding import Mesh
