@@ -335,6 +335,128 @@ def _fgmres_call(sel_t, dinv_t, diag_t, masks_t, b_t, *, offsets, v, ncolor,
     return x_t, stats
 
 
+def fgmres_mixed_supported(mesh, v: int, ncolor: int, m: int = 5) -> bool:
+    """VMEM gate for the mixed-tier one-launch FGMRES: bf16 sweep blocks +
+    f32 matvec blocks + the resident Krylov basis."""
+    if mesh.stencil_offsets is None or mesh.n_shards != 1:
+        return False
+    k = len(mesh.stencil_offsets)
+    npad = -(-mesh.npoint // 128) * 128
+    est = _est_stack_bytes(k, v, npad, ncolor, 2)      # bf16 sweep stack
+    est += k * v * v * npad * 4                        # resident f32 sel
+    est += npad * (2 * m + 6) * v * 4                  # Krylov basis
+    return est <= _VMEM_LIMIT
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "v", "ncolor", "m",
+                                              "tol", "interpret"))
+def _fgmres_mixed_call(selp_t, selm_t, dinv_t, diag_t, masks_t, b_t, *,
+                       offsets, v, ncolor, m, tol, interpret):
+    """Mixed-tier one-launch FGMRES: the SGS sweep reads bf16 off-diagonal
+    blocks (quality-only preconditioner — exactly the shipped bf16 tier),
+    the Krylov matvec reads the f32 blocks, all VMEM-resident.  Arithmetic
+    is _fgmres_call's; replicates the XLA path (bf16 _sgs_call sweeps +
+    f32 matvec + krylov.fgmres) in one launch."""
+    npad = b_t.shape[-1]
+    dtype = b_t.dtype
+
+    def kernel(selp_ref, selm_ref, dinv_ref, diag_ref, masks_ref, b_ref,
+               x_ref, stats_ref):
+        selp = selp_ref[...]
+        selm = selm_ref[...]
+        dinv = dinv_ref[...]
+        diag = diag_ref[...]
+        masks = masks_ref[...]
+        b = b_ref[...]
+
+        absmax = jnp.max(jnp.abs(b))
+        ex = jnp.floor(jnp.log2(jnp.maximum(absmax, 1e-300)))
+        s = jnp.exp2(jnp.clip(ex, -120.0, 120.0)).astype(dtype)
+        s = jnp.where(absmax > 0, s, jnp.ones_like(s))
+        b = b / s
+
+        def dot(a, c):
+            return jnp.sum(a * c)
+
+        def norm(a):
+            return jnp.sqrt(dot(a, a))
+
+        r = b
+        beta = norm(r)
+        norm0 = jnp.maximum(norm(b), 1e-300)
+        one = jnp.ones_like(beta)
+        zero = jnp.zeros_like(beta)
+
+        vs = [r / jnp.maximum(beta, 1e-300)]
+        zs = []
+        cols = []
+        cs, sn = [], []
+        g = [beta]
+        active = beta / norm0 >= tol
+        iters = zero
+        res_hist = beta
+        for j in range(m):
+            z = _sgs_body(selp, dinv, masks, vs[j], offsets, v, ncolor)
+            w = _bapply(diag, z, v) + _offdiag(selm, z, offsets, v)
+            zs.append(z)
+            col = []
+            for i in range(j + 1):
+                hij = dot(vs[i], w)
+                hij = jnp.where(active, hij, one * (i == j))
+                col.append(hij)
+                w = w - jnp.where(active, hij, 0.0) * vs[i]
+            hj1 = norm(w)
+            hj1 = jnp.where(active, hj1, 0.0)
+            vs.append(jnp.where(active, w / jnp.maximum(hj1, 1e-300), vs[j]))
+            iters = iters + active.astype(dtype)
+            rc = list(col) + [hj1]
+            for i in range(j):
+                t = cs[i] * rc[i] + sn[i] * rc[i + 1]
+                rc[i + 1] = -sn[i] * rc[i] + cs[i] * rc[i + 1]
+                rc[i] = t
+            denom = jnp.sqrt(rc[j] * rc[j] + rc[j + 1] * rc[j + 1])
+            safe = jnp.maximum(denom, 1e-300)
+            cj = jnp.where(denom == 0.0, one, rc[j] / safe)
+            sj = jnp.where(denom == 0.0, zero, rc[j + 1] / safe)
+            cs.append(cj)
+            sn.append(sj)
+            gj1 = -sj * g[j]
+            g[j] = cj * g[j]
+            g.append(gj1)
+            cur = jnp.abs(gj1)
+            res_hist = jnp.where(active, cur, res_hist)
+            active = active & (cur / norm0 >= tol)
+            cols.append(rc[:j] + [cj * rc[j] + sj * rc[j + 1]])
+
+        y = [zero] * m
+        for j in range(m - 1, -1, -1):
+            acc = g[j]
+            for i in range(j + 1, m):
+                acc = acc - cols[i][j] * y[i]
+            rjj = cols[j][j]
+            y[j] = acc / jnp.where(rjj == 0.0, 1.0, rjj)
+            y[j] = jnp.where(rjj == 0.0, zero, y[j])
+        dx = zs[0] * y[0]
+        for j in range(1, m):
+            dx = dx + y[j] * zs[j]
+        x_ref[...] = dx * s
+        stats_ref[0, :] = jnp.broadcast_to(res_hist / norm0, (128,))
+        stats_ref[1, :] = jnp.broadcast_to(iters, (128,))
+
+    full = lambda a: pl.BlockSpec(a.shape, lambda: (0,) * a.ndim)
+    x_t, stats = pl.pallas_call(
+        kernel,
+        interpret=interpret,
+        compiler_params=None if interpret else _cparams(),
+        in_specs=[full(selp_t), full(selm_t), full(dinv_t), full(diag_t),
+                  full(masks_t), full(b_t)],
+        out_specs=[full(b_t), pl.BlockSpec((2, 128), lambda: (0, 0))],
+        out_shape=[jax.ShapeDtypeStruct((v, npad), dtype),
+                   jax.ShapeDtypeStruct((2, 128), dtype)],
+    )(selp_t, selm_t, dinv_t, diag_t, masks_t, b_t)
+    return x_t, stats
+
+
 def _interpret():
     return jax.devices()[0].platform != "tpu"
 
@@ -374,10 +496,16 @@ class StencilSolveOps:
             sel if sel_is_t
             else sel.transpose(0, 2, 3, 1).reshape(
                 len(self.offsets) * v * v, n), npad)
+        self.sel_f32_t = None
         if self.mixed:
+            # keep the full-precision blocks too when the mixed one-launch
+            # FGMRES fits VMEM (bf16 sweep + f32 matvec in one kernel)
+            if fgmres_mixed_supported(mesh, v, len(color_masks)):
+                self.sel_f32_t = self.sel_t
             self.sel_t = self.sel_t.astype(sel_dtype)
         self.dinv_t = tt(dinv)
-        self.diag_t = None if self.mixed else tt(diag)
+        self.diag_t = tt(diag) if (not self.mixed
+                                   or self.sel_f32_t is not None) else None
         self.masks_t = _pad_lanes(
             jnp.stack([m.astype(dinv.dtype) for m in color_masks]), npad)
         self.ncolor = len(color_masks)
@@ -410,6 +538,18 @@ class StencilSolveOps:
                            offsets=self.offsets, v=self.v,
                            interpret=_interpret())
         return self._from_t(y_t)
+
+    def fgmres_mixed(self, b, max_iter: int, tol: float):
+        """Mixed-tier whole-FGMRES launch: bf16 sweep sel + f32 matvec sel
+        (see _fgmres_mixed_call).  Requires sel_f32_t (kept when
+        fgmres_mixed_supported at construction)."""
+        assert self.mixed and self.sel_f32_t is not None
+        x_t, stats = _fgmres_mixed_call(
+            self.sel_t, self.sel_f32_t, self.dinv_t, self.diag_t,
+            self.masks_t, self._to_t(b), offsets=self.offsets, v=self.v,
+            ncolor=self.ncolor, m=int(max_iter), tol=float(tol),
+            interpret=_interpret())
+        return self._from_t(x_t), stats[0, 0], stats[1, 0].astype(jnp.int32)
 
     def fgmres(self, b, max_iter: int, tol: float):
         """Whole FGMRES cycle as ONE kernel launch (see _fgmres_call).

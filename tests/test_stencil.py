@@ -270,6 +270,48 @@ def test_stencil_fused_fgmres_matches_krylov():
                                rtol=1e-9, atol=1e-3)
 
 
+def test_stencil_mixed_fused_fgmres_matches_krylov():
+    """Mixed-tier one-launch FGMRES (bf16 sweep sel + f32 matvec sel) must
+    replicate the XLA path it replaces: krylov.fgmres with the bf16-sel
+    SGS preconditioner and the full-precision matvec."""
+    from su2_tpu.pallas import stencil_solve as stks
+
+    mesh = _quad_grid(6, 7)
+    grid = build_dual_grid(mesh)
+    ma = mesh_arrays(grid)
+    assert ma.stencil_sel is not None
+
+    v = 3
+    rng = np.random.default_rng(17)
+    f32 = jnp.float32
+    jac = blockcsr.BlockJacobian(
+        diag=jnp.asarray(rng.normal(0, .2, (ma.npoint, v, v))
+                         + 3 * np.eye(v), f32),
+        off_ij=jnp.asarray(rng.normal(0, .2, (ma.nedge, v, v)), f32),
+        off_ji=jnp.asarray(rng.normal(0, .2, (ma.nedge, v, v)), f32))
+    b = jnp.asarray(rng.normal(0, 1, (ma.npoint, v)), f32)
+    colors = blockcsr.greedy_coloring(np.asarray(ma.node_nbrs))
+    masks = [jnp.asarray(colors == c) for c in range(colors.max() + 1)]
+    dinv = blockcsr.block_jacobi_factor(jac)
+    sel = blockcsr.gather_offdiag(ma, jac)
+
+    ops = stks.StencilSolveOps(ma, sel, dinv, jac.diag, masks,
+                               sel_dtype=jnp.bfloat16)
+    assert ops.mixed and ops.sel_f32_t is not None
+
+    mv = lambda x: blockcsr.matvec(ma, jac, x, sel)
+    want_x, want_rel, want_it = krylov.fgmres(mv, ops.precond, b,
+                                              max_iter=5, tol=1e-6)
+    x, rel, it = ops.fgmres_mixed(b, 5, 1e-6)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(want_x),
+                               rtol=2e-5, atol=2e-5)
+    assert int(it) == int(want_it)
+    # the solve still satisfies the f32 linear tolerance with the exact mv
+    resid = np.linalg.norm(np.asarray(mv(x)) - np.asarray(b)) \
+        / np.linalg.norm(np.asarray(b))
+    assert resid < 5e-4
+
+
 def test_stencil_bf16_precond_mode():
     """bf16-sel preconditioner mode: one-launch SGS sweep from bf16 blocks
     (quality-only), f32 matvec untouched.  The sweep must agree with the
