@@ -346,19 +346,27 @@ def make_solver_ops(mesh: MeshArrays, jac: BlockJacobian,
     return mv, pc, None, None
 
 
+def _fgmres_off():
+    import os
+    return bool(os.environ.get("SU2_TPU_FUSED_FGMRES_OFF"))
+
+
 def _fused_solve(stks, ops, mesh, v, dtype, ncolor):
     """solve(b, max_iter, tol) bound to the one-launch FGMRES kernel when
     its VMEM working set fits, else None (caller falls back to the XLA
     Krylov loop over precond_matvec)."""
+    if _fgmres_off() or not stks.fgmres_supported(mesh, v, dtype, ncolor):
+        return None
+
     def solve(b, max_iter, tol):
         return ops.fgmres(b, max_iter, tol)
-    return solve if stks.fgmres_supported(mesh, v, dtype, ncolor) else None
+    return solve
 
 
 def _mixed_solve(ops):
     """Mixed-tier one-launch FGMRES (bf16 sweep + f32 matvec) when the ops
     object kept the f32 blocks, else None."""
-    if ops.sel_f32_t is None:
+    if ops.sel_f32_t is None or _fgmres_off():
         return None
 
     def solve(b, max_iter, tol):

@@ -60,6 +60,14 @@ def _pad_lanes(x, npad):
 # bf16 tier rather than run a VMEM-thrashing f32 kernel.
 _F32_SEL_BUDGET = 6 * 1024 * 1024
 
+# Node cap (padded lanes) for the one-launch FGMRES kernels: the m-times
+# unrolled MGS body over full-field vectors blows up Mosaic compile time
+# AND runtime past ~50k lanes (measured at 144k nodes, v=2: 27 min compile,
+# 8.0 ms/solve vs 1.24 ms for the launch-per-sweep XLA loop; at <=36k the
+# one-launch kernel wins by ~1.6x).  Above the cap the solver falls back to
+# the per-launch sweep kernels inside the XLA Krylov loop.
+_FGMRES_NPAD_CAP = 49152
+
 
 def supported(mesh, v: int, dtype, ncolor: int | None = None) -> bool:
     if mesh.stencil_offsets is None or mesh.n_shards != 1:
@@ -69,11 +77,13 @@ def supported(mesh, v: int, dtype, ncolor: int | None = None) -> bool:
     itemsize = jnp.dtype(dtype).itemsize
     if dtype != jnp.bfloat16:
         import os
-        if v <= 3 and os.environ.get("SU2_TPU_NARROW_F32"):
-            # EXPERIMENTAL (opt-in): narrow blocks (SST/SA/scalar systems)
-            # may stay fast well past the wide-block budget; gate on the
-            # full stack estimate instead.  Off by default until measured
-            # on hardware at 142k nodes.
+        if (v <= 3 and npad <= _FGMRES_NPAD_CAP
+                and not os.environ.get("SU2_TPU_NARROW_F32_OFF")):
+            # narrow blocks (SST/SA/scalar systems) stay fast well past the
+            # wide-block budget (measured at 36k nodes, v=2: the f32
+            # one-launch path is +62% step throughput over the bf16 tier);
+            # the npad cap keeps Mosaic compile time sane — see
+            # _FGMRES_NPAD_CAP
             est = _est_stack_bytes(k, v, npad, ncolor if ncolor else k + 1,
                                    itemsize)
             return est <= _VMEM_LIMIT
@@ -91,6 +101,8 @@ def fgmres_supported(mesh, v: int, dtype, ncolor: int,
         return False
     k = len(mesh.stencil_offsets)
     npad = -(-mesh.npoint // 128) * 128
+    if npad > _FGMRES_NPAD_CAP:
+        return False
     est = _est_stack_bytes(k, v, npad, ncolor,
                            jnp.dtype(dtype).itemsize)
     est += npad * (2 * m + 6) * v * 4
@@ -342,6 +354,8 @@ def fgmres_mixed_supported(mesh, v: int, ncolor: int, m: int = 5) -> bool:
         return False
     k = len(mesh.stencil_offsets)
     npad = -(-mesh.npoint // 128) * 128
+    if npad > _FGMRES_NPAD_CAP:
+        return False
     est = _est_stack_bytes(k, v, npad, ncolor, 2)      # bf16 sweep stack
     est += k * v * v * npad * 4                        # resident f32 sel
     est += npad * (2 * m + 6) * v * 4                  # Krylov basis
