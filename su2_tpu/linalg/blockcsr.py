@@ -335,7 +335,7 @@ def make_solver_ops(mesh: MeshArrays, jac: BlockJacobian,
                                        color_masks,
                                        sel_dtype=jnp.bfloat16)
             mv = lambda x: matvec(mesh, jac, x, sel)
-            return mv, ops.precond, None, _mixed_solve(ops)
+            return mv, ops.precond, _mixed_pm(ops), _mixed_solve(ops)
     sel = gather_offdiag(mesh, jac)
     mv = lambda x: matvec(mesh, jac, x, sel)
     if sgs:
@@ -364,14 +364,22 @@ def _fused_solve(stks, ops, mesh, v, dtype, ncolor):
 
 
 def _mixed_solve(ops):
-    """Mixed-tier one-launch FGMRES (bf16 sweep + f32 matvec) when the ops
-    object kept the f32 blocks, else None."""
-    if ops.sel_f32_t is None or _fgmres_off():
+    """Mixed-tier one-launch FGMRES (bf16 sweep + f32 matvec) when it fits
+    VMEM and the size cap, else None."""
+    if not ops.fgmres_mixed_ok or _fgmres_off():
         return None
 
     def solve(b, max_iter, tol):
         return ops.fgmres_mixed(b, max_iter, tol)
     return solve
+
+
+def _mixed_pm(ops):
+    """Per-iteration mixed (z, A z) kernel for the XLA Krylov loop when the
+    f32 blocks are resident, else None."""
+    if ops.sel_f32_t is None or _fgmres_off():
+        return None
+    return ops.precond_matvec_mixed
 
 
 def make_solver_ops_fam(mesh: MeshArrays, diag: jax.Array, sel: jax.Array,
@@ -401,7 +409,7 @@ def make_solver_ops_fam(mesh: MeshArrays, diag: jax.Array, sel: jax.Array,
             ops = stks.StencilSolveOps(mesh, sel, dinv, diag, color_masks,
                                        sel_dtype=jnp.bfloat16)
             mv = lambda x: _bmv(diag, x) + _offdiag_apply(mesh, sel, x)
-            return mv, ops.precond, None, _mixed_solve(ops)
+            return mv, ops.precond, _mixed_pm(ops), _mixed_solve(ops)
     mv = lambda x: _bmv(diag, x) + _offdiag_apply(mesh, sel, x)
     if sgs:
         z_jac = BlockJacobian(diag=diag, off_ij=diag, off_ji=diag)
@@ -457,7 +465,7 @@ def make_solver_ops_stencil_t(mesh: MeshArrays, diag: jax.Array,
             ops = stks.StencilSolveOps(mesh, sel_t, dinv, diag, color_masks,
                                        sel_dtype=jnp.bfloat16, sel_is_t=True)
             mv = lambda x: _bmv(diag, x) + _offdiag_apply_t(mesh, sel_t, x)
-            return mv, ops.precond, None, _mixed_solve(ops)
+            return mv, ops.precond, _mixed_pm(ops), _mixed_solve(ops)
     sel = sel_t.reshape(k, v, v, n).transpose(0, 3, 1, 2)
     mv = lambda x: _bmv(diag, x) + _offdiag_apply(mesh, sel, x)
     if sgs:

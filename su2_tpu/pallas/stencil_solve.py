@@ -189,6 +189,51 @@ def _sgs_matvec_call(sel_t, dinv_t, diag_t, masks_t, r_t, *, offsets, v,
 
 @functools.partial(jax.jit,
                    static_argnames=("offsets", "v", "ncolor", "interpret"))
+def _sgs_matvec_mixed_call(selp_t, selm_t, dinv_t, diag_t, masks_t, r_t, *,
+                           offsets, v, ncolor, interpret):
+    """Mixed per-iteration fused (z, A z): bf16 sweep blocks + f32 matvec
+    blocks in one launch.  Unlike the monolithic FGMRES kernel this has a
+    1x body (compile stays sane at any npad) and no resident Krylov basis,
+    so it serves the bf16 tier above _FGMRES_NPAD_CAP — replacing one
+    _sgs_call launch + the XLA roll matvec per Krylov iteration."""
+    npad = r_t.shape[-1]
+    dtype = r_t.dtype
+
+    def kernel(selp_ref, selm_ref, dinv_ref, diag_ref, masks_ref, r_ref,
+               z_ref, w_ref):
+        z = _sgs_body(selp_ref[...], dinv_ref[...], masks_ref[...],
+                      r_ref[...], offsets, v, ncolor)
+        z_ref[...] = z
+        w_ref[...] = _bapply(diag_ref[...], z, v) + _offdiag(
+            selm_ref[...], z, offsets, v)
+
+    full = lambda a: pl.BlockSpec(a.shape, lambda: (0,) * a.ndim)
+    z, w = pl.pallas_call(
+        kernel,
+        interpret=interpret,
+        compiler_params=None if interpret else _cparams(),
+        in_specs=[full(selp_t), full(selm_t), full(dinv_t), full(diag_t),
+                  full(masks_t), full(r_t)],
+        out_specs=[full(r_t), full(r_t)],
+        out_shape=[jax.ShapeDtypeStruct((v, npad), dtype)] * 2,
+    )(selp_t, selm_t, dinv_t, diag_t, masks_t, r_t)
+    return z, w
+
+
+def sgs_matvec_mixed_supported(mesh, v: int, ncolor: int) -> bool:
+    """VMEM gate for the per-iteration mixed kernel: bf16 sweep stack +
+    resident f32 matvec blocks (no Krylov basis)."""
+    if mesh.stencil_offsets is None or mesh.n_shards != 1:
+        return False
+    k = len(mesh.stencil_offsets)
+    npad = -(-mesh.npoint // 128) * 128
+    est = _est_stack_bytes(k, v, npad, ncolor, 2)
+    est += k * v * v * npad * 4
+    return est <= _VMEM_LIMIT
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("offsets", "v", "ncolor", "interpret"))
 def _sgs_call(sel_t, dinv_t, masks_t, r_t, *, offsets, v, ncolor, interpret):
     """Preconditioner-only sweep: sel may be bf16 (block products promote to
     the state dtype), no diagonal matvec output."""
@@ -511,11 +556,16 @@ class StencilSolveOps:
             else sel.transpose(0, 2, 3, 1).reshape(
                 len(self.offsets) * v * v, n), npad)
         self.sel_f32_t = None
+        self.fgmres_mixed_ok = False
         if self.mixed:
-            # keep the full-precision blocks too when the mixed one-launch
-            # FGMRES fits VMEM (bf16 sweep + f32 matvec in one kernel)
-            if fgmres_mixed_supported(mesh, v, len(color_masks)):
+            # keep the full-precision blocks too when a mixed kernel
+            # (bf16 sweep + f32 matvec in one launch) fits VMEM: either the
+            # whole-FGMRES kernel (small fields) or the per-iteration
+            # (z, A z) kernel (any size)
+            if sgs_matvec_mixed_supported(mesh, v, len(color_masks)):
                 self.sel_f32_t = self.sel_t
+                self.fgmres_mixed_ok = fgmres_mixed_supported(
+                    mesh, v, len(color_masks))
             self.sel_t = self.sel_t.astype(sel_dtype)
         self.dinv_t = tt(dinv)
         self.diag_t = tt(diag) if (not self.mixed
@@ -539,6 +589,16 @@ class StencilSolveOps:
             ncolor=self.ncolor, interpret=_interpret())
         return self._from_t(z_t), self._from_t(w_t)
 
+    def precond_matvec_mixed(self, r):
+        """(z, A z) per-iteration mixed kernel: bf16 sweep sel + f32
+        matvec sel in one launch (see _sgs_matvec_mixed_call)."""
+        assert self.mixed and self.sel_f32_t is not None
+        z_t, w_t = _sgs_matvec_mixed_call(
+            self.sel_t, self.sel_f32_t, self.dinv_t, self.diag_t,
+            self.masks_t, self._to_t(r), offsets=self.offsets, v=self.v,
+            ncolor=self.ncolor, interpret=_interpret())
+        return self._from_t(z_t), self._from_t(w_t)
+
     def precond(self, r):
         z_t = _sgs_call(
             self.sel_t, self.dinv_t, self.masks_t, self._to_t(r),
@@ -555,9 +615,9 @@ class StencilSolveOps:
 
     def fgmres_mixed(self, b, max_iter: int, tol: float):
         """Mixed-tier whole-FGMRES launch: bf16 sweep sel + f32 matvec sel
-        (see _fgmres_mixed_call).  Requires sel_f32_t (kept when
-        fgmres_mixed_supported at construction)."""
-        assert self.mixed and self.sel_f32_t is not None
+        (see _fgmres_mixed_call).  Requires fgmres_mixed_ok (checked at
+        construction)."""
+        assert self.mixed and self.fgmres_mixed_ok
         x_t, stats = _fgmres_mixed_call(
             self.sel_t, self.sel_f32_t, self.dinv_t, self.diag_t,
             self.masks_t, self._to_t(b), offsets=self.offsets, v=self.v,

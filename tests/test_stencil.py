@@ -300,6 +300,15 @@ def test_stencil_mixed_fused_fgmres_matches_krylov():
     assert ops.mixed and ops.sel_f32_t is not None
 
     mv = lambda x: blockcsr.matvec(ma, jac, x, sel)
+    # per-iteration mixed (z, A z) kernel == (bf16 sweep, f32 matvec) pair
+    r = jnp.asarray(np.random.default_rng(19).normal(0, 1,
+                                                     (ma.npoint, v)), f32)
+    z_pm, w_pm = ops.precond_matvec_mixed(r)
+    np.testing.assert_allclose(np.asarray(z_pm), np.asarray(ops.precond(r)),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(w_pm), np.asarray(mv(z_pm)),
+                               rtol=1e-5, atol=1e-6)
+
     want_x, want_rel, want_it = krylov.fgmres(mv, ops.precond, b,
                                               max_iter=5, tol=1e-6)
     x, rel, it = ops.fgmres_mixed(b, 5, 1e-6)
