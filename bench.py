@@ -30,8 +30,8 @@ CPU_CORE_BASELINE_MCELLS = 0.0032  # measured 0.00105 at -O0, x3 allowance
 # per call, so short chunks measure the tunnel, not the solver (device time
 # per coupled iteration is ~0.54 ms at 9k cells; production runs use
 # run(chunk=K) exactly like this)
-CHUNK = 100
-N_CHUNKS = 3
+CHUNK = 250
+N_CHUNKS = 2
 
 
 def main():

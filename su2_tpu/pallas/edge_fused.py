@@ -74,6 +74,166 @@ def _hcp_tables(lib, dtype):
     return tab
 
 
+def _hcp_pair(consts, tab_ref, mm_ref, tmeans):
+    """Species h, cp [mass-specific] at one or more temperature vectors,
+    gathered with ONE paired one-hot contraction (node_state.lookup_pair
+    pattern — per-column-independent selection, bit-equal to separate
+    lookups).  Returns a tuple of (h_s, cp_s) pairs, one per tmean."""
+    lay, _, _, _, _, (t0, dtg, nt), _, tile = consts
+    ns = lay.ns
+    dtype = tmeans[0].dtype
+    tmax_tab = t0 + (nt - 1) * dtg
+    from su2_tpu.pallas.node_state import spline_gather
+
+    tcs, klos = [], []
+    for t in tmeans:
+        tc = jnp.clip(t, t0, tmax_tab)
+        tcs.append(tc)
+        klos.append(jnp.clip(((tc - t0) / dtg).astype(jnp.int32) + 1,
+                             1, nt - 1))
+    g_all = spline_gather(tab_ref, 8 * ns, tuple(klos),
+                          ntp=tab_ref.shape[1],
+                          split=tab_ref.dtype == jnp.bfloat16, dtype=dtype)
+    out = []
+    mmc = mm_ref[...]
+    s2 = 2 * ns
+    for k, (tc, klo) in enumerate(zip(tcs, klos)):
+        g = g_all[:, k * tile:(k + 1) * tile]
+        xk = t0 + klo.astype(dtype) * dtg
+        a = ((xk - tc) / dtg)[None, :]
+        b = ((tc - (xk - dtg)) / dtg)[None, :]
+        yl, yc = g[:s2], g[s2:2 * s2]
+        y2l, y2c = g[2 * s2:3 * s2], g[3 * s2:]
+        q_mol = a * yl + b * yc \
+            + ((a ** 3 - a) * y2l + (b ** 3 - b) * y2c) * (dtg * dtg) / 6.0
+        out.append((q_mol[:ns] / mmc, q_mol[ns:] / mmc))
+    return tuple(out)
+
+
+def _explicit_side(consts, rows, fi, fj, nm, ev, mm_ref, den_ref, hcp):
+    """One edge family's explicit flux + spectral radii from the stacked
+    endpoint matrices (the body of fused_edge_flux_pallas)."""
+    (lay, m_infty, prandtl_turb, lewis_turb, prandtl_lam, _, mm_sum,
+     tile) = consts
+    nd = lay.ndim
+    nprim = lay.nprim
+    gd = rows["gd"]
+    r_g, r_mu, r_ka = rows["g"], rows["mu"], rows["ka"]
+    r_mut, r_tke, r_gk = rows["mut"], rows["tke"], rows["gk"]
+    r_gam, r_sk = rows["gam"], rows["sk"]
+    scs = SpeciesConsts(mm_col=mm_ref[...], sm_den=den_ref[...],
+                        mm_sum=mm_sum)
+    vi = fi[:nprim]
+    vj = fj[:nprim]
+    conv = ausm_t.ausm_flux_t(lay, vi, vj, nm, m_infty)
+    h_s, cp_s = hcp
+
+    visc = viscous_t.viscous_flux_t(
+        lay, scs, vi, vj,
+        fi[r_g:r_mu].reshape(gd // nd, nd, tile),
+        fj[r_g:r_mu].reshape(gd // nd, nd, tile),
+        nm, ev,
+        fi[r_mu], fj[r_mu], fi[r_ka], fj[r_ka],
+        fi[r_mut], fj[r_mut], fi[r_tke], fj[r_tke],
+        fi[r_gk:r_gk + nd], fj[r_gk:r_gk + nd], fi[r_sk],
+        h_s, cp_s, prandtl_turb, lewis_turb)
+
+    # spectral radii (ops/timestep.py::max_lambda_inv + ns.viscous_lambda)
+    area = jnp.sqrt(jnp.sum(nm * nm, axis=0))
+    vel_i = vi[lay.VX:lay.VX + nd]
+    vel_j = vj[lay.VX:lay.VX + nd]
+    proj = 0.5 * jnp.sum((vel_i + vel_j) * nm, axis=0)
+    a_mean = 0.5 * (vi[lay.A] + vj[lay.A])
+    lc = (jnp.abs(proj) + a_mean) * area
+
+    mean_rho = 0.5 * (vi[lay.PRHO] + vj[lay.PRHO])
+    mean_mu = 0.5 * (fi[r_mu] + fj[r_mu])
+    mean_mut = 0.5 * (fi[r_mut] + fj[r_mut])
+    lam1 = 4.0 / 3.0 * (mean_mu + mean_mut)
+    lam2 = (1.0 + (prandtl_lam / prandtl_turb) * (mean_mut / mean_mu)) \
+        * (fi[r_gam] * mean_mu / prandtl_lam)
+    lv = (lam1 + lam2) * area * area / mean_rho
+    return conv - visc, lc, lv
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
+def fused_edge_flux_pallas_multi(lay, m_infty, prandtl_turb, lewis_turb,
+                                 prandtl_lam, nt_meta, sc,
+                                 f_i, f_js, normals, evecs, b_hcp, mm):
+    """ALL edge families in one launch: f_i is shared across families, so
+    its load/unpack and the h/cp spline contraction (paired across
+    families) happen once per tile instead of once per family.
+
+    f_js/normals/evecs: tuples of (48, E) / (d, E) per family.
+    Returns (fluxes (Kh, nVar, E), lcs (Kh, E), lvs (Kh, E))."""
+    t0, dtg, nt = nt_meta
+    nd, ns, nvar, nprim = lay.ndim, lay.ns, lay.nvar, lay.nprim
+    gd = (1 + nd + ns) * nd
+    kh = len(f_js)
+    ne = f_i.shape[-1]
+    tile = _TILE if ne >= _TILE else max(128, ne)
+    npad = -(-ne // tile) * tile
+    mm_sum = sc.mm_sum
+
+    ins = [_pad_cols(f_i, npad)] \
+        + [_pad_cols(x, npad) for x in f_js] \
+        + [_pad_cols(x, npad) for x in normals] \
+        + [_pad_cols(x, npad) for x in evecs] \
+        + [b_hcp, sc.mm_col, sc.sm_den]
+
+    r_g = nprim
+    r_mu = r_g + gd
+    r_ka = r_mu + 1
+    r_mut = r_ka + 1
+    r_tke = r_mut + 1
+    r_gk = r_tke + 1
+    r_gam = r_gk + nd
+    r_sk = r_gam + 1
+    rows = dict(g=r_g, mu=r_mu, ka=r_ka, mut=r_mut, tke=r_tke, gk=r_gk,
+                gam=r_gam, sk=r_sk, gd=gd)
+    consts = (lay, m_infty, prandtl_turb, lewis_turb, prandtl_lam,
+              (t0, dtg, nt), mm_sum, tile)
+
+    def kernel(*refs):
+        fi_ref = refs[0]
+        fj_refs = refs[1:1 + kh]
+        nm_refs = refs[1 + kh:1 + 2 * kh]
+        ev_refs = refs[1 + 2 * kh:1 + 3 * kh]
+        tab_ref, mm_ref, den_ref = refs[1 + 3 * kh:1 + 3 * kh + 3]
+        outs = refs[1 + 3 * kh + 3:]
+        flux_refs = outs[:kh]
+        lc_ref, lv_ref = outs[kh], outs[kh + 1]
+
+        fi = fi_ref[...]
+        fjs = [r[...] for r in fj_refs]
+        hcps = _hcp_pair(consts, tab_ref, mm_ref,
+                         tuple(0.5 * (fi[lay.T] + fj[lay.T]) for fj in fjs))
+        for k in range(kh):
+            flux, lc, lv = _explicit_side(
+                consts, rows, fi, fjs[k], nm_refs[k][...], ev_refs[k][...],
+                mm_ref, den_ref, hcps[k])
+            flux_refs[k][...] = flux
+            lc_ref[k, :] = lc
+            lv_ref[k, :] = lv
+
+    grid = (npad // tile,)
+    interpret = jax.devices()[0].platform != "tpu"
+    bs = lambda w: pl.BlockSpec((w, tile), lambda i: (0, i))
+    fb = lambda a, b: pl.BlockSpec((a, b), lambda i: (0, 0))
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        interpret=interpret,
+        in_specs=[bs(r_sk + 1)] * (1 + kh) + [bs(nd)] * (2 * kh)
+        + [fb(b_hcp.shape[0], b_hcp.shape[1]), fb(ns, 1), fb(ns, ns)],
+        out_specs=[bs(nvar)] * kh + [bs(kh), bs(kh)],
+        out_shape=[jax.ShapeDtypeStruct((nvar, npad), f_i.dtype)] * kh
+        + [jax.ShapeDtypeStruct((kh, npad), f_i.dtype)] * 2,
+    )(*ins)
+    fluxes = [o[:, :ne] for o in outs[:kh]]
+    return fluxes, outs[kh][:, :ne], outs[kh + 1][:, :ne]
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
 def fused_edge_flux_pallas(lay, m_infty, prandtl_turb, lewis_turb,
                            prandtl_lam, nt_meta, sc,
@@ -105,65 +265,22 @@ def fused_edge_flux_pallas(lay, m_infty, prandtl_turb, lewis_turb,
     r_gk = r_tke + 1
     r_gam = r_gk + nd
     r_sk = r_gam + 1
+    rows = dict(g=r_g, mu=r_mu, ka=r_ka, mut=r_mut, tke=r_tke, gk=r_gk,
+                gam=r_gam, sk=r_sk, gd=gd)
+    consts = (lay, m_infty, prandtl_turb, lewis_turb, prandtl_lam,
+              (t0, dtg, nt), mm_sum, tile)
 
     def kernel(fi_ref, fj_ref, nm_ref, ev_ref, tab_ref, mm_ref, den_ref,
                flux_ref, lc_ref, lv_ref):
         fi = fi_ref[...]
         fj = fj_ref[...]
-        nm = nm_ref[...]
-        scs = SpeciesConsts(mm_col=mm_ref[...], sm_den=den_ref[...],
-                            mm_sum=mm_sum)
-        vi = fi[:nprim]
-        vj = fj[:nprim]
-        conv = ausm_t.ausm_flux_t(lay, vi, vj, nm, m_infty)
-
-        # species h/cp at Tmean from the VMEM tables (one-hot matmul;
-        # same arithmetic as chemistry.spline.spline_eval + /mm)
-        tmean = 0.5 * (vi[lay.T] + vj[lay.T])
-        tmax_tab = t0 + (nt - 1) * dtg
-        tc = jnp.clip(tmean, t0, tmax_tab)
-        klo = jnp.clip(((tc - t0) / dtg).astype(jnp.int32) + 1, 1, nt - 1)
-        from su2_tpu.pallas.node_state import spline_gather
-        g = spline_gather(tab_ref, 8 * ns, klo, ntp=tab_ref.shape[1],
-                          split=tab_ref.dtype == jnp.bfloat16,
-                          dtype=vi.dtype)                      # (8S, tile)
-        xk = t0 + klo.astype(vi.dtype) * dtg
-        a = ((xk - tc) / dtg)[None, :]
-        b = ((tc - (xk - dtg)) / dtg)[None, :]
-        s2 = 2 * ns
-        yl, yc = g[:s2], g[s2:2 * s2]
-        y2l, y2c = g[2 * s2:3 * s2], g[3 * s2:]
-        q_mol = a * yl + b * yc \
-            + ((a ** 3 - a) * y2l + (b ** 3 - b) * y2c) * (dtg * dtg) / 6.0
-        h_s = q_mol[:ns] / mm_ref[...]
-        cp_s = q_mol[ns:] / mm_ref[...]
-
-        visc = viscous_t.viscous_flux_t(
-            lay, scs, vi, vj,
-            fi[r_g:r_mu].reshape(gd // nd, nd, tile),
-            fj[r_g:r_mu].reshape(gd // nd, nd, tile),
-            nm, ev_ref[...],
-            fi[r_mu], fj[r_mu], fi[r_ka], fj[r_ka],
-            fi[r_mut], fj[r_mut], fi[r_tke], fj[r_tke],
-            fi[r_gk:r_gk + nd], fj[r_gk:r_gk + nd], fi[r_sk],
-            h_s, cp_s, prandtl_turb, lewis_turb)
-        flux_ref[...] = conv - visc
-
-        # spectral radii (ops/timestep.py::max_lambda_inv + ns.viscous_lambda)
-        area = jnp.sqrt(jnp.sum(nm * nm, axis=0))
-        vel_i = vi[lay.VX:lay.VX + nd]
-        vel_j = vj[lay.VX:lay.VX + nd]
-        proj = 0.5 * jnp.sum((vel_i + vel_j) * nm, axis=0)
-        a_mean = 0.5 * (vi[lay.A] + vj[lay.A])
-        lc_ref[0, :] = (jnp.abs(proj) + a_mean) * area
-
-        mean_rho = 0.5 * (vi[lay.PRHO] + vj[lay.PRHO])
-        mean_mu = 0.5 * (fi[r_mu] + fj[r_mu])
-        mean_mut = 0.5 * (fi[r_mut] + fj[r_mut])
-        lam1 = 4.0 / 3.0 * (mean_mu + mean_mut)
-        lam2 = (1.0 + (prandtl_lam / prandtl_turb) * (mean_mut / mean_mu)) \
-            * (fi[r_gam] * mean_mu / prandtl_lam)
-        lv_ref[0, :] = (lam1 + lam2) * area * area / mean_rho
+        hcp = _hcp_pair(consts, tab_ref, mm_ref,
+                        (0.5 * (fi[lay.T] + fj[lay.T]),))
+        flux, lc, lv = _explicit_side(consts, rows, fi, fj, nm_ref[...],
+                                      ev_ref[...], mm_ref, den_ref, hcp[0])
+        flux_ref[...] = flux
+        lc_ref[0, :] = lc
+        lv_ref[0, :] = lv
 
     grid = (npad // tile,)
     interpret = jax.devices()[0].platform != "tpu"
@@ -221,19 +338,23 @@ def fused_interior_terms(lib, lay, mesh, prm, v, grad, trans, turb,
         # endpoint states are the node matrix and its rolls, the residual
         # scatter is a roll-subtract, and pad slots carry zero normals
         # (the kernels' zero-area guards make their flux exactly zero).
-        # One kernel call per family: f_i is the node matrix itself (no
-        # copy) and f_j a single roll — the Kh-wide concatenation
-        # materialized 2x Kh x 54 MB of stacked inputs at 142k cells.
+        # ONE kernel launch for all families: f_i (the node matrix, no
+        # copy) is loaded/unpacked once per tile and the h/cp spline
+        # contraction pairs across families — per-family f_j rolls stay
+        # separate operands (a Kh-wide stacked concatenation materialized
+        # 2x Kh x 54 MB at 142k cells).
+        f_js = tuple(jnp.roll(f_all, -o, axis=1) for o in mesh.fam_offsets)
+        normals = tuple(mesh.fam_normal[k].T
+                        for k in range(len(mesh.fam_offsets)))
+        evecs = tuple(mesh.fam_evec[k].T
+                      for k in range(len(mesh.fam_offsets)))
+        fluxes, lcs, lvs = fused_edge_flux_pallas_multi(
+            *kernel_args, f_all, f_js, normals, evecs, *tabs)
         res_t = lc_n = lv_n = None
         for k, o in enumerate(mesh.fam_offsets):
-            f_j = jnp.roll(f_all, -o, axis=1)
-            normal_k = mesh.fam_normal[k].T              # (d, nP) constant
-            evec_k = mesh.fam_evec[k].T
-            flux, lck, lvk = fused_edge_flux_pallas(
-                *kernel_args, f_all, f_j, normal_k, evec_k, *tabs)
-            rt = flux - jnp.roll(flux, o, axis=1)
-            lcn = lck + jnp.roll(lck, o)
-            lvn = lvk + jnp.roll(lvk, o)
+            rt = fluxes[k] - jnp.roll(fluxes[k], o, axis=1)
+            lcn = lcs[k] + jnp.roll(lcs[k], o)
+            lvn = lvs[k] + jnp.roll(lvs[k], o)
             res_t = rt if res_t is None else res_t + rt
             lc_n = lcn if lc_n is None else lc_n + lcn
             lv_n = lvn if lv_n is None else lv_n + lvn
