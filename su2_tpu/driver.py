@@ -54,6 +54,14 @@ class Simulation:
             # AUSM + viscous + Stefan-Maxwell + SST closure in one pallas pass
             from su2_tpu.pallas import edge_kernels as _ek
             _ek.set_edge_kernel_mode(True)
+            # fused SST assembly (pallas/sst_assemble.py) measured a wash
+            # at 9k (XLA overlaps the ~40 small assembly fusions well; the
+            # kernel + input stacking costs back what it saves) and its
+            # full-field Mosaic compile blows up at 142k — off by default,
+            # SU2_TPU_SST_ASSEMBLE=pallas to enable
+            mode = os.environ.get("SU2_TPU_SST_ASSEMBLE")
+            if mode:
+                sst.set_assemble_mode(mode)
             # fused per-node chemistry source (Arrhenius + PaSR + ln-K
             # lookup in one pass, pallas/chem_source.py)
             from su2_tpu.pallas import chem_source as _pcs

@@ -226,6 +226,30 @@ def add_rows(dest: jax.Array, idx, vals: jax.Array) -> jax.Array:
     return dest + upd.reshape(dest.shape)
 
 
+def add_cols(dest: jax.Array, idx, vals: jax.Array) -> jax.Array:
+    """dest.at[:, idx].add(vals) for lane-major dest (R, n), small static
+    idx, vals (R, nb) — the feature-major twin of add_rows.  Contiguous AP
+    runs pad along the lane axis; otherwise one exact one-hot contraction
+    (vals @ onehot(idx, n), selector in {0,1})."""
+    sidx = _static_idx(idx)
+    if sidx is None or sidx.size == 0:
+        return dest.at[:, idx].add(vals)
+    n = dest.shape[-1]
+    vv = jnp.asarray(vals, dest.dtype)
+    segs = _ap_segments(sidx)
+    if segs is not None and all(s == 1 for _, _, (_, s) in segs):
+        out = dest
+        for pos, ln, (start, _) in segs:
+            sl = jax.lax.slice_in_dim(vv, pos, pos + ln, axis=-1)
+            out = out + jnp.pad(sl, [(0, 0)] * (vv.ndim - 1)
+                                + [(start, n - start - ln)])
+        return out
+    if sidx.size > MAX_ONEHOT or not jnp.issubdtype(dest.dtype,
+                                                    jnp.floating):
+        return dest.at[:, idx].add(vals)
+    return dest + _sel_dot(vv, _onehot(sidx, n, dest.dtype))
+
+
 def set_col_rows(dest: jax.Array, idx, col: int, vals: jax.Array) -> jax.Array:
     """dest.at[idx, col].set(vals) for float dest (n, k), small static idx
     (unique indices)."""

@@ -110,6 +110,19 @@ class SSTConfig:
     color_masks: tuple | None = None
 
 
+# "xla" (default) or "pallas": fused one-launch assembly
+# (pallas/sst_assemble.py) feeding the lane-layout stencil solve directly.
+# The driver turns "pallas" on for TPU f32 production runs (same switch
+# point as the node-state kernel); f64 validation keeps the XLA path.
+_ASSEMBLE_MODE = "xla"
+
+
+def set_assemble_mode(mode: str) -> None:
+    global _ASSEMBLE_MODE
+    assert mode in ("xla", "pallas")
+    _ASSEMBLE_MODE = mode
+
+
 def sst_step(lay: Layout, mesh: MeshArrays, scfg: SSTConfig, bcs,
              q, v, flow_grad, mu, mu_t_node, strain_mag, dist,
              rho_old, dt, kine_inf, omega_inf,
@@ -142,6 +155,14 @@ def sst_step(lay: Layout, mesh: MeshArrays, scfg: SSTConfig, bcs,
                               gradients.weighted_least_squares(mesh, q))
     grad_k = gq[:, 0, :]
     grad_w = gq[:, 1, :]
+
+    if _ASSEMBLE_MODE == "pallas":
+        from su2_tpu.pallas import sst_assemble as sstasm
+        if sstasm.supported(mesh):
+            return _sst_step_fused(lay, mesh, scfg, bcs, q, v, flow_grad,
+                                   mu, mu_t_node, strain_mag, dist, rho_old,
+                                   dt, kine_inf, omega_inf, lib, dpdu_e,
+                                   tke_inf, gq, grad_k, grad_w, flow_fb)
 
     f1, f2, cdkw = blending(q[:, 0], q[:, 1], grad_k, grad_w, mu, rho, dist)
     sigma_k_blend = f1 * SIGMA_K1 + (1.0 - f1) * SIGMA_K2
@@ -276,68 +297,10 @@ def sst_step(lay: Layout, mesh: MeshArrays, scfg: SSTConfig, bcs,
     # BC_Outlet :3360); inlets impose (kine_Inf, omega_Inf) on the incoming
     # characteristic, outlets extrapolate.  Per-marker ghost construction,
     # ONE batched flux + scatter over the concatenated marker face set.
-    from su2_tpu.solvers import euler as es
-    _SST_BC_KINDS = ("inlet", "supersonic_inlet", "outlet",
-                     "supersonic_outlet", "far_field")
-    # static row offsets of each weak marker inside the flow-phase
-    # ghost-state batch (flux_bc_batch concatenates in bcs order, walls
-    # skipped)
-    fb_pos = {}
-    if flow_fb is not None:
-        pos = 0
-        for k, bc in enumerate(bcs):
-            if bc.kind in ("euler_wall", "isothermal_wall", "heatflux_wall"):
-                continue
-            fb_pos[k] = pos
-            pos += int(np.asarray(bc.nodes).shape[0])
-    bn_l, bnorm_l, velg_l, rhog_l, imp_l = [], [], [], [], []
-    for k, bc in enumerate(bcs):
-        if bc.kind not in _SST_BC_KINDS:
-            continue
-        nodes = bc.nodes
-        nv = int(np.asarray(nodes).shape[0])
-        if flow_fb is not None:
-            v_ghost = jax.lax.slice_in_dim(flow_fb[3], fb_pos[k],
-                                           fb_pos[k] + nv, axis=0)
-            vel_g = v_ghost[:, lay.VX:lay.VX + lay.ndim]
-            rho_g = v_ghost[:, lay.PRHO]
-        elif lib is not None and bc.kind == "inlet":
-            v_ghost, _, _ = es.inlet_state(lib, lay, bc, v, dpdu_e, tke_inf)
-            vel_g = v_ghost[:, lay.VX:lay.VX + lay.ndim]
-            rho_g = v_ghost[:, lay.PRHO]
-        elif lib is not None and bc.kind == "outlet":
-            v_ghost, _, _, _ = es.outlet_state(lib, lay, bc, v, dpdu_e,
-                                               tke_inf)
-            vel_g = v_ghost[:, lay.VX:lay.VX + lay.ndim]
-            rho_g = v_ghost[:, lay.PRHO]
-        elif lib is not None and bc.kind == "supersonic_inlet":
-            v_ghost, _, _ = es.supersonic_inlet_state(lib, lay, bc, v,
-                                                      tke_inf)
-            vel_g = v_ghost[:, lay.VX:lay.VX + lay.ndim]
-            rho_g = v_ghost[:, lay.PRHO]
-        else:
-            vel_g = bg.rows(vel, nodes)
-            rho_g = bg.rows(rho, nodes)
-        bn_l.append(np.asarray(nodes))
-        bnorm_l.append(bc.normal)
-        velg_l.append(vel_g)
-        rhog_l.append(rho_g)
-        imp_l.append(np.full(nv, bc.kind in ("inlet", "supersonic_inlet",
-                                             "far_field")))
-    if bn_l:
-        bn = np.concatenate(bn_l)
-        area_n = -jnp.concatenate(bnorm_l, axis=0)
-        vel_g = jnp.concatenate(velg_l, axis=0)
-        rho_g = jnp.concatenate(rhog_l)
-        imposed = jnp.asarray(np.concatenate(imp_l))
-        qb = 0.5 * jnp.einsum("ed,ed->e", bg.rows(vel, bn) + vel_g, area_n)
-        a0b = 0.5 * (qb + jnp.abs(qb))
-        a1b = 0.5 * (qb - jnp.abs(qb))
-        q_inf = jnp.stack([jnp.full_like(qb, kine_inf),
-                           jnp.full_like(qb, omega_inf)], axis=1)
-        qin = jnp.where(imposed[:, None], q_inf, bg.rows(q, bn))
-        bflux = a0b[:, None] * bg.rows(rho, bn)[:, None] * bg.rows(q, bn) \
-            + a1b[:, None] * rho_g[:, None] * qin
+    wk = _weak_bc_batch(lay, bcs, q, v, vel, rho, kine_inf, omega_inf,
+                        lib, dpdu_e, tke_inf, flow_fb)
+    if wk is not None:
+        bn, bflux, a0b = wk
         res = bg.add_rows(res, bn, bflux)
         diag = bg.add_rows(diag, bn, a0b[:, None, None] * eye2)
 
@@ -390,6 +353,188 @@ def sst_step(lay: Layout, mesh: MeshArrays, scfg: SSTConfig, bcs,
     rms = jnp.sqrt(jnp.mean(rhs * rhs, axis=0))
 
     # outputs for the mean-flow coupling
+    f1n, f2n, cdkwn = blending(q_new[:, 0], q_new[:, 1], grad_k, grad_w,
+                               mu, rho, dist)
+    mu_t_new = eddy_viscosity(rho, q_new[:, 0], q_new[:, 1], strain_mag, f2n)
+    outs = dict(f1=f1n, f2=f2n, cdkw=cdkwn, mu_t=mu_t_new,
+                sigma_k=f1n * SIGMA_K1 + (1.0 - f1n) * SIGMA_K2,
+                grad_k=grad_k, grad_w=grad_w)
+    return q_new, rms, outs
+
+
+def _weak_bc_batch(lay, bcs, q, v, vel, rho, kine_inf, omega_inf,
+                   lib, dpdu_e, tke_inf, flow_fb):
+    """Concatenated weak-BC face batch: (bn, bflux (nb, 2), a0b (nb,)) or
+    None (see sst_step's BC comment — the reference's CharacPrimVar
+    handoff)."""
+    from su2_tpu.solvers import euler as es
+    _SST_BC_KINDS = ("inlet", "supersonic_inlet", "outlet",
+                     "supersonic_outlet", "far_field")
+    # static row offsets of each weak marker inside the flow-phase
+    # ghost-state batch (flux_bc_batch concatenates in bcs order, walls
+    # skipped)
+    fb_pos = {}
+    if flow_fb is not None:
+        pos = 0
+        for k, bc in enumerate(bcs):
+            if bc.kind in ("euler_wall", "isothermal_wall", "heatflux_wall"):
+                continue
+            fb_pos[k] = pos
+            pos += int(np.asarray(bc.nodes).shape[0])
+    bn_l, bnorm_l, velg_l, rhog_l, imp_l = [], [], [], [], []
+    for k, bc in enumerate(bcs):
+        if bc.kind not in _SST_BC_KINDS:
+            continue
+        nodes = bc.nodes
+        nv = int(np.asarray(nodes).shape[0])
+        if flow_fb is not None:
+            v_ghost = jax.lax.slice_in_dim(flow_fb[3], fb_pos[k],
+                                           fb_pos[k] + nv, axis=0)
+            vel_g = v_ghost[:, lay.VX:lay.VX + lay.ndim]
+            rho_g = v_ghost[:, lay.PRHO]
+        elif lib is not None and bc.kind == "inlet":
+            v_ghost, _, _ = es.inlet_state(lib, lay, bc, v, dpdu_e, tke_inf)
+            vel_g = v_ghost[:, lay.VX:lay.VX + lay.ndim]
+            rho_g = v_ghost[:, lay.PRHO]
+        elif lib is not None and bc.kind == "outlet":
+            v_ghost, _, _, _ = es.outlet_state(lib, lay, bc, v, dpdu_e,
+                                               tke_inf)
+            vel_g = v_ghost[:, lay.VX:lay.VX + lay.ndim]
+            rho_g = v_ghost[:, lay.PRHO]
+        elif lib is not None and bc.kind == "supersonic_inlet":
+            v_ghost, _, _ = es.supersonic_inlet_state(lib, lay, bc, v,
+                                                      tke_inf)
+            vel_g = v_ghost[:, lay.VX:lay.VX + lay.ndim]
+            rho_g = v_ghost[:, lay.PRHO]
+        else:
+            vel_g = bg.rows(vel, nodes)
+            rho_g = bg.rows(rho, nodes)
+        bn_l.append(np.asarray(nodes))
+        bnorm_l.append(bc.normal)
+        velg_l.append(vel_g)
+        rhog_l.append(rho_g)
+        imp_l.append(np.full(nv, bc.kind in ("inlet", "supersonic_inlet",
+                                             "far_field")))
+    if not bn_l:
+        return None
+    bn = np.concatenate(bn_l)
+    area_n = -jnp.concatenate(bnorm_l, axis=0)
+    vel_g = jnp.concatenate(velg_l, axis=0)
+    rho_g = jnp.concatenate(rhog_l)
+    imposed = jnp.asarray(np.concatenate(imp_l))
+    qb = 0.5 * jnp.einsum("ed,ed->e", bg.rows(vel, bn) + vel_g, area_n)
+    a0b = 0.5 * (qb + jnp.abs(qb))
+    a1b = 0.5 * (qb - jnp.abs(qb))
+    q_inf = jnp.stack([jnp.full_like(qb, kine_inf),
+                       jnp.full_like(qb, omega_inf)], axis=1)
+    qin = jnp.where(imposed[:, None], q_inf, bg.rows(q, bn))
+    bflux = a0b[:, None] * bg.rows(rho, bn)[:, None] * bg.rows(q, bn) \
+        + a1b[:, None] * rho_g[:, None] * qin
+    return bn, bflux, a0b
+
+
+_CONSTS = (SIGMA_K1, SIGMA_K2, SIGMA_OM1, SIGMA_OM2, BETA_1, BETA_2,
+           BETA_STAR, A1, float(ALFA_1), float(ALFA_2))
+
+
+def _sst_step_fused(lay, mesh, scfg, bcs, q, v, flow_grad, mu, mu_t_node,
+                    strain_mag, dist, rho_old, dt, kine_inf, omega_inf,
+                    lib, dpdu_e, tke_inf, gq, grad_k, grad_w, flow_fb):
+    """sst_step body on the fused-assembly path: ONE pallas launch builds
+    (res, diag, sel) in the lane layout (pallas/sst_assemble.py), the weak
+    BCs add in lane space (bg.add_cols), and the system feeds the
+    one-launch/mixed FGMRES kernels with zero relayout."""
+    from su2_tpu.pallas import sst_assemble as sstasm
+    from su2_tpu.pallas import stencil_solve as stks
+
+    n = q.shape[0]
+    npad = -(-n // 128) * 128
+    dtype = q.dtype
+    rho = v[:, lay.PRHO]
+    vel = v[:, lay.VX:lay.VX + lay.ndim]
+
+    # strong wall rows (k = 0, omega = 60 mu/(rho beta1 d^2))
+    wall_mask = jnp.zeros(n, dtype=bool)
+    q_wall = jnp.zeros((n, 2), dtype=dtype)
+    for bc in bcs:
+        nodes = bc.nodes
+        if bc.kind in ("isothermal_wall", "heatflux_wall"):
+            dnn = jnp.linalg.norm(bg.rows(mesh.coords, bc.nn)
+                                  - bg.rows(mesh.coords, nodes), axis=1)
+            w_wall = 60.0 * bg.rows(mu, bc.nn) \
+                / (bg.rows(rho, bc.nn) * BETA_1 * dnn * dnn)
+            wall_mask = bg.set_rows(wall_mask, nodes, True)
+            q_wall = bg.set_col_rows(q_wall, nodes, 1, w_wall)
+
+    gvel = flow_grad[:, 1:1 + lay.ndim, :]
+    diverg = jnp.einsum("ndd->n", gvel)
+    consts = _CONSTS + (float(scfg.cfl_red),)
+    res_t, dd_t, sel_t = sstasm.sst_assemble(
+        mesh, consts, q, rho, vel, gq, mu, mu_t_node, dist, strain_mag,
+        diverg, dt, wall_mask)
+
+    # weak BCs in lane space; wall-corner faces masked out (the XLA path
+    # zeroes wall rows AFTER its BC adds — same result)
+    wk = _weak_bc_batch(lay, bcs, q, v, vel, rho, kine_inf, omega_inf,
+                        lib, dpdu_e, tke_inf, flow_fb)
+    if wk is not None:
+        bn, bflux, a0b = wk
+        notwall = 1.0 - bg.rows(wall_mask.astype(dtype), bn)
+        res_t = bg.add_cols(res_t, bn, (bflux * notwall[:, None]).T)
+        dd_t = bg.add_cols(
+            dd_t, bn, jnp.broadcast_to((a0b * notwall)[None, :],
+                                       (2, bn.shape[0])))
+
+    # ---- solve in lane space (zero relayout into the stencil kernels) ----
+    b_t = -res_t
+    zero_row = jnp.zeros_like(dd_t[0])
+    diag_t = jnp.stack([dd_t[0], zero_row, zero_row, dd_t[1]])
+    safe = jnp.where(dd_t == 0.0, 1.0, dd_t)
+    dinv_t = jnp.stack([1.0 / safe[0], zero_row, zero_row, 1.0 / safe[1]])
+    masks_t = stks._pad_lanes(
+        jnp.stack([m.astype(dtype) for m in scfg.color_masks]), npad)
+    offsets = tuple(mesh.stencil_offsets)
+    ncolor = len(scfg.color_masks)
+    interpret = jax.devices()[0].platform != "tpu"
+    if stks.fgmres_supported(mesh, 2, dtype, ncolor):
+        x_t, _ = stks._fgmres_call(
+            sel_t, dinv_t, diag_t, masks_t, b_t, offsets=offsets, v=2,
+            ncolor=ncolor, m=int(scfg.linear_iter),
+            tol=float(scfg.linear_tol), interpret=interpret)
+    elif (dtype == jnp.float32
+          and stks.sgs_matvec_mixed_supported(mesh, 2, ncolor)):
+        selp_t = sel_t.astype(jnp.bfloat16)
+
+        def pm(r_t):
+            return stks._sgs_matvec_mixed_call(
+                selp_t, sel_t, dinv_t, diag_t, masks_t, r_t,
+                offsets=offsets, v=2, ncolor=ncolor, interpret=interpret)
+
+        x_t, _, _ = krylov.fgmres(None, None, b_t,
+                                  max_iter=scfg.linear_iter,
+                                  tol=scfg.linear_tol, precond_matvec=pm)
+    else:
+        # tiny/unsupported sizes: per-launch sweep + matvec kernels
+        def pm(r_t):
+            return stks._sgs_matvec_call(
+                sel_t, dinv_t, diag_t, masks_t, r_t, offsets=offsets, v=2,
+                ncolor=ncolor, interpret=interpret)
+
+        x_t, _, _ = krylov.fgmres(None, None, b_t,
+                                  max_iter=scfg.linear_iter,
+                                  tol=scfg.linear_tol, precond_matvec=pm)
+    sol = x_t[:, :n].T
+
+    lower = jnp.asarray(LOWER, dtype=dtype)
+    upper = jnp.asarray(UPPER, dtype=dtype)
+    q_new = (rho_old[:, None] * q + scfg.relax * sol) / rho[:, None]
+    q_new = jnp.clip(q_new, lower, upper)
+    q_new = jnp.where(wall_mask[:, None], q_wall, q_new)
+    q_new = q_new.at[:, 0].set(jnp.where(wall_mask, 0.0, q_new[:, 0]))
+
+    # rms over REAL nodes (pad lanes carry zero residual)
+    rms = jnp.sqrt(jnp.sum(b_t * b_t, axis=1) / n)
+
     f1n, f2n, cdkwn = blending(q_new[:, 0], q_new[:, 1], grad_k, grad_w,
                                mu, rho, dist)
     mu_t_new = eddy_viscosity(rho, q_new[:, 0], q_new[:, 1], strain_mag, f2n)
