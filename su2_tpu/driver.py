@@ -22,7 +22,6 @@ from su2_tpu.chemistry import library as cl
 from su2_tpu.config import Config
 from su2_tpu.geometry.dual_grid import build_dual_grid
 from su2_tpu.geometry.mesh_data import mesh_arrays
-from su2_tpu.io.mesh import read_su2_mesh
 from dataclasses import replace as dataclasses_replace
 
 from su2_tpu.ops import timestep
@@ -461,7 +460,8 @@ class Simulation:
                 rhs = -res
                 mv, pc, pm, solve = blockcsr.make_solver_ops(
                     mesh, jac, cfg.linear_solver_prec, color_masks,
-                    linelets=self.linelets)
+                    linelets=self.linelets,
+                    linear_iter=cfg.linear_solver_iter)
                 if cfg.linear_solver == "BCGSTAB":
                     sol, _, iters = krylov.bcgstab(
                         mv, pc, rhs, max_iter=cfg.linear_solver_iter,
@@ -605,7 +605,8 @@ class Simulation:
                 rhs = -res
                 mv, pc, pm, solve = blockcsr.make_solver_ops(
                     mesh, jac, cfg.linear_solver_prec, color_masks,
-                    linelets=self.linelets)
+                    linelets=self.linelets,
+                    linear_iter=cfg.linear_solver_iter)
                 if cfg.linear_solver == "BCGSTAB":
                     sol, _, _ = krylov.bcgstab(
                         mv, pc, rhs, max_iter=cfg.linear_solver_iter,

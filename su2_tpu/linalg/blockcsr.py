@@ -274,7 +274,8 @@ def multicolor_sgs_apply(mesh: MeshArrays, jac: BlockJacobian,
 
 
 def make_solver_ops(mesh: MeshArrays, jac: BlockJacobian,
-                    kind: str = "JACOBI", color_masks=None, linelets=None):
+                    kind: str = "JACOBI", color_masks=None, linelets=None,
+                    linear_iter: int = 5):
     """(matvec, precond, precond_matvec|None, solve|None) for a Krylov
     solve.
 
@@ -308,10 +309,10 @@ def make_solver_ops(mesh: MeshArrays, jac: BlockJacobian,
         return mv, pc, None, None
     if isinstance(jac, StencilJacobianT):
         return make_solver_ops_stencil_t(mesh, jac.diag, jac.sel_t,
-                                         kind, color_masks)
+                                         kind, color_masks, linear_iter)
     if isinstance(jac, FamilyJacobian):
         return make_solver_ops_fam(mesh, jac.diag, family_sel(mesh, jac),
-                                   kind, color_masks)
+                                   kind, color_masks, linear_iter)
     dinv = block_jacobi_factor(jac)
     v = jac.diag.shape[-1]
     sgs = kind in ("LU_SGS", "ILU0", "LINELET") and color_masks is not None
@@ -323,7 +324,7 @@ def make_solver_ops(mesh: MeshArrays, jac: BlockJacobian,
                                        color_masks)
             return ops.matvec, ops.precond, ops.precond_matvec, \
                 _fused_solve(stks, ops, mesh, v, jac.diag.dtype,
-                             len(color_masks))
+                             len(color_masks), linear_iter)
         if (jac.diag.dtype == jnp.float32
                 and stks.supported(mesh, v, jnp.bfloat16, len(color_masks))):
             # blocks too wide for an f32 VMEM-resident sweep: run the
@@ -333,7 +334,8 @@ def make_solver_ops(mesh: MeshArrays, jac: BlockJacobian,
             sel = gather_offdiag(mesh, jac)
             ops = stks.StencilSolveOps(mesh, sel, dinv, jac.diag,
                                        color_masks,
-                                       sel_dtype=jnp.bfloat16)
+                                       sel_dtype=jnp.bfloat16,
+                                       m=linear_iter)
             mv = lambda x: matvec(mesh, jac, x, sel)
             return mv, ops.precond, _mixed_pm(ops), _mixed_solve(ops)
     sel = gather_offdiag(mesh, jac)
@@ -351,11 +353,12 @@ def _fgmres_off():
     return bool(os.environ.get("SU2_TPU_FUSED_FGMRES_OFF"))
 
 
-def _fused_solve(stks, ops, mesh, v, dtype, ncolor):
+def _fused_solve(stks, ops, mesh, v, dtype, ncolor, m):
     """solve(b, max_iter, tol) bound to the one-launch FGMRES kernel when
-    its VMEM working set fits, else None (caller falls back to the XLA
-    Krylov loop over precond_matvec)."""
-    if _fgmres_off() or not stks.fgmres_supported(mesh, v, dtype, ncolor):
+    its VMEM working set fits AT the caller's Krylov budget m, else None
+    (caller falls back to the XLA Krylov loop over precond_matvec)."""
+    if _fgmres_off() or not stks.fgmres_supported(mesh, v, dtype, ncolor,
+                                                  m):
         return None
 
     def solve(b, max_iter, tol):
@@ -383,7 +386,8 @@ def _mixed_pm(ops):
 
 
 def make_solver_ops_fam(mesh: MeshArrays, diag: jax.Array, sel: jax.Array,
-                        kind: str = "JACOBI", color_masks=None):
+                        kind: str = "JACOBI", color_masks=None,
+                        linear_iter: int = 5):
     """(matvec, precond, precond_matvec|None, solve|None) from family-major
     blocks.
 
@@ -401,13 +405,14 @@ def make_solver_ops_fam(mesh: MeshArrays, diag: jax.Array, sel: jax.Array,
             ops = stks.StencilSolveOps(mesh, sel, dinv, diag, color_masks)
             return ops.matvec, ops.precond, ops.precond_matvec, \
                 _fused_solve(stks, ops, mesh, v, diag.dtype,
-                             len(color_masks))
+                             len(color_masks), linear_iter)
         if (diag.dtype == jnp.float32
                 and stks.supported(mesh, v, jnp.bfloat16, len(color_masks))):
             # bf16-block preconditioner sweep (one launch, sel read from
             # HBM once); f32 matvec preserves the linear tolerance
             ops = stks.StencilSolveOps(mesh, sel, dinv, diag, color_masks,
-                                       sel_dtype=jnp.bfloat16)
+                                       sel_dtype=jnp.bfloat16,
+                                       m=linear_iter)
             mv = lambda x: _bmv(diag, x) + _offdiag_apply(mesh, sel, x)
             return mv, ops.precond, _mixed_pm(ops), _mixed_solve(ops)
     mv = lambda x: _bmv(diag, x) + _offdiag_apply(mesh, sel, x)
@@ -441,7 +446,7 @@ def _offdiag_apply_t(mesh: MeshArrays, sel_t: jax.Array, x: jax.Array):
 
 def make_solver_ops_stencil_t(mesh: MeshArrays, diag: jax.Array,
                               sel_t: jax.Array, kind: str = "JACOBI",
-                              color_masks=None):
+                              color_masks=None, linear_iter: int = 5):
     """(matvec, precond, precond_matvec|None, solve|None) from lane-layout
     off-diagonal blocks (StencilJacobianT) — the fused implicit assembly's
     native form.
@@ -459,11 +464,12 @@ def make_solver_ops_stencil_t(mesh: MeshArrays, diag: jax.Array,
                                        sel_is_t=True)
             return ops.matvec, ops.precond, ops.precond_matvec, \
                 _fused_solve(stks, ops, mesh, v, diag.dtype,
-                             len(color_masks))
+                             len(color_masks), linear_iter)
         if (diag.dtype == jnp.float32
                 and stks.supported(mesh, v, jnp.bfloat16, len(color_masks))):
             ops = stks.StencilSolveOps(mesh, sel_t, dinv, diag, color_masks,
-                                       sel_dtype=jnp.bfloat16, sel_is_t=True)
+                                       sel_dtype=jnp.bfloat16, sel_is_t=True,
+                                       m=linear_iter)
             mv = lambda x: _bmv(diag, x) + _offdiag_apply_t(mesh, sel_t, x)
             return mv, ops.precond, _mixed_pm(ops), _mixed_solve(ops)
     sel = sel_t.reshape(k, v, v, n).transpose(0, 3, 1, 2)

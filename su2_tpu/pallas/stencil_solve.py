@@ -92,6 +92,14 @@ def supported(mesh, v: int, dtype, ncolor: int | None = None) -> bool:
     return est <= _VMEM_LIMIT
 
 
+def _fgmres_cap(m: int) -> int:
+    """npad cap for the m-times-unrolled one-launch FGMRES body.  Mosaic
+    compile time and the kernel's scheduling quality degrade with the
+    unroll size ~ m^2 * npad (the MGS dot count), so the measured m=5 cap
+    scales down quadratically for larger Krylov budgets."""
+    return _FGMRES_NPAD_CAP * 25 // max(m * m, 1)
+
+
 def fgmres_supported(mesh, v: int, dtype, ncolor: int,
                      m: int = 5) -> bool:
     """Whether the one-launch FGMRES kernel's working set fits VMEM: the
@@ -101,7 +109,7 @@ def fgmres_supported(mesh, v: int, dtype, ncolor: int,
         return False
     k = len(mesh.stencil_offsets)
     npad = -(-mesh.npoint // 128) * 128
-    if npad > _FGMRES_NPAD_CAP:
+    if npad > _fgmres_cap(m):
         return False
     est = _est_stack_bytes(k, v, npad, ncolor,
                            jnp.dtype(dtype).itemsize)
@@ -276,18 +284,100 @@ def _matvec_call(sel_t, diag_t, x_t, *, offsets, v, interpret):
     )(sel_t, diag_t, x_t)
 
 
+
+def _fgmres_body(selp, selm, dinv, diag, masks, b, *, offsets, v, ncolor,
+                 m, tol):
+    """Shared FGMRES cycle body (values, not refs): right-preconditioned,
+    multicolor-SGS sweep reading `selp` (may be bf16), matvec reading
+    `selm` (full precision; selp is selm on the pure-f32 path).  Replicates
+    krylov.fgmres arithmetic — pow2 scaling, modified Gram-Schmidt,
+    Givens-rotation residual recurrence, back-substitution.  Returns
+    (x, rel_residual, iters)."""
+    dtype = b.dtype
+
+    # ---- _pow2_scale: exact exponent-shift normalization ----
+    absmax = jnp.max(jnp.abs(b))
+    ex = jnp.floor(jnp.log2(jnp.maximum(absmax, 1e-300)))
+    s = jnp.exp2(jnp.clip(ex, -120.0, 120.0)).astype(dtype)
+    s = jnp.where(absmax > 0, s, jnp.ones_like(s))
+    b = b / s
+
+    def dot(a, c):
+        return jnp.sum(a * c)
+
+    def norm(a):
+        return jnp.sqrt(dot(a, a))
+
+    r = b                                     # x0 = 0
+    beta = norm(r)
+    norm0 = jnp.maximum(norm(b), 1e-300)
+    one = jnp.ones_like(beta)
+    zero = jnp.zeros_like(beta)
+
+    vs = [r / jnp.maximum(beta, 1e-300)]
+    zs = []
+    cols = []
+    cs, sn = [], []
+    g = [beta]
+    active = beta / norm0 >= tol
+    iters = zero
+    res_hist = beta
+    for j in range(m):
+        z = _sgs_body(selp, dinv, masks, vs[j], offsets, v, ncolor)
+        w = _bapply(diag, z, v) + _offdiag(selm, z, offsets, v)
+        zs.append(z)
+        col = []
+        for i in range(j + 1):
+            hij = dot(vs[i], w)
+            hij = jnp.where(active, hij, one * (i == j))
+            col.append(hij)
+            w = w - jnp.where(active, hij, 0.0) * vs[i]
+        hj1 = norm(w)
+        hj1 = jnp.where(active, hj1, 0.0)
+        vs.append(jnp.where(active, w / jnp.maximum(hj1, 1e-300), vs[j]))
+        iters = iters + active.astype(dtype)
+        rc = list(col) + [hj1]
+        for i in range(j):
+            t = cs[i] * rc[i] + sn[i] * rc[i + 1]
+            rc[i + 1] = -sn[i] * rc[i] + cs[i] * rc[i + 1]
+            rc[i] = t
+        denom = jnp.sqrt(rc[j] * rc[j] + rc[j + 1] * rc[j + 1])
+        safe = jnp.maximum(denom, 1e-300)
+        cj = jnp.where(denom == 0.0, one, rc[j] / safe)
+        sj = jnp.where(denom == 0.0, zero, rc[j + 1] / safe)
+        cs.append(cj)
+        sn.append(sj)
+        gj1 = -sj * g[j]
+        g[j] = cj * g[j]
+        g.append(gj1)
+        cur = jnp.abs(gj1)
+        res_hist = jnp.where(active, cur, res_hist)
+        active = active & (cur / norm0 >= tol)
+        cols.append(rc[:j] + [cj * rc[j] + sj * rc[j + 1]])
+
+    # back-substitution on the Givens-rotated R (krylov.fgmres tail)
+    y = [zero] * m
+    for j in range(m - 1, -1, -1):
+        acc = g[j]
+        for i in range(j + 1, m):
+            acc = acc - cols[i][j] * y[i]
+        rjj = cols[j][j]
+        y[j] = acc / jnp.where(rjj == 0.0, 1.0, rjj)
+        y[j] = jnp.where(rjj == 0.0, zero, y[j])
+    dx = zs[0] * y[0]
+    for j in range(1, m):
+        dx = dx + y[j] * zs[j]
+    return dx * s, res_hist / norm0, iters
+
+
 @functools.partial(jax.jit, static_argnames=("offsets", "v", "ncolor", "m",
                                               "tol", "interpret"))
 def _fgmres_call(sel_t, dinv_t, diag_t, masks_t, b_t, *, offsets, v, ncolor,
                  m, tol, interpret):
     """ONE pallas launch for a whole FGMRES cycle (right-preconditioned,
-    multicolor-SGS preconditioner, m Krylov vectors).
-
-    Replicates krylov.fgmres arithmetic — pow2 scaling, modified
-    Gram-Schmidt, Givens-rotation residual recurrence, back-substitution —
-    with the SGS sweep and matvec inlined (_sgs_body/_offdiag), so the
-    ~10 kernel launches + ~400 scalar XLA ops of the driver-side loop
-    collapse into a single launch.  All basis vectors stay VMEM-resident.
+    multicolor-SGS preconditioner, m Krylov vectors) — see _fgmres_body.
+    The ~10 kernel launches + ~400 scalar XLA ops of the driver-side loop
+    collapse into a single launch; all basis vectors stay VMEM-resident.
 
     Returns (x_t, stats) with stats (2, 128): row 0 = final relative
     residual, row 1 = iterations used."""
@@ -297,85 +387,11 @@ def _fgmres_call(sel_t, dinv_t, diag_t, masks_t, b_t, *, offsets, v, ncolor,
     def kernel(sel_ref, dinv_ref, diag_ref, masks_ref, b_ref, x_ref,
                stats_ref):
         sel = sel_ref[...]
-        dinv = dinv_ref[...]
-        diag = diag_ref[...]
-        masks = masks_ref[...]
-        b = b_ref[...]
-
-        # ---- _pow2_scale: exact exponent-shift normalization ----
-        absmax = jnp.max(jnp.abs(b))
-        ex = jnp.floor(jnp.log2(jnp.maximum(absmax, 1e-300)))
-        s = jnp.exp2(jnp.clip(ex, -120.0, 120.0)).astype(dtype)
-        s = jnp.where(absmax > 0, s, jnp.ones_like(s))
-        b = b / s
-
-        def dot(a, c):
-            return jnp.sum(a * c)
-
-        def norm(a):
-            return jnp.sqrt(dot(a, a))
-
-        r = b                                     # x0 = 0
-        beta = norm(r)
-        norm0 = jnp.maximum(norm(b), 1e-300)
-        one = jnp.ones_like(beta)
-        zero = jnp.zeros_like(beta)
-
-        vs = [r / jnp.maximum(beta, 1e-300)]
-        zs = []
-        cols = []
-        cs, sn = [], []
-        g = [beta]
-        active = beta / norm0 >= tol
-        iters = zero
-        res_hist = beta
-        for j in range(m):
-            z = _sgs_body(sel, dinv, masks, vs[j], offsets, v, ncolor)
-            w = _bapply(diag, z, v) + _offdiag(sel, z, offsets, v)
-            zs.append(z)
-            col = []
-            for i in range(j + 1):
-                hij = dot(vs[i], w)
-                hij = jnp.where(active, hij, one * (i == j))
-                col.append(hij)
-                w = w - jnp.where(active, hij, 0.0) * vs[i]
-            hj1 = norm(w)
-            hj1 = jnp.where(active, hj1, 0.0)
-            vs.append(jnp.where(active, w / jnp.maximum(hj1, 1e-300), vs[j]))
-            iters = iters + active.astype(dtype)
-            rc = list(col) + [hj1]
-            for i in range(j):
-                t = cs[i] * rc[i] + sn[i] * rc[i + 1]
-                rc[i + 1] = -sn[i] * rc[i] + cs[i] * rc[i + 1]
-                rc[i] = t
-            denom = jnp.sqrt(rc[j] * rc[j] + rc[j + 1] * rc[j + 1])
-            safe = jnp.maximum(denom, 1e-300)
-            cj = jnp.where(denom == 0.0, one, rc[j] / safe)
-            sj = jnp.where(denom == 0.0, zero, rc[j + 1] / safe)
-            cs.append(cj)
-            sn.append(sj)
-            gj1 = -sj * g[j]
-            g[j] = cj * g[j]
-            g.append(gj1)
-            cur = jnp.abs(gj1)
-            res_hist = jnp.where(active, cur, res_hist)
-            active = active & (cur / norm0 >= tol)
-            cols.append(rc[:j] + [cj * rc[j] + sj * rc[j + 1]])
-
-        # back-substitution on the Givens-rotated R (krylov.fgmres tail)
-        y = [zero] * m
-        for j in range(m - 1, -1, -1):
-            acc = g[j]
-            for i in range(j + 1, m):
-                acc = acc - cols[i][j] * y[i]
-            rjj = cols[j][j]
-            y[j] = acc / jnp.where(rjj == 0.0, 1.0, rjj)
-            y[j] = jnp.where(rjj == 0.0, zero, y[j])
-        dx = zs[0] * y[0]
-        for j in range(1, m):
-            dx = dx + y[j] * zs[j]
-        x_ref[...] = dx * s
-        stats_ref[0, :] = jnp.broadcast_to(res_hist / norm0, (128,))
+        x, rel, iters = _fgmres_body(
+            sel, sel, dinv_ref[...], diag_ref[...], masks_ref[...],
+            b_ref[...], offsets=offsets, v=v, ncolor=ncolor, m=m, tol=tol)
+        x_ref[...] = x
+        stats_ref[0, :] = jnp.broadcast_to(rel, (128,))
         stats_ref[1, :] = jnp.broadcast_to(iters, (128,))
 
     full = lambda a: pl.BlockSpec(a.shape, lambda: (0,) * a.ndim)
@@ -399,7 +415,7 @@ def fgmres_mixed_supported(mesh, v: int, ncolor: int, m: int = 5) -> bool:
         return False
     k = len(mesh.stencil_offsets)
     npad = -(-mesh.npoint // 128) * 128
-    if npad > _FGMRES_NPAD_CAP:
+    if npad > _fgmres_cap(m):
         return False
     est = _est_stack_bytes(k, v, npad, ncolor, 2)      # bf16 sweep stack
     est += k * v * v * npad * 4                        # resident f32 sel
@@ -413,93 +429,20 @@ def _fgmres_mixed_call(selp_t, selm_t, dinv_t, diag_t, masks_t, b_t, *,
                        offsets, v, ncolor, m, tol, interpret):
     """Mixed-tier one-launch FGMRES: the SGS sweep reads bf16 off-diagonal
     blocks (quality-only preconditioner — exactly the shipped bf16 tier),
-    the Krylov matvec reads the f32 blocks, all VMEM-resident.  Arithmetic
-    is _fgmres_call's; replicates the XLA path (bf16 _sgs_call sweeps +
-    f32 matvec + krylov.fgmres) in one launch."""
+    the Krylov matvec reads the f32 blocks, all VMEM-resident — see
+    _fgmres_body.  Replicates the XLA path (bf16 _sgs_call sweeps + f32
+    matvec + krylov.fgmres) in one launch."""
     npad = b_t.shape[-1]
     dtype = b_t.dtype
 
     def kernel(selp_ref, selm_ref, dinv_ref, diag_ref, masks_ref, b_ref,
                x_ref, stats_ref):
-        selp = selp_ref[...]
-        selm = selm_ref[...]
-        dinv = dinv_ref[...]
-        diag = diag_ref[...]
-        masks = masks_ref[...]
-        b = b_ref[...]
-
-        absmax = jnp.max(jnp.abs(b))
-        ex = jnp.floor(jnp.log2(jnp.maximum(absmax, 1e-300)))
-        s = jnp.exp2(jnp.clip(ex, -120.0, 120.0)).astype(dtype)
-        s = jnp.where(absmax > 0, s, jnp.ones_like(s))
-        b = b / s
-
-        def dot(a, c):
-            return jnp.sum(a * c)
-
-        def norm(a):
-            return jnp.sqrt(dot(a, a))
-
-        r = b
-        beta = norm(r)
-        norm0 = jnp.maximum(norm(b), 1e-300)
-        one = jnp.ones_like(beta)
-        zero = jnp.zeros_like(beta)
-
-        vs = [r / jnp.maximum(beta, 1e-300)]
-        zs = []
-        cols = []
-        cs, sn = [], []
-        g = [beta]
-        active = beta / norm0 >= tol
-        iters = zero
-        res_hist = beta
-        for j in range(m):
-            z = _sgs_body(selp, dinv, masks, vs[j], offsets, v, ncolor)
-            w = _bapply(diag, z, v) + _offdiag(selm, z, offsets, v)
-            zs.append(z)
-            col = []
-            for i in range(j + 1):
-                hij = dot(vs[i], w)
-                hij = jnp.where(active, hij, one * (i == j))
-                col.append(hij)
-                w = w - jnp.where(active, hij, 0.0) * vs[i]
-            hj1 = norm(w)
-            hj1 = jnp.where(active, hj1, 0.0)
-            vs.append(jnp.where(active, w / jnp.maximum(hj1, 1e-300), vs[j]))
-            iters = iters + active.astype(dtype)
-            rc = list(col) + [hj1]
-            for i in range(j):
-                t = cs[i] * rc[i] + sn[i] * rc[i + 1]
-                rc[i + 1] = -sn[i] * rc[i] + cs[i] * rc[i + 1]
-                rc[i] = t
-            denom = jnp.sqrt(rc[j] * rc[j] + rc[j + 1] * rc[j + 1])
-            safe = jnp.maximum(denom, 1e-300)
-            cj = jnp.where(denom == 0.0, one, rc[j] / safe)
-            sj = jnp.where(denom == 0.0, zero, rc[j + 1] / safe)
-            cs.append(cj)
-            sn.append(sj)
-            gj1 = -sj * g[j]
-            g[j] = cj * g[j]
-            g.append(gj1)
-            cur = jnp.abs(gj1)
-            res_hist = jnp.where(active, cur, res_hist)
-            active = active & (cur / norm0 >= tol)
-            cols.append(rc[:j] + [cj * rc[j] + sj * rc[j + 1]])
-
-        y = [zero] * m
-        for j in range(m - 1, -1, -1):
-            acc = g[j]
-            for i in range(j + 1, m):
-                acc = acc - cols[i][j] * y[i]
-            rjj = cols[j][j]
-            y[j] = acc / jnp.where(rjj == 0.0, 1.0, rjj)
-            y[j] = jnp.where(rjj == 0.0, zero, y[j])
-        dx = zs[0] * y[0]
-        for j in range(1, m):
-            dx = dx + y[j] * zs[j]
-        x_ref[...] = dx * s
-        stats_ref[0, :] = jnp.broadcast_to(res_hist / norm0, (128,))
+        x, rel, iters = _fgmres_body(
+            selp_ref[...], selm_ref[...], dinv_ref[...], diag_ref[...],
+            masks_ref[...], b_ref[...], offsets=offsets, v=v,
+            ncolor=ncolor, m=m, tol=tol)
+        x_ref[...] = x
+        stats_ref[0, :] = jnp.broadcast_to(rel, (128,))
         stats_ref[1, :] = jnp.broadcast_to(iters, (128,))
 
     full = lambda a: pl.BlockSpec(a.shape, lambda: (0,) * a.ndim)
@@ -536,7 +479,7 @@ class StencilSolveOps:
     """
 
     def __init__(self, mesh, sel, dinv, diag, color_masks, sel_dtype=None,
-                 sel_is_t=False):
+                 sel_is_t=False, m: int = 5):
         if sel_is_t:
             # sel already in the lane layout (K*v*v, n) — e.g. straight from
             # the fused implicit edge kernel (StencilJacobianT): no relayout
@@ -565,7 +508,7 @@ class StencilSolveOps:
             if sgs_matvec_mixed_supported(mesh, v, len(color_masks)):
                 self.sel_f32_t = self.sel_t
                 self.fgmres_mixed_ok = fgmres_mixed_supported(
-                    mesh, v, len(color_masks))
+                    mesh, v, len(color_masks), m)
             self.sel_t = self.sel_t.astype(sel_dtype)
         self.dinv_t = tt(dinv)
         self.diag_t = tt(diag) if (not self.mixed

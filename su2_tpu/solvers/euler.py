@@ -899,7 +899,8 @@ def implicit_euler_update(lib, lay, mesh, prm, bcs, u, v, dt, lower, upper,
                                omega_turb, turb_ke)
     rhs = -res
     mv, pc, pm, solve = blockcsr.make_solver_ops(mesh, jac, precond,
-                                                 color_masks)
+                                                 color_masks,
+                                                 linear_iter=linear_iter)
     if linear_solver == "BCGSTAB":
         sol, rel_res, iters = krylov.bcgstab(mv, pc, rhs,
                                              max_iter=linear_iter,

@@ -13,12 +13,12 @@ from su2_tpu.state import Layout
 
 
 def _marker_forces(lay, v, grad, trans, nodes, normal, p_inf, mu_t,
-                   viscous, origin, ref_len):
-    """One marker's (fp, ff, mp, mf, hf_total, hf_max): pressure/friction
-    force vectors, pressure/friction z-moments about `origin`, heat flux."""
+                   viscous):
+    """One marker's (fp, ff, hf_total, hf_max, fvec_p, fvec_f):
+    pressure/friction force 3-vectors, heat flux, and the per-vertex
+    pressure/friction force vectors (the caller integrates moments)."""
     nd = lay.ndim
     out_n = -np.asarray(normal)                       # outward area normal
-    x = None
     fp = np.zeros(3)
     ff = np.zeros(3)
     p = np.asarray(v[nodes, lay.P])
@@ -46,8 +46,7 @@ def _marker_forces(lay, v, grad, trans, nodes, normal, p_inf, mu_t,
         hf_total = float(q.sum())
         if len(q):
             hf_max = float(np.abs(q / np.maximum(area, 1e-30)).max())
-    # z-moment about the reference origin (MomentInviscid/Viscous[2])
-    return fp, ff, 0.0, 0.0, hf_total, hf_max, fvec_p, fvec_f
+    return fp, ff, hf_total, hf_max, fvec_p, fvec_f
 
 
 def surface_forces(lib, lay: Layout, mesh, v, grad, trans, markers,
@@ -67,50 +66,57 @@ def surface_forces(lib, lay: Layout, mesh, v, grad, trans, markers,
     a = np.deg2rad(aoa_deg)
     ca, sa = np.cos(a), np.sin(a)
 
-    def coeffs(fvec_p, fvec_f, cmz_p, cmz_f):
+    def coeffs(fvec_p, fvec_f, mom_p, mom_f):
         cp = fvec_p / q_dyn
         cf = fvec_f / q_dyn
-        tot = cp + cf
         # 2D wind-axis rotation (3D: same in the x-y plane; shipped cases
         # fly alpha in that plane)
+        qm = q_dyn * ref_len
         out = {
             "CFx": (cp[0], cf[0]), "CFy": (cp[1], cf[1]),
             "CFz": (cp[2], cf[2]),
             "CD": (cp[0] * ca + cp[1] * sa, cf[0] * ca + cf[1] * sa),
             "CL": (-cp[0] * sa + cp[1] * ca, -cf[0] * sa + cf[1] * ca),
-            "CMz": (cmz_p / (q_dyn * ref_len), cmz_f / (q_dyn * ref_len)),
+            "CMx": (mom_p[0] / qm, mom_f[0] / qm),
+            "CMy": (mom_p[1] / qm, mom_f[1] / qm),
+            "CMz": (mom_p[2] / qm, mom_f[2] / qm),
         }
         return out
 
     totals_p = np.zeros(3)
     totals_f = np.zeros(3)
-    cmz_p_tot = cmz_f_tot = 0.0
+    moms_p = np.zeros(3)
+    moms_f = np.zeros(3)
     hf_total = 0.0
     hf_max = 0.0
     per_marker = {}
     for tag, (nodes, normal, nn) in markers.items():
-        fp, ff, _, _, hft, hfm, fvp, fvf = _marker_forces(
-            lay, v, grad, trans, nodes, normal, p_inf, mu_t, viscous,
-            origin, ref_len)
-        cmz_p = cmz_f = 0.0
+        fp, ff, hft, hfm, fvp, fvf = _marker_forces(
+            lay, v, grad, trans, nodes, normal, p_inf, mu_t, viscous)
+        m_p = np.zeros(3)
+        m_f = np.zeros(3)
         if coords is not None and lay.ndim >= 2:
             xy = np.asarray(coords)[np.asarray(nodes)]
-            dx = xy[:, 0] - origin[0]
-            dy = xy[:, 1] - origin[1]
-            cmz_p = float((dx * fvp[:, 1] - dy * fvp[:, 0]).sum())
-            cmz_f = float((dx * fvf[:, 1] - dy * fvf[:, 0]).sum())
+            darm = np.zeros((xy.shape[0], 3))
+            darm[:, :lay.ndim] = xy - np.asarray(origin)[:lay.ndim]
+            fv3_p = np.zeros((xy.shape[0], 3))
+            fv3_p[:, :lay.ndim] = fvp
+            fv3_f = np.zeros((xy.shape[0], 3))
+            fv3_f[:, :lay.ndim] = fvf
+            m_p = np.cross(darm, fv3_p).sum(axis=0)
+            m_f = np.cross(darm, fv3_f).sum(axis=0)
         totals_p += fp
         totals_f += ff
-        cmz_p_tot += cmz_p
-        cmz_f_tot += cmz_f
+        moms_p += m_p
+        moms_f += m_f
         hf_total += hft
         hf_max = max(hf_max, hfm)
-        per_marker[tag] = coeffs(fp, ff, cmz_p, cmz_f)
+        per_marker[tag] = coeffs(fp, ff, m_p, m_f)
 
-    splits = coeffs(totals_p, totals_f, cmz_p_tot, cmz_f_tot)
+    splits = coeffs(totals_p, totals_f, moms_p, moms_f)
     tot = {k: p + f for k, (p, f) in splits.items()}
     return {"CL": tot["CL"], "CD": tot["CD"], "CFx": tot["CFx"],
             "CFy": tot["CFy"], "CFz": tot["CFz"],
-            "CMx": 0.0, "CMy": 0.0, "CMz": tot["CMz"],
+            "CMx": tot["CMx"], "CMy": tot["CMy"], "CMz": tot["CMz"],
             "HF_total": hf_total, "HF_max": hf_max,
             "splits": splits, "per_marker": per_marker}

@@ -156,7 +156,12 @@ def sst_step(lay: Layout, mesh: MeshArrays, scfg: SSTConfig, bcs,
     grad_k = gq[:, 0, :]
     grad_w = gq[:, 1, :]
 
-    if _ASSEMBLE_MODE == "pallas":
+    if (_ASSEMBLE_MODE == "pallas" and scfg.linear_solver == "FGMRES"
+            and scfg.linear_prec in ("LU_SGS", "ILU0")
+            and scfg.color_masks):
+        # the fused path hard-codes the FGMRES + multicolor-SGS solve the
+        # shipped cfgs use; other solver/preconditioner choices keep the
+        # XLA path, which dispatches on both
         from su2_tpu.pallas import sst_assemble as sstasm
         if sstasm.supported(mesh):
             return _sst_step_fused(lay, mesh, scfg, bcs, q, v, flow_grad,
@@ -325,11 +330,13 @@ def sst_step(lay: Layout, mesh: MeshArrays, scfg: SSTConfig, bcs,
     if fam_off is not None:
         sel = fam_off[:, :, :, None] * eye2                  # (K, nP, 2, 2)
         mv, pc, pm, solve = blockcsr.make_solver_ops_fam(
-            mesh, diag, sel, scfg.linear_prec, scfg.color_masks)
+            mesh, diag, sel, scfg.linear_prec, scfg.color_masks,
+            linear_iter=scfg.linear_iter)
     else:
         jac = BlockJacobian(diag=diag, off_ij=off_ij, off_ji=off_ji)
         mv, pc, pm, solve = blockcsr.make_solver_ops(
-            mesh, jac, scfg.linear_prec, scfg.color_masks)
+            mesh, jac, scfg.linear_prec, scfg.color_masks,
+            linear_iter=scfg.linear_iter)
     if scfg.linear_solver == "BCGSTAB":
         sol, _, _ = krylov.bcgstab(mv, pc, rhs, max_iter=scfg.linear_iter,
                                    tol=scfg.linear_tol)
@@ -496,7 +503,8 @@ def _sst_step_fused(lay, mesh, scfg, bcs, q, v, flow_grad, mu, mu_t_node,
     offsets = tuple(mesh.stencil_offsets)
     ncolor = len(scfg.color_masks)
     interpret = jax.devices()[0].platform != "tpu"
-    if stks.fgmres_supported(mesh, 2, dtype, ncolor):
+    if stks.fgmres_supported(mesh, 2, dtype, ncolor,
+                             m=int(scfg.linear_iter)):
         x_t, _ = stks._fgmres_call(
             sel_t, dinv_t, diag_t, masks_t, b_t, offsets=offsets, v=2,
             ncolor=ncolor, m=int(scfg.linear_iter),
