@@ -880,7 +880,13 @@ class Simulation:
                  nerr, min_dt) = self._step(u, t_guess, q, mu_t, grad_k,
                                             sigma_k, ignite,
                                             u_n=u_n, u_nm1=u_nm1)
-            log_rms = np.log10(np.maximum(np.asarray(rms), 1e-300))
+            rms_np = np.asarray(rms)
+            if np.isnan(rms_np).any():
+                raise RuntimeError(
+                    f"NaN residual at iteration {it} "
+                    "(SU2 detects the first NaN in the residual and "
+                    "exits, solver_direct_reactive.cpp:2861)")
+            log_rms = np.log10(np.maximum(rms_np, 1e-300))
             hist.append(log_rms)
             if not quiet:
                 print(f"phys step {step_i:5d} t={dt_phys*(step_i+1):.4e}  "
@@ -1062,7 +1068,13 @@ class Simulation:
             else:
                 u, t_guess, rms, rmax, nerr, min_dt = self._step(
                     u, t_guess, cfl=cfl_arg)
-            log_rms = np.log10(np.maximum(np.asarray(rms), 1e-300))
+            rms_np = np.asarray(rms)
+            if np.isnan(rms_np).any():
+                raise RuntimeError(
+                    f"NaN residual at iteration {it} "
+                    "(SU2 detects the first NaN in the residual and "
+                    "exits, solver_direct_reactive.cpp:2861)")
+            log_rms = np.log10(np.maximum(rms_np, 1e-300))
             hist.append(log_rms)
             if adapt:
                 # CFL adaption (SetCFL_Number, output_structure.cpp:5975):
@@ -1171,6 +1183,12 @@ class Simulation:
                 mind_a = np.asarray(ys[3])
                 log_trms_a = None
             rms_a = np.asarray(ys[0])
+            if np.isnan(rms_a).any():
+                bad = int(np.where(np.isnan(rms_a).any(axis=1))[0][0])
+                raise RuntimeError(
+                    f"NaN residual at iteration {it0 + it + bad} "
+                    "(SU2 detects the first NaN in the residual and "
+                    "exits, solver_direct_reactive.cpp:2861)")
             log_rms_a = np.log10(np.maximum(rms_a, 1e-300))
             converged = False
             for j in range(k):
