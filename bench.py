@@ -26,12 +26,12 @@ import jax
 import jax.numpy as jnp
 
 CPU_CORE_BASELINE_MCELLS = 0.0032  # measured 0.00105 at -O0, x3 allowance
-# 100-iteration device chunks: the tunneled TPU pays ~6 ms dispatch latency
-# per call, so short chunks measure the tunnel, not the solver (device time
-# per coupled iteration is ~0.54 ms at 9k cells; production runs use
-# run(chunk=K) exactly like this)
-CHUNK = 250
-N_CHUNKS = 2
+# 1000-iteration device chunks: the tunneled TPU pays several ms dispatch
+# latency per call, so short chunks measure the tunnel, not the solver
+# (production runs use run(chunk=K) exactly like this — the full shipped
+# campaign in scripts/full_campaign.py runs 1000-iteration chunks)
+CHUNK = 1000
+N_CHUNKS = 1
 
 
 def main():
