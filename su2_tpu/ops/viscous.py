@@ -373,8 +373,20 @@ def _viscous_jacobians(lib, lay, v_i, v_j, vmean, mu, ktr, ds, xs,
         dfdv_j = dfdv_j.at[:, lay.RHOVX + 1, lay.RHOVX + 1].set(coef * thetad[:, 1])
         dfdv_j = dfdv_j.at[:, lay.RHOE, lay.RHOVX].set(coef * pix)
         dfdv_j = dfdv_j.at[:, lay.RHOE, lay.RHOVX + 1].set(coef * piy)
+        tsl = pi = None
     else:
-        raise NotImplementedError("3D viscous Jacobians land with 3D support")
+        # 3D thin-shear-layer matrix (reference :1337-1379): the theta/eta
+        # entries are exactly M = theta I + n (x) n / 3, and the energy-row
+        # pi vector is M v.  (2D keeps its unrolled form above so the
+        # pinned flat-plate arithmetic stays bit-identical.)
+        tsl = theta[:, None, None] * jnp.eye(nd, dtype=dtype)[None] \
+            + unit[:, :, None] * unit[:, None, :] / 3.0        # (nF, 3, 3)
+        pi = jnp.einsum("fij,fj->fi", tsl, vmean[:, lay.VX:lay.VX + nd])
+        dfdv_j = dfdv_j.at[:, lay.RHOVX:lay.RHOVX + nd,
+                           lay.RHOVX:lay.RHOVX + nd].set(
+            coef[:, None, None] * tsl)
+        dfdv_j = dfdv_j.at[:, lay.RHOE, lay.RHOVX:lay.RHOVX + nd].set(
+            coef[:, None] * pi)
     dfdv_j = dfdv_j.at[:, lay.RHOE, lay.RHOE].set(ktr * theta / dist * area)
     dfdv_i = -dfdv_j
 
@@ -421,6 +433,36 @@ def _viscous_jacobians(lib, lay, v_i, v_j, vmean, mu, ktr, ds, xs,
             sub = add.at[:, lay.RHOE, lay.RHOS:lay.RHOS + ns].set(
                 (cmt / dist * area)[:, None] * h_s * ys / rho_i[:, None] * theta[:, None])
             dfdv_i = dfdv_i - sub
+        else:
+            # 3D SST closure (SST_Reactive_JacobianClosure nDim==3 branch,
+            # reference :983-1075).  The reference's 3D branch differs from
+            # its 2D one: the species-species mass-closure diagonal is
+            # ACTIVE (2D has it commented out as destabilizing, :957-966)
+            # and the energy-species term drops the Ys factor (:1067 has
+            # hs[iSpecies]/rho vs the 2D hs*Ys/rho at :971).  Replicated
+            # as written.
+            add = jnp.zeros_like(dfdv_j)
+            add = add.at[:, lay.RHOVX:lay.RHOVX + nd,
+                         lay.RHOVX:lay.RHOVX + nd].set(
+                coef_t[:, None, None] * tsl)
+            add = add.at[:, lay.RHOE, lay.RHOVX:lay.RHOVX + nd].set(
+                coef_t[:, None] * pi)
+            cpy = jnp.einsum("fs,fs->f", cp_s, ys)
+            add = add.at[:, lay.RHOE, lay.RHOE].add(
+                mu_t / prandtl_turb * cpy * theta / dist * area)
+            idx = jnp.arange(ns)
+            ce = (cmt / dist * area * theta)
+            ss = (mu_t / (prandtl_turb * lewis_turb) / dist * area * theta)
+            add_j = add.at[:, lay.RHOS + idx, lay.RHOS + idx].add(
+                (ss / rho_j)[:, None] * ys)
+            add_j = add_j.at[:, lay.RHOE, lay.RHOS:lay.RHOS + ns].add(
+                (ce / rho_j)[:, None] * h_s)
+            add_i = add.at[:, lay.RHOS + idx, lay.RHOS + idx].add(
+                (ss / rho_i)[:, None] * ys)
+            add_i = add_i.at[:, lay.RHOE, lay.RHOS:lay.RHOS + ns].add(
+                (ce / rho_i)[:, None] * h_s)
+            dfdv_j = dfdv_j + add_j
+            dfdv_i = dfdv_i - add_i
         # common energy-diagonal term with mass gradients
         aux = jnp.einsum("fsd,fd->fs", gy, unit)
         com = jnp.einsum("f,fs,fs,fs->f", cmt, cp_s, ys, aux) * area
