@@ -214,3 +214,84 @@ def test_flatplate_iteration0_matches_reference(flatplate_dir):
     assert rms[0, sim.lay.RHOE] == pytest.approx(4.711371, abs=2e-5)
     assert trms[0, 0] == pytest.approx(2.174569, abs=2e-3)
     assert trms[0, 1] == pytest.approx(6.139606, abs=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# 3D reactive RANS parity (round 2).  The reference binary was run on a
+# 7x5x5-node hexahedral box (su2_tpu.geometry.structured.box_mesh(7, 5, 5,
+# 1.5, 0.5, 0.5) written via io.mesh.write_su2_mesh) with the flat-plate air
+# chemistry: REACTIVE_NAVIER_STOKES + SST (-> REACTIVE_RANS), MUSCL AUSM,
+# implicit Euler flow + implicit SST, no-slip heatflux wall at z_min, Euler
+# walls elsewhere, TEMPERATURE_IMPOSE inlet, pressure outlet, CFL 2.
+# Console residuals (serial, -O0 build — the only level the fork survives):
+REF_3D = np.array([
+    # Res[Rho]  Res[RhoE]  Res[kine]  Res[omega]
+    [-0.571914, 4.856525, 2.817006, 6.643356],
+    [-0.663810, 4.772061, 2.215828, 6.245196],
+    [-0.747968, 4.694922, 1.761800, 5.912167],
+    [-0.818649, 4.630190, 1.410443, 5.636386],
+])
+
+CFG_3D_PARITY = """
+CONFIG_LIB_FILE = test_air.txt
+FREESTREAM_MASS_FRAC = (0.2197, 0.0302, 0.7501)
+SPECIES_ORDER = (O2, CO2, N2)
+PHYSICAL_PROBLEM= REACTIVE_NAVIER_STOKES
+KIND_TURB_MODEL= SST
+MACH_NUMBER= 0.2
+FREESTREAM_TEMPERATURE= 297.62
+FREESTREAM_VELOCITY= (69.1687, 0.0, 0.0)
+FREESTREAM_PRESSURE= 113303.0
+REYNOLDS_LENGTH= 1.000
+REYNOLDS_NUMBER= 500000
+MARKER_HEATFLUX = (z_min, 0.0)
+MARKER_EULER= ( z_max, y_min, y_max )
+MARKER_INLET= ( inlet, 300.0, 100000.0, 1.0, 0.0, 0.0 )
+INLET_MASS_FRAC = (inlet, 0.2197, 0.0302, 0.7501)
+MARKER_OUTLET= ( outlet, 97250.0 )
+NUM_METHOD_GRAD= WEIGHTED_LEAST_SQUARES
+CFL_NUMBER= 2.0
+LINEAR_SOLVER= FGMRES
+LINEAR_SOLVER_PREC= LU_SGS
+LINEAR_SOLVER_ERROR= 1E-6
+LINEAR_SOLVER_ITER= 5
+CONV_NUM_METHOD_FLOW= AUSM
+SPATIAL_ORDER_FLOW= 2ND_ORDER
+SLOPE_LIMITER_FLOW= VENKATAKRISHNAN
+TIME_DISCRE_FLOW= EULER_IMPLICIT
+CONV_NUM_METHOD_TURB= SCALAR_UPWIND
+TIME_DISCRE_TURB= EULER_IMPLICIT
+MESH_FILENAME= unused.su2
+"""
+
+
+def test_3d_rans_residual_history_matches_reference(flatplate_dir, tmp_path):
+    """3D REACTIVE_RANS residual trajectory matches the reference binary to
+    printed digits (flow) / ~1e-4 (turb) — pins the 3D viscous Jacobians,
+    3D SST coupling and 3D BC normals (reference supports 3D nDim-
+    generically: solver_direct_reactive.cpp:4953,
+    numerics_direct_reactive.cpp:1337)."""
+    import jax.numpy as jnp
+
+    from su2_tpu.geometry.structured import box_mesh
+
+    cfg_path = tmp_path / "case3d.cfg"
+    cfg_path.write_text(CFG_3D_PARITY)
+    cwd = os.getcwd()
+    os.chdir(flatplate_dir)
+    try:
+        sim = Simulation(Config(str(cfg_path)),
+                         raw_mesh=box_mesh(7, 5, 5, 1.5, 0.5, 0.5))
+    finally:
+        os.chdir(cwd)
+    state = (sim.u0, sim.t0) + sim.initial_turb_state()
+    rows = []
+    for it in range(4):
+        out = sim._step(*state, jnp.asarray(False))
+        state = tuple(out[:6])
+        rms = np.log10(np.maximum(np.asarray(out[6]), 1e-300))
+        trms = np.log10(np.maximum(np.asarray(out[8]), 1e-300))
+        rows.append([rms[sim.lay.RHO], rms[sim.lay.RHOE], trms[0], trms[1]])
+    rows = np.array(rows)
+    np.testing.assert_allclose(rows[:, :2], REF_3D[:, :2], atol=3e-5)
+    np.testing.assert_allclose(rows[:, 2:], REF_3D[:, 2:], atol=3e-3)
