@@ -133,6 +133,12 @@ def _prim_row(lay, t, vel, p, rho, h, a, ys):
     ], axis=1)
 
 
+def _rowfill(area, p):
+    """Per-row marker parameter: scalar (ordinary markers) or (nV,) dense
+    field (bc_dense sharded path) — broadcast either to (nV,)."""
+    return jnp.broadcast_to(jnp.asarray(p, area.dtype), area.shape)
+
+
 def euler_wall_residual(lib, lay, nodes, normal, v, turb_ke=None):
     """Weak slip-wall: pressure (+ 2/3 rho k) flux on momentum
     (BC_Euler_Wall, solver_direct_reactive.cpp:2881-2995)."""
@@ -158,10 +164,11 @@ def inlet_state(lib, lay, bc: BCMarker, v, dpdu_e, tke_inf):
     ys = jnp.broadcast_to(bc.params["ys"], (nodes.shape[0], lay.ns))
     fdir = bc.params["flow_dir"]
 
+    fdir_r = jnp.broadcast_to(fdir, (nodes.shape[0], nd))
     if bc.inlet_mode == "TEMPERATURE_IMPOSE":
-        temp = jnp.full_like(area, bc.params["v1"])
-        vel_mag = bc.params["v2"]
-        velb = jnp.broadcast_to(vel_mag * fdir, (nodes.shape[0], nd))
+        temp = _rowfill(area, bc.params["v1"])
+        vel_mag = _rowfill(area, bc.params["v2"])
+        velb = vel_mag[:, None] * fdir_r
         p = vd[:, lay.P]
         rgas = cl.mixture_rgas(lib, ys)
         rho = p / (rgas * temp)
@@ -172,16 +179,16 @@ def inlet_state(lib, lay, bc: BCMarker, v, dpdu_e, tke_inf):
     if bc.inlet_mode == "MASS_FLOW":
         # impose density + velocity, extrapolate pressure
         # (BC_Inlet MASS_FLOW branch, solver_direct_reactive.cpp:3490-3560)
-        rho = jnp.full_like(area, bc.params["v1"])
-        vel_mag = bc.params["v2"]
-        velb = jnp.broadcast_to(vel_mag * fdir, (nodes.shape[0], nd))
+        rho = _rowfill(area, bc.params["v1"])
+        vel_mag = _rowfill(area, bc.params["v2"])
+        velb = vel_mag[:, None] * fdir_r
         p = vd[:, lay.P]
         rgas = cl.mixture_rgas(lib, ys)
         temp = p / (rgas * rho)
         h = cl.mixture_enthalpy(lib, temp, ys) + tke_inf + 0.5 * vel_mag ** 2
         gamma, a = cl.frozen_gamma_sound(lib, temp, ys)
         return _prim_row(lay, temp, velb, p, rho, h, a, ys), gamma, \
-            jnp.full_like(area, vel_mag ** 2)
+            vel_mag ** 2
 
     if bc.inlet_mode == "TOTAL_CONDITIONS":
         ttot = bc.params["v1"]
@@ -191,17 +198,17 @@ def inlet_state(lib, lay, bc: BCMarker, v, dpdu_e, tke_inf):
         a_d = vd[:, lay.A]
         gamma_node = bg.rows(dpdu_e, nodes) + 1.0                   # dPdU[rhoE] + 1
         gamma_tot = cl.frozen_gamma_sound(
-            lib, jnp.full_like(area, ttot), ys)[0]
+            lib, _rowfill(area, ttot), ys)[0]
         gamma = 2.0 / (1.0 / gamma_node + 1.0 / gamma_tot)
         gm1 = gamma - 1.0
         riemann = vn + 2.0 * a_d / gm1
         tot_enthalpy = cl.mixture_enthalpy(
-            lib, jnp.full_like(area, ttot), ys)
+            lib, _rowfill(area, ttot), ys)
         alpha = jnp.sum(unit * fdir, axis=1)
         rgas = cl.mixture_rgas(lib, ys)
 
         from su2_tpu.pallas import inlet_tc as _itc
-        if _itc.use_pallas():
+        if _itc.use_pallas() and jnp.ndim(jnp.asarray(bc.params["v1"])) == 0:
             # fused secant+bisection solve (pallas/inlet_tc.py) — the XLA
             # while loops pay a dispatch round per trip on ~100-vertex
             # markers
@@ -224,7 +231,7 @@ def inlet_state(lib, lay, bc: BCMarker, v, dpdu_e, tke_inf):
             return hb + 0.5 * vb * vb - tot_enthalpy
 
         # secant (15 its, tol 1e-9) + bisection fallback (100 its, tol 1e-6)
-        t = jnp.full_like(area, ttot)
+        t = _rowfill(area, ttot)
         t_old = t + 1.0
         done = jnp.zeros_like(t, dtype=bool)
 
@@ -241,7 +248,7 @@ def inlet_state(lib, lay, bc: BCMarker, v, dpdu_e, tke_inf):
         t, _, done = jax.lax.fori_loop(0, 15, sec, (t, t_old, done))
 
         ta = jnp.full_like(t, 300.0)
-        tb = jnp.full_like(t, ttot)
+        tb = _rowfill(t, ttot)
         tm = 0.5 * (ta + tb)
         bdone = jnp.zeros_like(t, dtype=bool)
 
@@ -303,7 +310,7 @@ def outlet_state(lib, lay, bc: BCMarker, v, dpdu_e, tke_inf):
     rgas = cl.mixture_rgas(lib, ys)
     t_b = p_exit / (rho_b * rgas)
     h_b = cl.mixture_enthalpy(lib, t_b, ys) + tke_inf + 0.5 * vel2_b
-    p_full = jnp.full_like(p_d, p_exit)
+    p_full = _rowfill(p_d, p_exit)
     v_sub = _prim_row(lay, t_b, vel_b, p_full, rho_b, h_b, a_b, ys)
     v_out = jnp.where(supersonic[:, None], vd, v_sub)
     return v_out, gamma, jnp.where(supersonic, vel2_d, vel2_b), supersonic
@@ -314,8 +321,9 @@ def supersonic_inlet_state(lib, lay, bc: BCMarker, v, tke_inf):
     nd = lay.ndim
     n = nodes.shape[0]
     ys = jnp.broadcast_to(bc.params["ys"], (n, lay.ns))
-    t = jnp.full((n,), bc.params["t"], dtype=v.dtype)
-    p = jnp.full((n,), bc.params["p"], dtype=v.dtype)
+    area_ss = jnp.zeros((n,), dtype=v.dtype)
+    t = _rowfill(area_ss, bc.params["t"])
+    p = _rowfill(area_ss, bc.params["p"])
     vel = jnp.broadcast_to(bc.params["vel"], (n, nd))
     rgas = cl.mixture_rgas(lib, ys)
     rho = p / (rgas * t)

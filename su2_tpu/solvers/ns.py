@@ -170,7 +170,7 @@ def ns_assemble(lib: ChemLib, lay: Layout, mesh: MeshArrays, prm: NSParams,
                 bcs, v, dt=None, implicit=False,
                 turb: TurbFlowData | None = None, omega_turb=None,
                 sigma_k_edge=None, want_lambdas=False, nsd=None,
-                want_bc_states=False):
+                want_bc_states=False, dense_bc=None):
     """Full NS residual (and Jacobian when implicit): convective + viscous +
     BC + chemistry source + strong wall treatment.
 
@@ -357,12 +357,53 @@ def ns_assemble(lib: ChemLib, lay: Layout, mesh: MeshArrays, prm: NSParams,
                     _trans_rows(trans, i), _trans_rows(trans, j), **vf_args)
             res = res - mesh.scatter_edges(vflux)
 
-    # --- flux BCs: convective + viscous contributions, assembled as ONE
-    # batched AUSM + ONE batched viscous call over the concatenated weak
-    # marker face set (es.flux_bc_batch) ---
-    fb = es.flux_bc_batch(lib, lay, bcs, v, dpdu_full, prm.tke_inf,
-                          mesh.coords)
-    if fb is not None:
+    # --- flux BCs: convective + viscous contributions.  Sharded runs use
+    # the dense masked passes of solvers/bc_dense.py (zero marker-scale
+    # collectives under GSPMD); single-device runs keep the batched
+    # gather path (es.flux_bc_batch). ---
+    if dense_bc is not None:
+        from su2_tpu.solvers import bc_dense as bcd
+
+        ghost_layers = bcd.flux_ghost_layers(lib, lay, dense_bc, v,
+                                             dpdu_full, prm.tke_inf)
+        fb = ("dense", ghost_layers)
+        if trans.dij is not None:
+            dij_full = trans.dij
+        else:
+            dij_full = cl.binary_diffusion(
+                lib, v[:, lay.T], v[:, lay.P] / 101325.0) / 1.0e4
+        tr_n = {"mu": trans.mu, "kappa": trans.kappa, "dij": dij_full}
+        tu_n = (None if turb is None else
+                {"mu_t": turb.mu_t, "tke": turb.tke,
+                 "grad_tke": turb.grad_tke})
+        for layer, v_ghost, gamma, vel2, imposed in ghost_layers:
+            m = layer.any_mask
+            normal = layer.normal
+            bargs = dict(coord_i=mesh.coords, coord_j=layer.coord_nn,
+                         corrected=False, turb_i=tu_n, turb_j=tu_n,
+                         sigma_k=(turb.sigma_k if turb is not None else None),
+                         prandtl_turb=prm.prandtl_turb,
+                         lewis_turb=prm.lewis_turb)
+            if implicit:
+                s_ghost = es.ghost_dpdu(lib, lay, v_ghost, gamma, vel2)
+                cf, cj_i, _ = es.ausm.ausm_flux(
+                    lay, v, v_ghost, -normal, prm.m_infty, dpdu_full,
+                    s_ghost)
+                vf, vj_i, _ = viscous.viscous_flux(
+                    lib, lay, v, v_ghost, grad, grad, -normal, tr_n, tr_n,
+                    s_i=dtdu_full, s_j=dtdu_full, **bargs)
+                diag = diag + jnp.where(m[:, None, None], cj_i - vj_i, 0.0)
+            else:
+                cf = es.ausm.ausm_flux(lay, v, v_ghost, -normal,
+                                       prm.m_infty)
+                vf = viscous.viscous_flux(
+                    lib, lay, v, v_ghost, grad, grad, -normal, tr_n, tr_n,
+                    **bargs)
+            res = res + jnp.where(m[:, None], cf - vf, 0.0)
+    else:
+        fb = es.flux_bc_batch(lib, lay, bcs, v, dpdu_full, prm.tke_inf,
+                              mesh.coords)
+    if dense_bc is None and fb is not None:
         nodes, nn, normal, v_ghost, gamma, vel2 = fb
         if implicit:
             s_ghost = es.ghost_dpdu(lib, lay, v_ghost, gamma, vel2)
@@ -398,14 +439,25 @@ def ns_assemble(lib: ChemLib, lay: Layout, mesh: MeshArrays, prm: NSParams,
         res = bg.add_rows(res, nodes, cf - vf)
 
     # --- euler (slip) walls ---
-    wb = es.wall_bc_batch(bcs, kinds=("euler_wall",))
-    if wb is not None:
-        wn, wnorm = wb
-        r = es.euler_wall_residual(lib, lay, wn, wnorm, v, turb_ke)
-        res = bg.add_rows(res, wn, r)
-        if implicit:
-            diag = bg.add_rows(diag, wn,
-                es.euler_wall_jacobian(lib, lay, wn, wnorm, v, dpdu_full))
+    if dense_bc is not None:
+        arange_n = np.arange(n)
+        for el in dense_bc.euler_layers:
+            r = es.euler_wall_residual(lib, lay, arange_n, el.normal, v,
+                                       turb_ke)
+            res = res + jnp.where(el.mask[:, None], r, 0.0)
+            if implicit:
+                jw = es.euler_wall_jacobian(lib, lay, arange_n, el.normal,
+                                            v, dpdu_full)
+                diag = diag + jnp.where(el.mask[:, None, None], jw, 0.0)
+    else:
+        wb = es.wall_bc_batch(bcs, kinds=("euler_wall",))
+        if wb is not None:
+            wn, wnorm = wb
+            r = es.euler_wall_residual(lib, lay, wn, wnorm, v, turb_ke)
+            res = bg.add_rows(res, wn, r)
+            if implicit:
+                diag = bg.add_rows(diag, wn,
+                    es.euler_wall_jacobian(lib, lay, wn, wnorm, v, dpdu_full))
 
     # --- chemistry source ---
     if prm.reactive_sources:
@@ -418,7 +470,43 @@ def ns_assemble(lib: ChemLib, lay: Layout, mesh: MeshArrays, prm: NSParams,
         res = res + sres
 
     # --- strong no-slip walls (isothermal / heatflux) ---
-    wall_mask = jnp.zeros(n, dtype=bool)
+    if dense_bc is not None:
+        # dense per marker: the nn access is a stencil roll
+        # (collective-permute under GSPMD), everything else elementwise
+        wall_mask = dense_bc.wall_mask
+        for we in dense_bc.walls:
+            if we.kind == "heatflux_wall":
+                res = res.at[:, lay.RHOE].add(
+                    jnp.where(we.mask, -we.qwall * we.area, 0.0))
+                continue
+            tj = jnp.roll(v[:, lay.T], -we.offset, axis=0)
+            ktr = trans.kappa
+            dtdn = (we.twall - tj) / we.dnn
+            evisc = ktr * dtdn * we.area
+            turb_ktr = jnp.zeros_like(evisc)
+            if turb is not None:
+                cp_s = cl.species_cp(lib, jnp.full_like(we.area, we.twall))
+                rho_s = v[:, lay.PRHO, None] * v[:, lay.YS:lay.YS + ns_]
+                coef = (turb.mu_t / prm.prandtl_turb)[:, None] * cp_s * rho_s
+                evisc = evisc + coef.sum(-1) * dtdn * we.area
+                turb_ktr = coef.sum(-1)
+            res = res.at[:, lay.RHOE].add(jnp.where(we.mask, -evisc, 0.0))
+            if implicit:
+                dtdu_nn = jnp.roll(dtdu_full, -we.offset, axis=0)
+                c = ktr / we.dnn * we.area
+                jrow = jnp.zeros((n, lay.nvar), dtype=v.dtype)
+                jrow = jrow.at[:, lay.RHO].set(c * dtdu_nn[:, lay.RHO])
+                jrow = jrow.at[:, lay.RHOE].set(
+                    c * dtdu_nn[:, lay.RHOE]
+                    + turb_ktr / we.dnn * we.area * dtdu_nn[:, lay.RHOE])
+                sl = jnp.arange(ns_)
+                jrow = jrow.at[:, lay.RHOS + sl].set(
+                    c[:, None] * dtdu_nn[:, lay.RHOS + sl])
+                diag = diag.at[:, lay.RHOE, :].add(
+                    jnp.where(we.mask[:, None], jrow, 0.0))
+        bcs = ()                 # gather wall loop below skipped
+    else:
+        wall_mask = jnp.zeros(n, dtype=bool)
     for bc in bcs:
         if bc.kind not in ("isothermal_wall", "heatflux_wall"):
             continue

@@ -127,7 +127,7 @@ def sst_step(lay: Layout, mesh: MeshArrays, scfg: SSTConfig, bcs,
              q, v, flow_grad, mu, mu_t_node, strain_mag, dist,
              rho_old, dt, kine_inf, omega_inf,
              lib=None, dpdu_e=None, tke_inf: float = 0.0, gq=None,
-             flow_fb=None):
+             flow_fb=None, dense_bc=None):
     """One implicit Euler iteration of the SST system.
 
     q: (N, 2) primitive (k, omega); v: flow primitives; flow_grad: NS
@@ -156,7 +156,8 @@ def sst_step(lay: Layout, mesh: MeshArrays, scfg: SSTConfig, bcs,
     grad_k = gq[:, 0, :]
     grad_w = gq[:, 1, :]
 
-    if (_ASSEMBLE_MODE == "pallas" and scfg.linear_solver == "FGMRES"
+    if (dense_bc is None and _ASSEMBLE_MODE == "pallas"
+            and scfg.linear_solver == "FGMRES"
             and scfg.linear_prec in ("LU_SGS", "ILU0")
             and scfg.color_masks):
         # the fused path hard-codes the FGMRES + multicolor-SGS solve the
@@ -288,26 +289,59 @@ def sst_step(lay: Layout, mesh: MeshArrays, scfg: SSTConfig, bcs,
 
     # ---- boundary conditions ----
     # walls (strong): k=0, w = 60 mu/(rho beta1 d^2) at nearest neighbor dist
-    wall_mask = jnp.zeros(n, dtype=bool)
-    q_wall = jnp.zeros((n, 2), dtype=dtype)
-    for bc in bcs:
-        nodes = bc.nodes
-        if bc.kind in ("isothermal_wall", "heatflux_wall"):
-            dnn = jnp.linalg.norm(bg.rows(mesh.coords, bc.nn) - bg.rows(mesh.coords, nodes), axis=1)
-            w_wall = 60.0 * bg.rows(mu, bc.nn) / (bg.rows(rho, bc.nn) * BETA_1 * dnn * dnn)
-            wall_mask = bg.set_rows(wall_mask, nodes, True)
-            q_wall = bg.set_col_rows(q_wall, nodes, 1, w_wall)
+    dense_fb = (isinstance(flow_fb, tuple) and len(flow_fb) == 2
+                and flow_fb[0] == "dense")
+    if dense_bc is not None:
+        # sharded runs: dense masked walls (nn access = stencil roll), see
+        # solvers/bc_dense.py
+        wall_mask = dense_bc.wall_mask
+        q_wall = jnp.zeros((n, 2), dtype=dtype)
+        for we in dense_bc.walls:
+            mu_nn = jnp.roll(mu, -we.offset, axis=0)
+            rho_nn = jnp.roll(rho, -we.offset, axis=0)
+            w_wall = 60.0 * mu_nn / (rho_nn * BETA_1 * we.dnn * we.dnn)
+            q_wall = q_wall.at[:, 1].set(
+                jnp.where(we.mask, w_wall, q_wall[:, 1]))
+    else:
+        wall_mask = jnp.zeros(n, dtype=bool)
+        q_wall = jnp.zeros((n, 2), dtype=dtype)
+        for bc in bcs:
+            nodes = bc.nodes
+            if bc.kind in ("isothermal_wall", "heatflux_wall"):
+                dnn = jnp.linalg.norm(bg.rows(mesh.coords, bc.nn) - bg.rows(mesh.coords, nodes), axis=1)
+                w_wall = 60.0 * bg.rows(mu, bc.nn) / (bg.rows(rho, bc.nn) * BETA_1 * dnn * dnn)
+                wall_mask = bg.set_rows(wall_mask, nodes, True)
+                q_wall = bg.set_col_rows(q_wall, nodes, 1, w_wall)
     # upwind flux between the domain state and the FLOW ghost state
     # (the reference's turb BCs consume GetCharacPrimVar: BC_Inlet :3264,
     # BC_Outlet :3360); inlets impose (kine_Inf, omega_Inf) on the incoming
     # characteristic, outlets extrapolate.  Per-marker ghost construction,
-    # ONE batched flux + scatter over the concatenated marker face set.
-    wk = _weak_bc_batch(lay, bcs, q, v, vel, rho, kine_inf, omega_inf,
-                        lib, dpdu_e, tke_inf, flow_fb)
-    if wk is not None:
-        bn, bflux, a0b = wk
-        res = bg.add_rows(res, bn, bflux)
-        diag = bg.add_rows(diag, bn, a0b[:, None, None] * eye2)
+    # ONE batched flux + scatter over the concatenated marker face set —
+    # or, sharded, one dense masked pass per bc_dense flux layer.
+    if dense_fb:
+        for layer, v_ghost, gamma_g, vel2_g, imposed in flow_fb[1]:
+            area_n = -layer.normal
+            vel_g = v_ghost[:, lay.VX:lay.VX + lay.ndim]
+            rho_g = v_ghost[:, lay.PRHO]
+            qb = 0.5 * jnp.sum((vel + vel_g) * area_n, axis=1)
+            a0b = 0.5 * (qb + jnp.abs(qb))
+            a1b = 0.5 * (qb - jnp.abs(qb))
+            q_inf = jnp.stack([jnp.full_like(qb, kine_inf),
+                               jnp.full_like(qb, omega_inf)], axis=1)
+            qin = jnp.where(imposed[:, None], q_inf, q)
+            bflux = a0b[:, None] * rho[:, None] * q \
+                + a1b[:, None] * rho_g[:, None] * qin
+            m = layer.any_mask
+            res = res + jnp.where(m[:, None], bflux, 0.0)
+            diag = diag + jnp.where(m[:, None, None],
+                                    a0b[:, None, None] * eye2, 0.0)
+    else:
+        wk = _weak_bc_batch(lay, bcs, q, v, vel, rho, kine_inf, omega_inf,
+                            lib, dpdu_e, tke_inf, flow_fb)
+        if wk is not None:
+            bn, bflux, a0b = wk
+            res = bg.add_rows(res, bn, bflux)
+            diag = bg.add_rows(diag, bn, a0b[:, None, None] * eye2)
 
     # strong wall rows
     res = jnp.where(wall_mask[:, None], 0.0, res)

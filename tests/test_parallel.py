@@ -58,6 +58,13 @@ def test_multichip_real_combustion_case(combustion_dir):
     q1n, q8n = np.asarray(o1[2]), np.asarray(o8[2])
     n = u1.shape[0]
     assert not np.isnan(u8).any() and not np.isnan(q8n).any()
+    # reported RMS residuals match too — regression pin for the pad-row
+    # turb-source bug (unit-volume dummy nodes with nonzero wall distance
+    # fired the SST source and inflated the 8-dev turb RMS by 4 orders)
+    np.testing.assert_allclose(np.asarray(o8[6]), np.asarray(o1[6]),
+                               rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(o8[8]), np.asarray(o1[8]),
+                               rtol=1e-9)
     sc = np.abs(u1).max(axis=0)
     sc[sc == 0] = 1.0
     np.testing.assert_array_less(
@@ -113,10 +120,10 @@ def test_sharded_step_uses_neighbor_collectives():
     txt = jax.jit(step).lower(sim8.u0, sim8.t0, *q8,
                               jnp.asarray(False)).compile().as_text()
     n_cp = len(re.findall(r"\bcollective-permute\b", txt))
-    ags = re.findall(r"all-gather\(", txt)
-    # full-field all-gathers (leading dim == padded node count)
-    npad = sim8.mesh.npoint
-    full_ags = re.findall(rf"f\d+\[{npad},[^\]]*\]\{{[^}}]*\}} all-gather\(",
-                          txt)
+    # ZERO all-gathers of ANY shape: interior neighbor traffic rides
+    # collective-permutes and the BC section is the dense shard-local path
+    # (solvers/bc_dense.py) — the 22 marker-scale all-gathers of the
+    # replicated-marker-batch path are gone (VERDICT round-2 item 3)
+    ags = re.findall(r"all-gather(?:-start)?\(", txt)
     assert n_cp > 0, "no collective-permutes: halo exchange path not engaged"
-    assert len(full_ags) == 0, (len(full_ags), len(ags))
+    assert len(ags) == 0, f"{len(ags)} all-gathers in sharded step HLO"
