@@ -65,6 +65,12 @@ def linearized_primitives(lib, lay, u, t_star, tparams):
     v0 = prim(t0)
     dtdu = jax.lax.stop_gradient(st.dtdu(lib, lay, v0))
     t_lin = t0 + jnp.sum(dtdu * (u - jax.lax.stop_gradient(u)), axis=1)
+    # spline-domain guard: far from the linearization point (start-up
+    # transients of the adjoint's own pseudo-time map) the extrapolated T
+    # can leave the table domain and poison downstream sqrt/log with NaN.
+    # Inactive at the converged state (t_lin == t0), so gradients there
+    # are untouched.
+    t_lin = jnp.clip(t_lin, tparams.tmin, tparams.tmax)
     return prim(t_lin)
 
 
@@ -124,11 +130,17 @@ def make_fixed_point_step(sim):
     return step, dgeo
 
 
-def make_objective(sim, tags=None, which="CD"):
-    """Differentiable pressure-force coefficient over marker ``tags``
-    (Pressure_Forces, solver_direct_mean.cpp:5454; outward = -stored)."""
+def make_objective(sim, tags=None, which="CD", include_friction=None):
+    """Differentiable force coefficient over marker ``tags``: pressure
+    component (Pressure_Forces, solver_direct_mean.cpp:5454; outward =
+    -stored) plus, on viscous problems, the friction component
+    (Friction_Forces — same tau formula as solvers/forces.py, laminar mu
+    at the wall like the reference)."""
     lib, lay, tparams = sim.lib, sim.lay, sim.tparams
+    from su2_tpu.ops import viscous as vis
+
     cfg = sim.cfg
+    prm = sim.params
     dgeo = build_diffgeo(sim.raw, sim.grid)
     base_mesh = sim.mesh
     tags = tuple(tags if tags is not None
@@ -136,15 +148,31 @@ def make_objective(sim, tags=None, which="CD"):
     _, _, p_inf, rho_inf, vel_inf, _ = sim.freestream_primitives()
     q_dyn = 0.5 * rho_inf * float(vel_inf @ vel_inf) * cfg.ref_area
     comp = {"CD": 0, "CFx": 0, "CL": 1, "CFy": 1}[which]
+    if include_friction is None:
+        include_friction = bool(cfg.viscous)
+    nd = lay.ndim
 
     def objective(u, coords, t_star):
         mesh = remesh(base_mesh, dgeo, coords)
         v = linearized_primitives(lib, lay, u, t_star, tparams)
         f = 0.0
+        if include_friction:
+            qg = vis.ns_gradient_vars(lib, lay, v)
+            grad = es.compute_gradients(mesh, prm, qg)
+            mu = vis.node_transport(lib, lay, v).mu
         for tag in tags:
             nodes, normal = mesh.markers[tag]
             out_n = -normal
             f = f + jnp.sum((v[nodes, lay.P] - p_inf) * out_n[:, comp])
+            if include_friction:
+                gvel = grad[nodes, 1:1 + nd, :]
+                muv = mu[nodes]
+                div = jnp.einsum("vdd->v", gvel)
+                tau = muv[:, None, None] * (gvel + jnp.swapaxes(gvel, 1, 2)) \
+                    - (2.0 / 3.0 * muv * div)[:, None, None] \
+                    * jnp.eye(nd, dtype=v.dtype)
+                fvec_f = -jnp.einsum("vij,vi->vj", tau, out_n)
+                f = f + jnp.sum(fvec_f[:, comp])
         return f / q_dyn
 
     return objective
@@ -187,3 +215,143 @@ def adjoint_sensitivity(sim, u_star, t_star, tags=None, which="CD",
     sens = vjp_jx(jnp.asarray(1.0, dtype=u_star.dtype))[0] + vjp_gx(lam)[0]
     return {"J": float(j_val), "lambda": lam, "sensitivity": sens,
             "adj_hist": np.asarray(hist)}
+
+
+def make_rans_fixed_point_step(sim, cfl_scale: float = 1.0):
+    """Differentiable coupled REACTIVE_RANS update G((u, q), x).
+
+    The turbulent discrete adjoint differentiates through BOTH systems —
+    the flow update (with the SST closures, eddy viscosity and blended
+    sigma_k all expressed as functions of q) and the SST update on the
+    updated flow state — mirroring the reference's CoDiPack tape over the
+    full coupled iteration (solver_adjoint_discrete.cpp + the REACTIVE_RANS
+    sequencing of iteration_structure.cpp:531-550).  No frozen-mu_t
+    approximation.
+    """
+    from su2_tpu.ops import viscous as vis
+    from su2_tpu.turbulence import sst
+
+    lib, lay, prm, tparams = sim.lib, sim.lay, sim.params, sim.tparams
+    cfg, scfg = sim.cfg, sim.scfg
+    lower, upper = sim.lower, sim.upper
+    dgeo = build_diffgeo(sim.raw, sim.grid)
+    base_mesh = sim.mesh
+    dist = sim.wall_dist
+    color_masks = sim.color_masks
+    assert cfg.kind_turb_model == "SST", "coupled adjoint: SST only"
+
+    def turb_grads(mesh, q):
+        if scfg.grad_method == "GREEN_GAUSS":
+            from su2_tpu.ops import gradients
+            return gradients.pg_fix(mesh, gradients.green_gauss(mesh, q))
+        from su2_tpu.ops import gradients
+        return gradients.pg_fix(mesh, gradients.weighted_least_squares(mesh, q))
+
+    def step(u, q, coords, t_star):
+        mesh = remesh(base_mesh, dgeo, coords)
+        bcs = _rebuild_bcs(sim.bcs, mesh)
+        v = linearized_primitives(lib, lay, u, t_star, tparams)
+        rho = v[:, lay.PRHO]
+        dpdu_full = st.dpdu(lib, lay, v)
+        trans0 = ns.viscous.node_transport(lib, lay, v)
+        qgrad = vis.ns_gradient_vars(lib, lay, v)
+        grad = es.compute_gradients(mesh, prm, qgrad)
+        gq = turb_grads(mesh, q)
+        strain, _ = sst.strain_and_vorticity(lay, grad)
+        f1, f2, _ = sst.blending(q[:, 0], q[:, 1], gq[:, 0, :], gq[:, 1, :],
+                                 trans0.mu, rho, dist)
+        mu_t = sst.eddy_viscosity(rho, q[:, 0], q[:, 1], strain, f2)
+        sigma_k = f1 * sst.SIGMA_K1 + (1.0 - f1) * sst.SIGMA_K2
+        turb = vis.TurbFlowData(tke=q[:, 0], mu_t=mu_t,
+                                grad_tke=gq[:, 0, :], sigma_k=sigma_k)
+        lam_v = ns.viscous_lambda(lib, mesh, lay, prm, v, trans0,
+                                  dpdu_full, turb)
+        # cfl_scale shrinks the pseudo-time step to keep the
+        # block-Jacobi-preconditioned map contractive; the fixed point
+        # (R(u*) = 0) is CFL-independent, so adjoint gradients are not
+        dt, _, _ = timestep.local_time_step(mesh, lay, v,
+                                            prm.cfl * cfl_scale,
+                                            prm.max_dt, lam_visc=lam_v)
+        sigma_k_edge = sigma_k[mesh.edges[:, 0]]
+        if cfg.implicit_flow:
+            res, wall_mask, _, _, jac, flow_fb = ns.ns_assemble(
+                lib, lay, mesh, prm, bcs, v, dt, implicit=True, turb=turb,
+                omega_turb=q[:, 1], sigma_k_edge=sigma_k_edge,
+                want_bc_states=True)
+            u2 = ns.enforce_wall_velocity(lay, u, wall_mask)
+            # allow_pallas=False: the pure-XLA multicolor-SGS path (the
+            # pallas stencil sweeps' pltpu.roll has no AD rule); same
+            # preconditioner class as the production solver
+            mv, pc, _, _ = blockcsr.make_solver_ops(
+                mesh, jac, cfg.linear_solver_prec, color_masks,
+                linear_iter=cfg.linear_solver_iter, allow_pallas=False)
+            sol, _, _ = krylov.fgmres(
+                mv, pc, -res, max_iter=cfg.linear_solver_iter,
+                tol=cfg.linear_solver_error)
+            u_new = jnp.clip(u2 + cfg.relaxation_factor_flow * sol,
+                             lower, upper)
+        else:
+            res, wall_mask, _, _, lams, flow_fb = ns.ns_assemble(
+                lib, lay, mesh, prm, bcs, v, turb=turb, omega_turb=q[:, 1],
+                sigma_k_edge=sigma_k_edge, want_lambdas=True,
+                want_bc_states=True)
+            u2 = ns.enforce_wall_velocity(lay, u, wall_mask)
+            u_new, _, _ = es.explicit_euler_update(
+                lay, mesh, u2, res, dt, lower, upper)
+        u_new = ns.enforce_wall_velocity(lay, u_new, wall_mask)
+
+        # ---- SST system on the updated flow state ----
+        v_new = linearized_primitives(lib, lay, u_new, t_star, tparams)
+        qgrad2 = vis.ns_gradient_vars(lib, lay, v_new)
+        grad_new = es.compute_gradients(mesh, prm, qgrad2)
+        strain2, _ = sst.strain_and_vorticity(lay, grad_new)
+        mu_new = ns.viscous.node_transport(lib, lay, v_new).mu
+        gm1 = st.dpdu(lib, lay, v_new)[:, lay.RHOE]
+        scfg_adj = dc_replace(scfg, allow_pallas=False)
+        q_new, _, _ = sst.sst_step(
+            lay, mesh, scfg_adj, bcs, q, v_new, grad_new, mu_new, mu_t,
+            strain2, dist, rho, dt, sim.kine_inf, sim.omega_inf,
+            lib=lib, dpdu_e=gm1, tke_inf=prm.tke_inf, flow_fb=flow_fb)
+        return u_new, q_new
+
+    return step, dgeo
+
+
+def adjoint_sensitivity_rans(sim, u_star, q_star, t_star, tags=None,
+                             which="CD", n_iter: int = 400,
+                             tol: float = 1e-12):
+    """Coupled turbulent adjoint: stacked (lambda_u, lambda_q) reverse
+    fixed point over the full RANS step; objective includes the friction
+    component (make_objective).  Returns J, the adjoint pair, dJ/dx."""
+    step, _ = make_rans_fixed_point_step(sim)
+    objective = make_objective(sim, tags, which)
+    coords = sim.mesh.coords
+
+    j_val, vjp_ju = jax.vjp(lambda u: objective(u, coords, t_star), u_star)
+    _, vjp_jx = jax.vjp(lambda x: objective(u_star, x, t_star), coords)
+    _, vjp_g = jax.vjp(lambda u, q: step(u, q, coords, t_star),
+                       u_star, q_star)
+    _, vjp_gx = jax.vjp(lambda x: step(u_star, q_star, x, t_star), coords)
+
+    gj_u = vjp_ju(jnp.asarray(1.0, dtype=u_star.dtype))[0]
+    zero_q = jnp.zeros_like(q_star)
+
+    @jax.jit
+    def adj_iter(lam_u, lam_q):
+        du, dq = vjp_g((lam_u, lam_q))
+        return gj_u + du, dq
+
+    lam_u, lam_q = gj_u, zero_q
+    hist = []
+    for _ in range(n_iter):
+        lu_new, lq_new = adj_iter(lam_u, lam_q)
+        delta = float(jnp.abs(lu_new - lam_u).max())
+        hist.append(delta)
+        lam_u, lam_q = lu_new, lq_new
+        if delta < tol:
+            break
+
+    sens = vjp_jx(jnp.asarray(1.0, dtype=u_star.dtype))[0] \
+        + vjp_gx((lam_u, lam_q))[0]
+    return {"J": float(j_val), "lambda": lam_u, "lambda_turb": lam_q,
+            "sensitivity": sens, "adj_hist": np.asarray(hist)}

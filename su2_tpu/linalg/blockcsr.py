@@ -275,6 +275,7 @@ def multicolor_sgs_apply(mesh: MeshArrays, jac: BlockJacobian,
 
 def make_solver_ops(mesh: MeshArrays, jac: BlockJacobian,
                     kind: str = "JACOBI", color_masks=None, linelets=None,
+                    allow_pallas: bool = True,
                     linear_iter: int = 5):
     """(matvec, precond, precond_matvec|None, solve|None) for a Krylov
     solve.
@@ -309,14 +310,16 @@ def make_solver_ops(mesh: MeshArrays, jac: BlockJacobian,
         return mv, pc, None, None
     if isinstance(jac, StencilJacobianT):
         return make_solver_ops_stencil_t(mesh, jac.diag, jac.sel_t,
-                                         kind, color_masks, linear_iter)
+                                         kind, color_masks, linear_iter,
+                                         allow_pallas=allow_pallas)
     if isinstance(jac, FamilyJacobian):
         return make_solver_ops_fam(mesh, jac.diag, family_sel(mesh, jac),
-                                   kind, color_masks, linear_iter)
+                                   kind, color_masks, linear_iter,
+                                   allow_pallas=allow_pallas)
     dinv = block_jacobi_factor(jac)
     v = jac.diag.shape[-1]
     sgs = kind in ("LU_SGS", "ILU0", "LINELET") and color_masks is not None
-    if sgs and mesh.stencil_sel is not None:
+    if sgs and mesh.stencil_sel is not None and allow_pallas:
         from su2_tpu.pallas import stencil_solve as stks
         if stks.supported(mesh, v, jac.diag.dtype, len(color_masks)):
             sel = gather_offdiag(mesh, jac)
@@ -387,7 +390,7 @@ def _mixed_pm(ops):
 
 def make_solver_ops_fam(mesh: MeshArrays, diag: jax.Array, sel: jax.Array,
                         kind: str = "JACOBI", color_masks=None,
-                        linear_iter: int = 5):
+                        linear_iter: int = 5, allow_pallas: bool = True):
     """(matvec, precond, precond_matvec|None, solve|None) from family-major
     blocks.
 
@@ -399,7 +402,7 @@ def make_solver_ops_fam(mesh: MeshArrays, diag: jax.Array, sel: jax.Array,
     dinv = block_diag_inv(diag)
     v = diag.shape[-1]
     sgs = kind in ("LU_SGS", "ILU0", "LINELET") and color_masks is not None
-    if sgs:
+    if sgs and allow_pallas:
         from su2_tpu.pallas import stencil_solve as stks
         if stks.supported(mesh, v, diag.dtype, len(color_masks)):
             ops = stks.StencilSolveOps(mesh, sel, dinv, diag, color_masks)
@@ -446,7 +449,8 @@ def _offdiag_apply_t(mesh: MeshArrays, sel_t: jax.Array, x: jax.Array):
 
 def make_solver_ops_stencil_t(mesh: MeshArrays, diag: jax.Array,
                               sel_t: jax.Array, kind: str = "JACOBI",
-                              color_masks=None, linear_iter: int = 5):
+                              color_masks=None, linear_iter: int = 5,
+                              allow_pallas: bool = True):
     """(matvec, precond, precond_matvec|None, solve|None) from lane-layout
     off-diagonal blocks (StencilJacobianT) — the fused implicit assembly's
     native form.
@@ -457,7 +461,7 @@ def make_solver_ops_stencil_t(mesh: MeshArrays, diag: jax.Array,
     n = mesh.npoint
     k = len(mesh.stencil_offsets)
     sgs = kind in ("LU_SGS", "ILU0", "LINELET") and color_masks is not None
-    if sgs:
+    if sgs and allow_pallas:
         from su2_tpu.pallas import stencil_solve as stks
         if stks.supported(mesh, v, diag.dtype, len(color_masks)):
             ops = stks.StencilSolveOps(mesh, sel_t, dinv, diag, color_masks,

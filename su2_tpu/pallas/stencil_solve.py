@@ -72,6 +72,12 @@ _FGMRES_NPAD_CAP = 49152
 def supported(mesh, v: int, dtype, ncolor: int | None = None) -> bool:
     if mesh.stencil_offsets is None or mesh.n_shards != 1:
         return False
+    if (jnp.dtype(dtype) == jnp.float64
+            and jax.devices()[0].platform != "cpu"):
+        # Mosaic has no f64 lowering on TPU (the high-precision tier runs
+        # the XLA-emulated f64 path); CPU tests run these kernels in
+        # interpret mode where f64 is fine
+        return False
     k = len(mesh.stencil_offsets)
     npad = -(-mesh.npoint // 128) * 128
     itemsize = jnp.dtype(dtype).itemsize

@@ -86,8 +86,12 @@ def blending(k, w, grad_k, grad_w, mu, rho, dist):
     arg2 = jnp.maximum(arg2a, arg2b)
     arg1 = jnp.minimum(arg2, 4.0 * rho * SIGMA_OM2 * k
                        / (cdkw * dist * dist + EPS * EPS))
-    f1 = jnp.tanh(arg1 ** 4)
-    f2 = jnp.tanh(jnp.maximum(2.0 * arg2a, arg2b) ** 2)
+    # clamp the tanh argument at ~20 (bit-exact: tanh rounds to 1.0 past
+    # x ~ 19 in f64): the wall rows' arg ~ 1/EPS^2 overflows the TPU
+    # f64-emulation exponent range (f32-range double-float), and its tanh
+    # has no large-|x| saturation branch (tanh(1e8) -> NaN)
+    f1 = jnp.tanh(jnp.minimum(arg1, 2.2) ** 4)
+    f2 = jnp.tanh(jnp.minimum(jnp.maximum(2.0 * arg2a, arg2b), 4.5) ** 2)
     return f1, f2, cdkw
 
 
@@ -108,6 +112,10 @@ class SSTConfig:
     linear_tol: float = 1e-6
     linear_prec: str = "JACOBI"
     color_masks: tuple | None = None
+    # False -> force the pure-XLA SGS/matvec path (differentiable; the
+    # pallas stencil kernels' pltpu.roll has no AD rule) — the adjoint
+    # sets this
+    allow_pallas: bool = True
 
 
 # "xla" (default) or "pallas": fused one-launch assembly
@@ -365,12 +373,14 @@ def sst_step(lay: Layout, mesh: MeshArrays, scfg: SSTConfig, bcs,
         sel = fam_off[:, :, :, None] * eye2                  # (K, nP, 2, 2)
         mv, pc, pm, solve = blockcsr.make_solver_ops_fam(
             mesh, diag, sel, scfg.linear_prec, scfg.color_masks,
-            linear_iter=scfg.linear_iter)
+            linear_iter=scfg.linear_iter,
+            allow_pallas=scfg.allow_pallas)
     else:
         jac = BlockJacobian(diag=diag, off_ij=off_ij, off_ji=off_ji)
         mv, pc, pm, solve = blockcsr.make_solver_ops(
             mesh, jac, scfg.linear_prec, scfg.color_masks,
-            linear_iter=scfg.linear_iter)
+            linear_iter=scfg.linear_iter,
+            allow_pallas=scfg.allow_pallas)
     if scfg.linear_solver == "BCGSTAB":
         sol, _, _ = krylov.bcgstab(mv, pc, rhs, max_iter=scfg.linear_iter,
                                    tol=scfg.linear_tol)

@@ -172,3 +172,115 @@ def test_shape_optimization_pipeline(tmp_path):
     # the evaluations produced finite J and a nonzero gradient
     assert np.isfinite(hist[0][1])
     assert np.isfinite(res.fun)
+
+
+CFG_RANS = textwrap.dedent("""
+    CONFIG_LIB_FILE = test_air.txt
+    FREESTREAM_MASS_FRAC = (0.2197, 0.0302, 0.7501)
+    SPECIES_ORDER = (O2, CO2, N2)
+    PHYSICAL_PROBLEM= REACTIVE_NAVIER_STOKES
+    KIND_TURB_MODEL= SST
+    MACH_NUMBER= 0.2
+    FREESTREAM_TEMPERATURE= 297.62
+    FREESTREAM_VELOCITY= (69.1687, 0.0, 0.0)
+    FREESTREAM_PRESSURE= 113303.0
+    REYNOLDS_LENGTH= 1.0
+    REYNOLDS_NUMBER= 50000
+    FREESTREAM_TURBULENCEINTENSITY = 0.05
+    FREESTREAM_TURB2LAMVISCRATIO = 10.0
+    MARKER_HEATFLUX = (lower_wall, 0.0)
+    MARKER_EULER= ( upper_wall )
+    MARKER_INLET= ( inlet, 300.0, 120000.0, 1.0, 0.0, 0.0 )
+    INLET_MASS_FRAC = (inlet, 0.2197, 0.0302, 0.7501)
+    MARKER_OUTLET= ( outlet, 113303.0 )
+    MARKER_MONITORING= ( lower_wall )
+    NUM_METHOD_GRAD= GREEN_GAUSS
+    CFL_NUMBER= 4.0
+    LINEAR_SOLVER= FGMRES
+    LINEAR_SOLVER_PREC= LU_SGS
+    LINEAR_SOLVER_ERROR= 1E-10
+    LINEAR_SOLVER_ITER= 20
+    CONV_NUM_METHOD_FLOW= AUSM
+    SPATIAL_ORDER_FLOW= 1ST_ORDER
+    TIME_DISCRE_FLOW= EULER_IMPLICIT
+    CONV_NUM_METHOD_TURB= SCALAR_UPWIND
+    TIME_DISCRE_TURB= EULER_IMPLICIT
+    MESH_FILENAME= unused.su2
+""")
+
+
+def _setup_rans(tmp_path, flatplate_dir):
+    from su2_tpu.config import Config
+    from su2_tpu.driver import Simulation
+    from su2_tpu.geometry.structured import channel_mesh
+
+    cfg_path = tmp_path / "rans.cfg"
+    cfg_path.write_text(CFG_RANS)
+    cwd = os.getcwd()
+    os.chdir(flatplate_dir)
+    try:
+        sim = Simulation(Config(str(cfg_path)),
+                         raw_mesh=channel_mesh(9, 5, lx=1.0, ly=0.4))
+    finally:
+        os.chdir(cwd)
+    return sim
+
+
+def _solve_rans_primal(sim, step, coords, u, q, t, n=500):
+    lib, lay, tparams = sim.lib, sim.lay, sim.tparams
+    jstep = jax.jit(step)
+
+    @jax.jit
+    def refresh_t(u, t):
+        _, v, _ = st.cons2prim(lib, lay, u, t, tparams)
+        return v[:, lay.T]
+
+    for _ in range(n):
+        t = refresh_t(u, t)
+        u, q = jstep(u, q, coords, t)
+    t = refresh_t(u, t)
+    return u, q, t
+
+
+def test_rans_coupled_adjoint_matches_fd(tmp_path, flatplate_dir):
+    """Coupled turbulent discrete adjoint (flow + SST differentiated
+    jointly, friction included in the objective) vs central FD of the
+    re-converged CD on a wall-node displacement (VERDICT round-2 item 5;
+    reference tapes the full system, solver_adjoint_discrete.cpp)."""
+    sim = _setup_rans(tmp_path, flatplate_dir)
+    step, _ = adj.make_rans_fixed_point_step(sim)
+    coords0 = sim.mesh.coords
+
+    # pre-converge with the production driver (robust SGS-preconditioned
+    # transient), then polish into the adjoint map's own fixed point (the
+    # residual operators are identical, only the preconditioner differs,
+    # so the fixed points coincide)
+    u0, _, _, turb0 = sim.run(800, quiet=True)
+    u_star, q_star, t_star = _solve_rans_primal(
+        sim, step, coords0, u0, turb0[0], sim.t0, n=400)
+    un, qn = step(u_star, q_star, coords0, t_star)
+    drift = float(jnp.abs(un - u_star).max() / jnp.abs(u_star).max())
+    assert drift < 1e-10, drift
+
+    out = adj.adjoint_sensitivity_rans(sim, u_star, q_star, t_star,
+                                       tags=("lower_wall",), which="CD",
+                                       n_iter=600, tol=1e-14)
+    assert out["adj_hist"][-1] < 1e-5 * out["adj_hist"][0]
+    # the turb adjoint is genuinely engaged (not frozen-mu_t)
+    assert float(jnp.abs(out["lambda_turb"]).max()) > 0.0
+
+    nodes = np.asarray(sim.grid.bnd_nodes["lower_wall"])
+    xs = np.asarray(sim.grid.coords[nodes, 0])
+    pick = nodes[np.argsort(np.abs(xs - 0.5))[0]]
+    eps = 2e-6
+    objective = adj.make_objective(sim, tags=("lower_wall",), which="CD")
+
+    def j_at(delta):
+        c = coords0.at[pick, 1].add(delta)
+        u, q, t = _solve_rans_primal(sim, step, c, u_star, q_star, t_star,
+                                     n=500)
+        return float(objective(u, c, t))
+
+    fd = (j_at(eps) - j_at(-eps)) / (2 * eps)
+    ad = float(out["sensitivity"][pick, 1])
+    assert abs(fd - ad) < 5e-3 * max(abs(fd), abs(ad), 1e-8), (fd, ad)
