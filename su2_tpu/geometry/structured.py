@@ -120,3 +120,57 @@ def sector_mesh(nr: int, nt: int, r0: float = 1.0, r1: float = 2.0,
     return RawMesh(ndim=2, coords=coords,
                    elem_types=np.full(len(elems), 9, dtype=np.int32),
                    elem_nodes=elems, markers=markers, marker_types=mtypes)
+
+
+def naca_omesh(n_wrap: int = 129, n_rad: int = 81, radius: float = 15.0,
+               thickness: float = 0.12, stretch: float = 1.12) -> RawMesh:
+    """Algebraic O-mesh around a NACA 00xx airfoil (sharp trailing edge).
+
+    BASELINE.json config 1 fixture (2D inviscid NACA0012, ~10k cells).
+    n_wrap points wrap the airfoil (trailing edge duplicated logically —
+    the O-grid seam is merged), n_rad points march to a circular far field
+    of the given radius with geometric clustering at the wall.  Markers:
+    ``airfoil`` (slip wall), ``farfield``.
+    """
+    nw = n_wrap - 1                       # unique wrap points (seam merged)
+    # cosine-clustered chordwise distribution, TE -> lower -> LE -> upper -> TE
+    beta = np.linspace(0.0, 2.0 * np.pi, n_wrap)[:-1]
+    xc = 0.5 * (1.0 + np.cos(beta))      # 1 -> 0 -> 1
+    t = thickness
+    yt = 5.0 * t * (0.2969 * np.sqrt(xc) - 0.1260 * xc - 0.3516 * xc ** 2
+                    + 0.2843 * xc ** 3 - 0.1036 * xc ** 4)  # closed TE
+    side = np.where(beta < np.pi, 1.0, -1.0)               # upper then lower (CCW wrap, domain on the left)
+    surf = np.stack([xc, side * yt], axis=1)
+    # far-field circle centred at quarter chord, matching wrap parameter
+    theta = beta
+    far = np.stack([0.25 + radius * np.cos(theta),
+                    radius * np.sin(theta)], axis=1)
+    # geometric radial clustering
+    r = np.zeros(n_rad)
+    dr = 1.0
+    for j in range(1, n_rad):
+        r[j] = r[j - 1] + dr
+        dr *= stretch
+    r /= r[-1]
+    coords = (surf[None, :, :] * (1.0 - r[:, None, None])
+              + far[None, :, :] * r[:, None, None])        # (n_rad, nw, 2)
+    coords = coords.reshape(-1, 2)
+
+    def nid(j, i):
+        return j * nw + (i % nw)
+
+    elems = []
+    for j in range(n_rad - 1):
+        for i in range(nw):
+            elems.append([nid(j, i), nid(j, i + 1),
+                          nid(j + 1, i + 1), nid(j + 1, i)])
+    elems = np.array(elems)
+    airfoil = np.array([[nid(0, i), nid(0, i + 1)] for i in range(nw)])
+    farb = np.array([[nid(n_rad - 1, i + 1), nid(n_rad - 1, i)]
+                     for i in range(nw)])
+    markers = {"airfoil": airfoil, "farfield": farb}
+    mtypes = {k: np.full(len(v), 3, dtype=np.int32)
+              for k, v in markers.items()}
+    return RawMesh(ndim=2, coords=coords,
+                   elem_types=np.full(len(elems), 9, dtype=np.int32),
+                   elem_nodes=elems, markers=markers, marker_types=mtypes)
