@@ -89,7 +89,12 @@ def ausm_flux(lay: Layout, v_i: jnp.ndarray, v_j: jnp.ndarray,
     nd = lay.ndim
     ns = lay.ns
     nvar = lay.nvar
-    area = jnp.linalg.norm(normal, axis=-1)
+    # sqrt/div guards: family-padded slots carry zero normals; their rows
+    # are masked downstream, but 0/0 NaNs here poison the REVERSE pass of
+    # the masked rows (d(x/y) cotangents divide by y) — the adjoint
+    # differentiates through this kernel
+    area2 = jnp.sum(normal * normal, axis=-1)
+    area = jnp.sqrt(jnp.maximum(area2, 1e-60))
     unit = normal / area[:, None]
 
     rho_i = v_i[:, lay.PRHO]
@@ -112,7 +117,9 @@ def ausm_flux(lay: Layout, v_i: jnp.ndarray, v_j: jnp.ndarray,
 
     m_f2 = 0.5 * (m_l * m_l + m_r * m_r)
     m_ref2 = jnp.minimum(1.0, jnp.maximum(m_f2, m_infty * m_infty))
-    m_f = jnp.sqrt(m_f2)
+    # sqrt'(0) = inf: wall-wall edges carry m_f2 == 0 exactly and the
+    # masked rows must stay NaN-free in the REVERSE pass (adjoint)
+    m_f = jnp.sqrt(jnp.maximum(m_f2, 1e-60))
     m_ref = jnp.sqrt(m_ref2)
 
     fa = m_ref * (2.0 - m_ref)
@@ -169,7 +176,7 @@ def ausm_flux(lay: Layout, v_i: jnp.ndarray, v_j: jnp.ndarray,
 
     # scaling-factor (fa) derivatives: nonzero only when mF2 == mRef2
     at_ref = (m_f2 == m_ref2)[:, None]
-    safe_mf = jnp.where(m_f == 0.0, 1.0, m_f)
+    safe_mf = jnp.where(m_f <= 1e-30, 1.0, m_f)
     scal_ld = jnp.where(at_ref, mld * (m_l * (1.0 - m_f) / safe_mf)[:, None], 0.0)
     scal_rd = jnp.where(at_ref, mrd * (m_r * (1.0 - m_f) / safe_mf)[:, None], 0.0)
 

@@ -85,7 +85,10 @@ def ns_gradient_vars(lib: ChemLib, lay: Layout, v: jax.Array,
 
 
 def _harmonic(a, b):
-    return 2.0 / (1.0 / a + 1.0 / b)
+    # product form, NOT 2/(1/a + 1/b): wall nodes carry mu_t == 0 exactly,
+    # and the reciprocal form's REVERSE pass is inf^2 * 0^2 = NaN there
+    # (forward values agree to rounding; the adjoint differentiates this)
+    return 2.0 * a * b / jnp.maximum(a + b, 1e-60)
 
 
 def _molar2mass_operator(lib: ChemLib, ys, xs):
@@ -180,7 +183,9 @@ def viscous_flux(lib: ChemLib, lay: Layout, v_i, v_j, grad_i, grad_j,
     nd = lay.ndim
     ns = lay.ns
     nf = v_i.shape[0]
-    area = jnp.linalg.norm(normal, axis=-1)
+    # guarded like ops/ausm.py: zero-normal padded slots must stay
+    # NaN-free through the REVERSE pass (adjoint)
+    area = jnp.sqrt(jnp.maximum(jnp.sum(normal * normal, axis=-1), 1e-60))
     unit = normal / area[:, None]
 
     mu = _harmonic(trans_i["mu"], trans_j["mu"])
@@ -202,7 +207,9 @@ def viscous_flux(lib: ChemLib, lay: Layout, v_i, v_j, grad_i, grad_j,
     if corrected:
         # edge-projection correction (CAvgGradReactive_Flow, :1507-1527)
         evec = coord_j - coord_i
-        dist2 = jnp.sum(evec * evec, axis=-1)
+        # floor: family-padded slots have evec == 0 (masked rows, but the
+        # REVERSE pass divides cotangents by dist2 — adjoint NaN guard)
+        dist2 = jnp.maximum(jnp.sum(evec * evec, axis=-1), 1e-60)
         xs_i = cl.molar_from_mass(lib, v_i[:, lay.YS:lay.YS + ns])
         xs_j = cl.molar_from_mass(lib, v_j[:, lay.YS:lay.YS + ns])
         diff = jnp.concatenate([
@@ -280,7 +287,8 @@ def viscous_flux(lib: ChemLib, lay: Layout, v_i, v_j, grad_i, grad_j,
 
     # -------------------------------------------------- approximate Jacobian
     if not corrected:
-        dist2 = jnp.sum((coord_j - coord_i) ** 2, axis=-1)
+        dist2 = jnp.maximum(jnp.sum((coord_j - coord_i) ** 2, axis=-1),
+                            1e-60)
     dist = jnp.sqrt(dist2)
     grad_xs_n_unit = grad_xs_norm / area[:, None]
     xs_i_full = cl.molar_from_mass(lib, v_i[:, lay.YS:lay.YS + ns])

@@ -66,7 +66,7 @@ def strain_and_vorticity(lay: Layout, grad: jnp.ndarray):
     diag = sum((g[:, d, d] - div / 3.0) ** 2 for d in range(nd))
     off = sum(2.0 * (0.5 * (g[:, a, b] + g[:, b, a])) ** 2
               for a in range(nd) for b in range(a + 1, nd))
-    strain = jnp.sqrt(2.0 * (diag + off))
+    strain = jnp.sqrt(jnp.maximum(2.0 * (diag + off), 1e-60))
     if nd == 2:
         vort = jnp.abs(g[:, 1, 0] - g[:, 0, 1])
     else:
@@ -81,7 +81,11 @@ def blending(k, w, grad_k, grad_w, mu, rho, dist):
     """F1, F2, CDkw (SetBlendingFunc, variable_direct_turbulent.cpp:178-204)."""
     cdkw = 2.0 * rho * SIGMA_OM2 / w * jnp.einsum("nd,nd->n", grad_k, grad_w)
     cdkw = jnp.maximum(cdkw, 1e-20)
-    arg2a = jnp.sqrt(jnp.maximum(k, 0.0)) / (BETA_STAR * w * dist + EPS * EPS)
+    # max floor 1e-30 (not 0): d sqrt/dk at k == 0 is inf, and wall rows
+    # carry k == 0 exactly — the floored branch has zero derivative, so
+    # the coupled adjoint stays finite; forward value is unchanged to
+    # rounding (sqrt(1e-30) vs 0 against the ~1e29 wall denominators)
+    arg2a = jnp.sqrt(jnp.maximum(k, 1e-30)) / (BETA_STAR * w * dist + EPS * EPS)
     arg2b = 500.0 * mu / (rho * dist * dist * w + EPS * EPS)
     arg2 = jnp.maximum(arg2a, arg2b)
     arg1 = jnp.minimum(arg2, 4.0 * rho * SIGMA_OM2 * k
