@@ -227,6 +227,8 @@ _REGISTRY: dict[str, _Opt] = {
     "IGNITION_ITER": _i(0),
     "FUEL_INDEX": _i(0),
     "OXIDIZER_INDEX": _i(0),
+    "C_MU": _d(0.09),
+    "LEWIS_TURB": _d(1.2),
     "PASR_LB": _d(1.0),
     # --- fuel regression BC (config_structure.cpp:569-588, :921-923) ---
     "FUEL_DENSITY": _d(960.0),
@@ -454,7 +456,23 @@ class Config:
         key = key.strip().upper()
         opt = _REGISTRY.get(key)
         if opt is None:
+            # registry hardening (full SU2 v5 option surface, see
+            # config_options.py): feature-bearing reference options we do
+            # not implement FAIL LOUDLY when enabled instead of being
+            # silently ignored; output/design-tooling options and unknown
+            # keys warn
+            from su2_tpu import config_options as co
+
             self.extra[key] = val
+            kind = co.classify(key)
+            if kind == "unsupported" and not co.value_is_disabled(val):
+                raise ValueError(
+                    f"SU2 option '{key}= {val}' is recognized (reference "
+                    "option registry, config_structure.cpp) but the "
+                    "feature is not supported by su2_tpu")
+            import warnings
+            warnings.warn(f"{'ignoring' if kind != 'unknown' else 'unknown'}"
+                          f" config option '{key}'")
             return
         self._set_options.add(key)
         setattr(self, key.lower(), opt.parse(val))

@@ -237,11 +237,12 @@ class Simulation:
             reactive_sources=self.lib.nreactions > 0,
             pasr=cfg.kind_turb_model == "SST",
             pasr_lb=cfg.pasr_lb,
+            c_mu=cfg.c_mu,
         )
         if cfg.viscous:
             self.params = ns.NSParams(
                 prandtl_lam=cfg.prandtl_lam, prandtl_turb=cfg.prandtl_turb,
-                lewis_turb=float(cfg.extra.get("LEWIS_TURB", 1.2)), **common)
+                lewis_turb=cfg.lewis_turb, **common)
         else:
             self.params = es.EulerParams(**common)
         self.bcs = es.build_bc_markers(cfg, self.lib, self.mesh, self.lay, dtype)

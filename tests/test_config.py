@@ -66,3 +66,33 @@ def test_defaults_and_unknown():
     assert cfg.pasr_lb == 1.0
     assert "SOME_FUTURE_OPT" in cfg.extra
     assert not cfg.reactive and not cfg.viscous
+
+
+def test_reference_option_surface_hardening():
+    """Full SU2 v5 option surface: unsupported features raise loudly when
+    enabled, disabled values and ignorable/output options parse with a
+    warning (VERDICT round-2 item 8; reference registry
+    config_structure.cpp:545+)."""
+    import warnings
+
+    import pytest
+
+    from su2_tpu.config import Config
+    from su2_tpu import config_options as co
+
+    assert len(co.REFERENCE_OPTIONS) >= 450
+    base = "PHYSICAL_PROBLEM= EULER\nMESH_FILENAME= x.su2\n"
+    # enabled unsupported features fail loudly
+    for line in ("MARKER_RIEMANN= ( in, TOTAL_CONDITIONS_PT, 1e5, 300, 1, 0, 0 )",
+                 "GRID_MOVEMENT_KIND= RIGID_MOTION",
+                 "AXISYMMETRIC= YES",
+                 "ROTATION_RATE_Z= 10.0",
+                 "TIME_INSTANCES= 3"):
+        with pytest.raises(ValueError):
+            Config(text=base + line + "\n")
+    # disabled values and output/tooling options parse (with warnings)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        Config(text=base + "MARKER_RIEMANN= ( NONE )\nAXISYMMETRIC= NO\n"
+               "WRT_HALO= YES\nVOLUME_WAVE_FILENAME= wave\n"
+               "OPT_ITERATIONS= 100\n")
