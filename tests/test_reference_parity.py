@@ -295,3 +295,59 @@ def test_3d_rans_residual_history_matches_reference(flatplate_dir, tmp_path):
     rows = np.array(rows)
     np.testing.assert_allclose(rows[:, :2], REF_3D[:, :2], atol=3e-5)
     np.testing.assert_allclose(rows[:, 2:], REF_3D[:, 2:], atol=3e-3)
+
+
+@pytest.mark.slow
+def test_flatplate_50_iteration_fields_match_reference(flatplate_dir,
+                                                       tmp_path):
+    """Flat-plate field parity from a PARTIALLY-CONVERGED shared restart
+    (VERDICT round-2 item 6, the PaSR-50 recipe): the reference binary was
+    run 1200 iterations from freestream (fixture ref_restart_fp1200.npz),
+    then both solvers advance 50 more iterations from that state.
+
+    Iteration-0 residuals match to printed digits; after 50 iterations the
+    residual rows agree to ~3e-4 (documented multicolor-SGS vs sequential
+    LU-SGS deviation) and the conservative fields to:
+      rho / rhoE   <= 2e-3 relative max-norm
+      rho u        <= 1e-2
+      rho v        <= 1e-1   (near-wall v is small; normalized by max|rhov|)
+      k / omega    <= 2e-2 / 6e-2
+    (reference rows: iter 1200 Res[Rho] -3.293388, Res[RhoE] 2.154920;
+    iter 1249 -3.323689 / 2.120903; final restart ref_restart_fp1250.npz)."""
+    from su2_tpu.io import restart as rio
+
+    fixdir = os.path.join(os.path.dirname(__file__), "fixtures")
+    fix0 = np.load(os.path.join(fixdir, "ref_restart_fp1200.npz"))
+    ref50 = np.load(os.path.join(fixdir, "ref_restart_fp1250.npz"))
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        rio.write_restart("restart_flow.dat",
+                          np.zeros((fix0["u"].shape[0], 2)),
+                          fix0["u"], fix0["turb"])
+        sim = Simulation(Config(
+            os.path.join(flatplate_dir, "my_turbulent_flatplate_air.cfg"),
+            overrides={
+                "RESTART_SOL": "YES", "EXT_ITER": "50",
+                "CONFIG_LIB_FILE": os.path.join(flatplate_dir,
+                                                "test_air.txt"),
+                "MESH_FILENAME": os.path.join(
+                    flatplate_dir, "mesh_flatplate_turb_137x97.su2")}))
+        u, _, hist, (q, _, _, _) = sim.run(50, quiet=True)
+    finally:
+        os.chdir(cwd)
+    h = np.asarray(hist)
+    assert h[0][sim.lay.RHO] == pytest.approx(-3.293388, abs=2e-5)
+    assert h[0][sim.lay.RHOE] == pytest.approx(2.154920, abs=2e-5)
+    assert h[-1][sim.lay.RHO] == pytest.approx(-3.323689, abs=1e-3)
+    assert h[-1][sim.lay.RHOE] == pytest.approx(2.120903, abs=1e-3)
+    ua = sim.to_file_order(np.asarray(u))
+    qa = sim.to_file_order(np.asarray(q))
+    ru, rt = ref50["u"], ref50["turb"]
+    tols = [2e-3, 1e-2, 1e-1, 2e-3, 5e-3, 5e-3, 5e-3]
+    for k, tol in enumerate(tols):
+        sc = max(np.abs(ru[:, k]).max(), 1e-30)
+        assert np.abs(ua[:, k] - ru[:, k]).max() / sc < tol, k
+    for k, tol in enumerate([2e-2, 6e-2]):
+        sc = np.abs(rt[:, k]).max()
+        assert np.abs(qa[:, k] - rt[:, k]).max() / sc < tol, k
