@@ -351,3 +351,67 @@ def test_flatplate_50_iteration_fields_match_reference(flatplate_dir,
     for k, tol in enumerate([2e-2, 6e-2]):
         sc = np.abs(rt[:, k]).max()
         assert np.abs(qa[:, k] - rt[:, k]).max() / sc < tol, k
+
+
+@pytest.mark.slow
+def test_flatplate_force_level_ground_truth(flatplate_dir, tmp_path):
+    """Force-level ground truth (VERDICT round-2 item 6, second half).
+
+    The fork's own force outputs are unusable (the shipped
+    forces_breakdown.dat is a standard-SU2 leftover — BASELINE.md — and
+    its surface writer emits 16 of the 25 promised columns, Cp/Cf never
+    written), so the ground truth is the reference binary's CONVERGED
+    FIELDS (iteration-1250 restart): integrating the wall force from the
+    reference's fields and from our 50-iteration-advanced fields with the
+    same integrator (solvers/forces.py) isolates the field difference.
+
+    Measured: CD 0.0075451 (ref fields) vs 0.0075457 (ours) — 8e-5
+    relative; CL agrees to 2e-4."""
+    from su2_tpu.io import restart as rio
+    from su2_tpu.solvers import forces as ff
+    from su2_tpu.ops import viscous as vis
+    from su2_tpu import state as st
+    from su2_tpu.solvers import euler as es
+
+    fixdir = os.path.join(os.path.dirname(__file__), "fixtures")
+
+    def forces_from(fix, n_iter):
+        rio.write_restart("restart_flow.dat",
+                          np.zeros((fix["u"].shape[0], 2)),
+                          fix["u"], fix["turb"])
+        sim = Simulation(Config(
+            os.path.join(flatplate_dir, "my_turbulent_flatplate_air.cfg"),
+            overrides={
+                "RESTART_SOL": "YES",
+                "CONFIG_LIB_FILE": os.path.join(flatplate_dir,
+                                                "test_air.txt"),
+                "MESH_FILENAME": os.path.join(
+                    flatplate_dir, "mesh_flatplate_turb_137x97.su2")}))
+        if n_iter:
+            u, tg, _, _ = sim.run(n_iter, quiet=True)
+        else:
+            u, tg = sim.u0, sim.t0
+        _, v, _ = st.cons2prim(sim.lib, sim.lay, u, tg, sim.tparams)
+        qv = vis.ns_gradient_vars(sim.lib, sim.lay, v)
+        grad = es.compute_gradients(sim.mesh, sim.params, qv)
+        trans = vis.node_transport(sim.lib, sim.lay, v)
+        _, _, p_inf, rho_inf, vel_inf, _ = sim.freestream_primitives()
+        nodes, normal = sim.mesh.markers["wall"]
+        markers = {"wall": (np.asarray(nodes), np.asarray(normal), None)}
+        return ff.surface_forces(
+            sim.lib, sim.lay, sim.mesh, np.asarray(v), np.asarray(grad),
+            trans, markers, p_inf, rho_inf, np.asarray(vel_inf), 2.0,
+            viscous=True, coords=np.asarray(sim.mesh.coords))
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        ref = forces_from(np.load(
+            os.path.join(fixdir, "ref_restart_fp1250.npz")), 0)
+        ours = forces_from(np.load(
+            os.path.join(fixdir, "ref_restart_fp1200.npz")), 50)
+    finally:
+        os.chdir(cwd)
+    assert ref["CD"] == pytest.approx(0.0075451, rel=1e-3)
+    assert ours["CD"] == pytest.approx(ref["CD"], rel=1e-3)
+    assert ours["CL"] == pytest.approx(ref["CL"], rel=1e-3)
