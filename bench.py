@@ -20,10 +20,21 @@ reference could not use: baseline = 0.0032 Mcell/s per core.
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
+
+# Perf canary (round-2 postmortem: a one-line change shipped a 3x slowdown
+# and nobody noticed).  BENCH_EXPECT.json pins the last recorded ms/iter per
+# platform; a >20% degradation marks the output JSON with "regression": true
+# and prints a loud stderr warning.  tests/test_perf_canary.py fails on it
+# when a real TPU is attached.
+EXPECT_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_EXPECT.json")
+REGRESSION_TOL = 1.20
 
 CPU_CORE_BASELINE_MCELLS = 0.0032  # measured 0.00105 at -O0, x3 allowance
 # 1000-iteration device chunks: the tunneled TPU pays several ms dispatch
@@ -75,7 +86,26 @@ def main():
         "ms_per_iter": round(dt / CHUNK * 1e3, 3),
         "chunk_ms_per_iter": [round(t / CHUNK * 1e3, 3) for t in chunk_times],
     }
+
+    try:
+        with open(EXPECT_PATH) as f:
+            expect = json.load(f).get(platform)
+    except (OSError, json.JSONDecodeError):
+        expect = None
+    if expect is not None:
+        exp_ms = expect["ms_per_iter"]
+        result["expected_ms_per_iter"] = exp_ms
+        if result["ms_per_iter"] > exp_ms * REGRESSION_TOL:
+            result["regression"] = True
+            print(
+                f"PERF REGRESSION: {result['ms_per_iter']} ms/iter vs "
+                f"recorded {exp_ms} ms/iter on {platform} "
+                f"(>{int((REGRESSION_TOL - 1) * 100)}% slower). Bisect before "
+                "shipping; update BENCH_EXPECT.json only for a justified "
+                "capability trade.", file=sys.stderr)
+
     print(json.dumps(result))
+    return result
 
 
 if __name__ == "__main__":
