@@ -415,6 +415,26 @@ _REGISTRY: dict[str, _Opt] = {
 }
 
 
+# Post-v5 SU2 option renames users commonly carry over from modern SU2
+# configs; v5.0.0 (the reference fork's base) uses the right-hand names.
+# These raise a "did you mean" error instead of a silent default
+# (round-2 postmortem: VENKAT_LIMITER_COEFF silently fell back to K=0.5).
+_POST_V5_ALIASES = {
+    "VENKAT_LIMITER_COEFF": "LIMITER_COEFF",
+    "SOLVER": "PHYSICAL_PROBLEM",
+    "ITER": "EXT_ITER",
+    "INNER_ITER": "EXT_ITER",
+    "TIME_ITER": "UNST_INT_ITER",
+    "MUSCL_FLOW": "SPATIAL_ORDER_FLOW (e.g. 2ND_ORDER_LIMITER)",
+    "MUSCL_TURB": "SPATIAL_ORDER_TURB",
+    "CONV_RESIDUAL_MINVAL": "RESIDUAL_MINVAL",
+    "CONV_STARTITER": "STARTCONV_ITER",
+    "TIME_DOMAIN": "UNSTEADY_SIMULATION",
+    "TIME_STEP": "UNST_TIMESTEP",
+    "MAX_TIME": "UNST_TIME",
+}
+
+
 class Config:
     """Parsed configuration (CConfig-equivalent).
 
@@ -464,6 +484,12 @@ class Config:
             from su2_tpu import config_options as co
 
             self.extra[key] = val
+            alias = _POST_V5_ALIASES.get(key)
+            if alias is not None:
+                raise ValueError(
+                    f"config option '{key}' is a post-v5 SU2 name; this "
+                    f"framework matches the v5.0.0 option surface — did you "
+                    f"mean '{alias}'?")
             kind = co.classify(key)
             if kind == "unsupported" and not co.value_is_disabled(val):
                 raise ValueError(
@@ -471,8 +497,13 @@ class Config:
                     "option registry, config_structure.cpp) but the "
                     "feature is not supported by su2_tpu")
             import warnings
-            warnings.warn(f"{'ignoring' if kind != 'unknown' else 'unknown'}"
-                          f" config option '{key}'")
+            if kind == "unknown":
+                import difflib
+                close = difflib.get_close_matches(key, _REGISTRY, 1, 0.75)
+                hint = f" (did you mean '{close[0]}'?)" if close else ""
+                warnings.warn(f"unknown config option '{key}'{hint}")
+            else:
+                warnings.warn(f"ignoring config option '{key}'")
             return
         self._set_options.add(key)
         setattr(self, key.lower(), opt.parse(val))
