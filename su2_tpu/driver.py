@@ -295,6 +295,13 @@ class Simulation:
                 linear_iter=cfg.linear_solver_iter,
                 linear_tol=cfg.linear_solver_error,
                 linear_prec=cfg.linear_solver_prec)
+            if os.environ.get("SU2_TPU_SEQ_SGS_TURB"):
+                # validation knob: run the turb solve with the reference's
+                # exact sequential natural-order LU-SGS sweep (host
+                # callback, linalg/seq_sgs.py) to demonstrate the
+                # multicolor-ordering parity deviation
+                self.scfg = dataclasses_replace(
+                    self.scfg, linear_prec="LU_SGS_SEQ", allow_pallas=False)
 
         # multicolor masks for the LU_SGS-class preconditioners
         self.color_masks = None
@@ -554,10 +561,11 @@ class Simulation:
                 sigma_k = sigma_k.at[mesh.pg_start:].set(
                     sigma_k[mesh.pg_src])
                 if is_sst:
-                    # grad_k is a spatial vector; for SA(+LM) the slot
+                    # grad_k carries the (k, omega) gradient PAIR (N, 2, d)
+                    # — spatial vectors, rotated; for SA(+LM) the slot
                     # carries scalar model state (nu_tilde aux / gamma,
                     # Re_theta), which must be copied, not rotated
-                    gk = jnp.einsum("ned,nd->ne",
+                    gk = jnp.einsum("ned,nqd->nqe",
                                     mesh.pg_rot.astype(grad_k.dtype),
                                     grad_k[mesh.pg_src])
                 else:
@@ -580,8 +588,10 @@ class Simulation:
                 cond = ignite & (v[:, fuel_i] > 0.4) & (v[:, ox_i] > 0.2) \
                     & (v[:, lay.T] < t_ign)
                 v = v.at[:, lay.T].set(jnp.where(cond, t_ign, v[:, lay.T]))
-            turb = vis.TurbFlowData(tke=tke, mu_t=mu_t, grad_tke=grad_k,
-                                    sigma_k=sigma_k)
+            turb = vis.TurbFlowData(
+                tke=tke, mu_t=mu_t,
+                grad_tke=grad_k[:, 0, :] if is_sst else grad_k,
+                sigma_k=sigma_k)
             sigma_k_edge = sigma_k[mesh.edges[:, 0]]
             dpdu_full = st.dpdu(lib, lay, v) if nsd is None else nsd.dpdu
 
@@ -664,6 +674,11 @@ class Simulation:
             u_new = ns.enforce_wall_velocity(lay, u_new, wall_mask)
 
             # ---------- turbulence system on the updated flow ----------
+            # (empirically pinned vs the rebuilt reference binary: the turb
+            # stage sees the POST-update flow — 1-iteration turb fields
+            # match to <2e-8 except documented wall-omega rows; an
+            # all-pre-update variant was tested and REGRESSES iteration-0
+            # parity, see BASELINE.md round-3 notes)
             if mesh.pg_src is not None:
                 u_new = self._pg_refresh_u(u_new)
             rho_old = v[:, lay.PRHO]
@@ -717,9 +732,10 @@ class Simulation:
                 trans_new.mu, mu_t, strain, dist, rho_old, dt,
                 self.kine_inf, self.omega_inf,
                 lib=lib, dpdu_e=nsd2.gm1, tke_inf=prm.tke_inf,
-                gq=gq_turb, flow_fb=flow_fb, dense_bc=self.dense_bc)
+                gq=gq_turb, flow_fb=flow_fb, dense_bc=self.dense_bc,
+                gq_prev=grad_k)
             return (u_new, v_new[:, lay.T], q_new, outs["mu_t"],
-                    outs["grad_k"], outs["sigma_k"], rms_scale * rms, rmax,
+                    outs["gq"], outs["sigma_k"], rms_scale * rms, rmax,
                     rms_scale * turb_rms,
                     nonphys.sum() + nonphys2.sum(), min_dt)
 
@@ -913,10 +929,10 @@ class Simulation:
             u_n = u
         return u, t_guess, np.array(hist), (q, mu_t, grad_k, sigma_k)
 
-    def monitor_forces(self, u, t_guess, turb=None):
-        """Force coefficients over MARKER_MONITORING (COutput monitoring)."""
+    def forces_inputs(self, u, t_guess, turb=None):
+        """(v, grad, trans, mu_t) for surface-force/traction evaluation —
+        shared by force monitoring and the FSI traction transfer."""
         from su2_tpu.ops import viscous as vis
-        from su2_tpu.solvers import forces as ff
 
         u2, v, _ = st.cons2prim(
             self.lib, self.lay, u, t_guess, self.tparams,
@@ -924,6 +940,13 @@ class Simulation:
         grad = es.compute_gradients(
             self.mesh, self.params, vis.ns_gradient_vars(self.lib, self.lay, v))
         trans = vis.node_transport(self.lib, self.lay, v)
+        return v, grad, trans, (turb[1] if turb is not None else None)
+
+    def monitor_forces(self, u, t_guess, turb=None):
+        """Force coefficients over MARKER_MONITORING (COutput monitoring)."""
+        from su2_tpu.solvers import forces as ff
+
+        v, grad, trans, _ = self.forces_inputs(u, t_guess, turb)
         markers = {}
         for tag in self.cfg.marker_monitoring:
             if tag in self.mesh.markers:
@@ -1003,7 +1026,13 @@ class Simulation:
             qr = np.asarray(self.turb_restart)
             q0 = q0.at[:qr.shape[0]].set(jnp.asarray(qr, dtype=self.dtype))
         mu_t0 = jnp.full((n,), min(self.mut_inf, 1.0), dtype=self.dtype)
-        grad_k0 = jnp.zeros((n, self.lay.ndim), dtype=self.dtype)
+        if self.cfg.kind_turb_model == "SST":
+            # full (k, omega) gradient pair: the carry feeds both the flow
+            # side (grad_tke = [:, 0]) and the next step's stored-blending
+            # evaluation (sst_step gq_prev)
+            grad_k0 = jnp.zeros((n, 2, self.lay.ndim), dtype=self.dtype)
+        else:
+            grad_k0 = jnp.zeros((n, self.lay.ndim), dtype=self.dtype)
         sigma_k0 = jnp.full((n,), sst.SIGMA_K1, dtype=self.dtype)
         if self.cfg.kind_turb_model == "SA" \
                 and self.cfg.kind_trans_model == "LM":
@@ -1035,7 +1064,7 @@ class Simulation:
                                          v[:, lay.PRHO], self.wall_dist)
                 mu_t = sst.eddy_viscosity(v[:, lay.PRHO], q0[:, 0], q0[:, 1],
                                           strain, f2)
-                return (mu_t, gq[:, 0, :],
+                return (mu_t, gq,
                         f1 * sst.SIGMA_K1 + (1.0 - f1) * sst.SIGMA_K2)
 
             mu_t0, grad_k0, sigma_k0 = jax.jit(_turb_post)(
@@ -1046,6 +1075,49 @@ class Simulation:
         return q0, mu_t0, grad_k0, sigma_k0
 
     # ------------------------------------------------------------------
+    def _run_multigrid(self, niter, u, t_guess, quiet, log_every,
+                       it0=0, rms0=None):
+        """MGLEVEL>0 drive: FAS V/W cycles on the mean flow
+        (CMultiGridIntegration::MultiGrid_Cycle, integration_time.cpp:175)."""
+        from su2_tpu.multigrid import Multigrid
+
+        if getattr(self, "_mg", None) is None:
+            pre = self.cfg.mg_pre_smooth
+            post = self.cfg.mg_post_smooth
+            self._mg = Multigrid(
+                self, n_levels=self.cfg.mglevel + 1,
+                pre_smooth=max(1, int(pre[0])) if pre else 2,
+                post_smooth=int(post[0]) if post else 0,
+                damp_restriction=self.cfg.mg_damp_restriction,
+                damp_prolongation=self.cfg.mg_damp_prolongation,
+                cycle="W" if self.cfg.mgcycle == "W_CYCLE" else "V")
+        hist = []
+        start = time.time()
+        for it_rel in range(niter):
+            it = it0 + it_rel
+            u, t_guess, rms = self._mg.step(u, t_guess)
+            rms_np = np.asarray(rms)
+            if np.isnan(rms_np).any():
+                raise RuntimeError(f"NaN residual at MG cycle {it}")
+            log_rms = np.log10(np.maximum(rms_np, 1e-300))
+            hist.append(log_rms)
+            if self.history is not None and it % self.cfg.wrt_con_freq == 0:
+                self.history.write(it, log_rms, None,
+                                   lin_iters=self.cfg.linear_solver_iter)
+            if rms0 is None:
+                rms0 = log_rms.copy()
+            if not quiet and it % log_every == 0:
+                print(f"{it:6d}  MG Res[Rho]: {log_rms[self.lay.RHO]: .6f}  "
+                      f"Res[RhoE]: {log_rms[self.lay.RHOE]: .6f}  "
+                      f"({time.time()-start:.1f}s)")
+            if (self.cfg.conv_criteria == "RESIDUAL"
+                    and it > self.cfg.startconv_iter):
+                if (log_rms[self.lay.RHO] < self.cfg.residual_minval or
+                        rms0[self.lay.RHO] - log_rms[self.lay.RHO]
+                        > self.cfg.residual_reduction):
+                    break
+        return u, t_guess, np.array(hist)
+
     def run(self, niter: int | None = None, log_every: int = 1,
             u=None, t_guess=None, turb_state=None, quiet=False,
             chunk: int = 1, it0: int = 0, rms0=None):
@@ -1056,6 +1128,24 @@ class Simulation:
         niter = niter if niter is not None else self.cfg.ext_iter
         u = self.u0 if u is None else u
         t_guess = self.t0 if t_guess is None else t_guess
+        if self.cfg.mglevel > 0:
+            # FAS multigrid drive (reference: CMultiGridIntegration,
+            # integration_time.cpp:42-125).  The FAS cycle smooths with the
+            # explicit multistage scheme on every level; configurations it
+            # cannot honor fail loudly instead of silently running
+            # single-grid (round-2 verdict item 4).
+            if self.turbulent:
+                raise ValueError(
+                    "MGLEVEL> 0 runs the mean-flow FAS cycle only; RANS "
+                    "cases must set MGLEVEL= 0 (turbulence transport is "
+                    "smoothed single-grid in this framework)")
+            if self.cfg.time_discre_flow == "EULER_IMPLICIT":
+                raise ValueError(
+                    "MGLEVEL> 0 uses the explicit multistage smoother; "
+                    "set TIME_DISCRE_FLOW= EULER_EXPLICIT / "
+                    "RUNGE-KUTTA_EXPLICIT or MGLEVEL= 0")
+            return self._run_multigrid(niter, u, t_guess, quiet, log_every,
+                                       it0=it0, rms0=rms0)
         if self.turbulent:
             q, mu_t, grad_k, sigma_k = (turb_state if turb_state is not None
                                         else self.initial_turb_state())

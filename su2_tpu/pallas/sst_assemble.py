@@ -84,18 +84,13 @@ def _assemble_call(f_t, geo_t, *, offsets, d, consts, interpret):
         vol = r1(8 + 3 * d)
         dt = r1(9 + 3 * d)
         wall = r1(10 + 3 * d)
-
-        # ---- blending (SetBlendingFunc) ----
-        gkgw = sum(gq[a] * gq[d + a] for a in range(d))
-        cdkw = jnp.maximum(2.0 * rho * so2 / q_w * gkgw, 1e-20)
-        arg2a = jnp.sqrt(jnp.maximum(q_k, 0.0)) \
-            / (bstar * q_w * dist + EPS * EPS)
-        arg2b = 500.0 * mu / (rho * dist * dist * q_w + EPS * EPS)
-        arg2 = jnp.maximum(arg2a, arg2b)
-        arg1 = jnp.minimum(arg2, 4.0 * rho * so2 * q_k
-                           / (cdkw * dist * dist + EPS * EPS))
-        f1 = jnp.tanh(arg1 ** 4)
-        f2 = jnp.tanh(jnp.maximum(2.0 * arg2a, arg2b) ** 2)
+        # blending rows precomputed OUTSIDE the kernel from the PREVIOUS
+        # step's gradients (reference-stored F1/F2/CDkw vintage — see
+        # sst_step's gq_prev contract)
+        f1 = r1(11 + 3 * d)
+        f2 = r1(12 + 3 * d)
+        cdkw = r1(13 + 3 * d)
+        coord = [r1(14 + 3 * d + a) for a in range(d)]
         sigk = f1 * sk1 + (1.0 - f1) * sk2
         sigw = f1 * so1 + (1.0 - f1) * so2
 
@@ -120,12 +115,21 @@ def _assemble_call(f_t, geo_t, *, offsets, d, consts, interpret):
             gm_k = [0.5 * (gq[a] + _roll(gq[a], o)) for a in range(d)]
             gm_w = [0.5 * (gq[d + a] + _roll(gq[d + a], o))
                     for a in range(d)]
-            # groupings replicate the XLA roll sweep (turbulence/sst.py)
-            # op-for-op so interpret-mode results match to the ulp
+            # CORRECTED projected gradient (CAvgGradCorrected_TurbSST):
+            # g.n - (g.e) pv + dq pv — groupings replicate the XLA roll
+            # sweep (turbulence/sst.py) op-for-op so interpret-mode
+            # results match to the ulp
+            ev = [_roll(coord[a], o) - coord[a] for a in range(d)]
+            corr0 = pv * ((_roll(q_k, o) - q_k)
+                          - sum(gm_k[a] * ev[a] for a in range(d)))
+            corr1 = pv * ((_roll(q_w, o) - q_w)
+                          - sum(gm_w[a] * ev[a] for a in range(d)))
             res0 = res0 + ((a0p * rhoq0 + a1p * _roll(rhoq0, o))
-                           - dm0 * sum(gm_k[a] * ns[a] for a in range(d)))
+                           - dm0 * (sum(gm_k[a] * ns[a] for a in range(d))
+                                    + corr0))
             res1 = res1 + ((a0p * rhoq1 + a1p * _roll(rhoq1, o))
-                           - dm1 * sum(gm_w[a] * ns[a] for a in range(d)))
+                           - dm1 * (sum(gm_w[a] * ns[a] for a in range(d))
+                                    + corr1))
             pv_rho = pv / rho
             dg0 = dg0 + (a0p + dm0 * pv_rho)
             dg1 = dg1 + (a0p + dm1 * pv_rho)
@@ -185,9 +189,10 @@ def _assemble_call(f_t, geo_t, *, offsets, d, consts, interpret):
 
 
 def sst_assemble(mesh, consts, q, rho, vel, gq, mu, mut, dist, strain,
-                 diverg, dt, wall_mask):
+                 diverg, dt, wall_mask, f1, f2, cdkw):
     """Run the fused assembly; returns lane-layout (res_t, dd_t, sel_t)
-    padded to npad lanes.  All array inputs row-major (nP, ...)."""
+    padded to npad lanes.  All array inputs row-major (nP, ...).
+    f1/f2/cdkw: blending values from the previous step's gradients."""
     n = mesh.npoint
     npad = -(-n // 128) * 128
     d = mesh.coords.shape[1]
@@ -195,7 +200,8 @@ def sst_assemble(mesh, consts, q, rho, vel, gq, mu, mut, dist, strain,
     rows = [q.T, rho[None], vel.T, gq.reshape(n, 2 * d).T,
             mu[None], mut[None], dist[None], strain[None], diverg[None],
             mesh.volume[None], dt[None],
-            wall_mask.astype(dtype)[None]]
+            wall_mask.astype(dtype)[None],
+            f1[None], f2[None], cdkw[None], mesh.coords.T]
     f_t = _pad_lanes(jnp.concatenate(rows, axis=0).astype(dtype), npad)
     kk = len(mesh.stencil_offsets)
     geo = jnp.concatenate(

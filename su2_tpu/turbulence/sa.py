@@ -78,17 +78,22 @@ def sa_step(lay: Layout, mesh: MeshArrays, scfg, bcs, nu, v, flow_grad,
     off_ij = a1[:, None, None]
     off_ji = -a0[:, None, None]
 
-    # ---- viscous diffusion (CAvgGrad_TurbSA): (nu + nu_tilde)/sigma ----
+    # ---- viscous diffusion (CAvgGradCorrected_TurbSA — the reference
+    # uses the CORRECTED kernel on interior turb edges,
+    # driver_structure.cpp:1583): (nu + nu_tilde)/sigma with the
+    # edge-projected corrected gradient g.n - (g.e) pv + dnu pv ----
     nu_lam = mu / rho
     eff = (nu_lam + nu) / SIGMA
     eff_e = 0.5 * (eff[i] + eff[j])
     gmean = 0.5 * (grad_nu[i] + grad_nu[j])
-    vflux = (eff_e * jnp.einsum("ed,ed->e", gmean, mesh.edge_normal))[:, None]
-    res = res - mesh.scatter_edges(vflux)
     evec = mesh.coords[j] - mesh.coords[i]
     dist2 = jnp.sum(evec * evec, axis=1)
     pvec = jnp.einsum("ed,ed->e", evec, mesh.edge_normal) / \
         jnp.where(dist2 == 0.0, 1.0, dist2)
+    proj = jnp.einsum("ed,ed->e", gmean, mesh.edge_normal) \
+        + pvec * ((nu[j] - nu[i]) - jnp.einsum("ed,ed->e", gmean, evec))
+    vflux = (eff_e * proj)[:, None]
+    res = res - mesh.scatter_edges(vflux)
     diag = diag + mesh.accumulate_sides(eff_e * pvec, eff_e * pvec)[:, None, None]
     off_ij = off_ij - (eff_e * pvec)[:, None, None]
     off_ji = off_ji - (eff_e * pvec)[:, None, None]

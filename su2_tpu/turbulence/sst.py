@@ -122,6 +122,10 @@ class SSTConfig:
     allow_pallas: bool = True
 
 
+# diagnostics: set to a list to capture each sst_step's assembled RHS
+# (meaningful for EAGER calls only — under jit the stash holds tracers)
+_RHS_STASH = None
+
 # "xla" (default) or "pallas": fused one-launch assembly
 # (pallas/sst_assemble.py) feeding the lane-layout stencil solve directly.
 # The driver turns "pallas" on for TPU f32 production runs (same switch
@@ -139,7 +143,7 @@ def sst_step(lay: Layout, mesh: MeshArrays, scfg: SSTConfig, bcs,
              q, v, flow_grad, mu, mu_t_node, strain_mag, dist,
              rho_old, dt, kine_inf, omega_inf,
              lib=None, dpdu_e=None, tke_inf: float = 0.0, gq=None,
-             flow_fb=None, dense_bc=None):
+             flow_fb=None, dense_bc=None, gq_prev=None):
     """One implicit Euler iteration of the SST system.
 
     q: (N, 2) primitive (k, omega); v: flow primitives; flow_grad: NS
@@ -150,8 +154,18 @@ def sst_step(lay: Layout, mesh: MeshArrays, scfg: SSTConfig, bcs,
     phase's weak-BC ghost-state batch (es.flux_bc_batch tuple) — the
     reference's CharacPrimVar handoff: flow BCs store the ghost states,
     turb BCs read them (solver_direct_turbulent.cpp:3293,3381), so the
-    turb system must NOT rebuild them from the updated state.  Returns
-    (q_new, rms, turb outputs dict).
+    turb system must NOT rebuild them from the updated state.
+
+    gq_prev: the PREVIOUS step's (k, omega) gradients (N, 2, d).  The
+    reference's assembly consumes F1/F2/CDkw STORED by the previous
+    iteration's Postprocessing (SetBlendingFunc,
+    variable_direct_turbulent.cpp:177-201, called at
+    solver_direct_turbulent.cpp:2989 with the gradients computed in that
+    iteration's turb Preprocessing) — so the blending entering the
+    diffusion coefficients and source terms is one gradient-vintage older
+    than the q being assembled.  Omit to evaluate blending from this
+    step's gradients (standalone use).  Returns (q_new, rms, outs) with
+    outs["gq"] = this step's gradients, i.e. next step's gq_prev.
     """
     n = q.shape[0]
     dtype = q.dtype
@@ -168,6 +182,12 @@ def sst_step(lay: Layout, mesh: MeshArrays, scfg: SSTConfig, bcs,
     grad_k = gq[:, 0, :]
     grad_w = gq[:, 1, :]
 
+    # blending entering the assembly: previous-iteration gradient vintage
+    # (reference-stored F1/F2/CDkw), this-iteration mu/rho
+    bk, bw = (gq_prev[:, 0, :], gq_prev[:, 1, :]) if gq_prev is not None \
+        else (grad_k, grad_w)
+    f1, f2, cdkw = blending(q[:, 0], q[:, 1], bk, bw, mu, rho, dist)
+
     if (dense_bc is None and _ASSEMBLE_MODE == "pallas"
             and scfg.linear_solver == "FGMRES"
             and scfg.linear_prec in ("LU_SGS", "ILU0")
@@ -180,9 +200,8 @@ def sst_step(lay: Layout, mesh: MeshArrays, scfg: SSTConfig, bcs,
             return _sst_step_fused(lay, mesh, scfg, bcs, q, v, flow_grad,
                                    mu, mu_t_node, strain_mag, dist, rho_old,
                                    dt, kine_inf, omega_inf, lib, dpdu_e,
-                                   tke_inf, gq, grad_k, grad_w, flow_fb)
-
-    f1, f2, cdkw = blending(q[:, 0], q[:, 1], grad_k, grad_w, mu, rho, dist)
+                                   tke_inf, gq, grad_k, grad_w, flow_fb,
+                                   f1, f2, cdkw)
     sigma_k_blend = f1 * SIGMA_K1 + (1.0 - f1) * SIGMA_K2
     sigma_w_blend = f1 * SIGMA_OM1 + (1.0 - f1) * SIGMA_OM2
 
@@ -221,7 +240,16 @@ def sst_step(lay: Layout, mesh: MeshArrays, scfg: SSTConfig, bcs,
                 * jnp.roll(rhoq, -o, axis=0)
             dm = 0.5 * (dkw + jnp.roll(dkw, -o, axis=0))         # (nP, 2)
             gmean = 0.5 * (gq + jnp.roll(gq, -o, axis=0))        # (nP, 2, d)
-            vflux = dm * jnp.sum(gmean * ns[:, None, :], axis=2)
+            # CORRECTED projected gradient (CAvgGradCorrected_TurbSST,
+            # numerics_direct_turbulent.cpp:1183-1257 — the reference uses
+            # the corrected kernel on interior turb edges):
+            #   g.n - (g.e) pv + (q_j - q_i) pv,  pv = (e.n)/|e|^2
+            # wrap rows carry ns = 0 and pv = 0, so they contribute nothing
+            evec = jnp.roll(mesh.coords, -o, axis=0) - mesh.coords
+            gm_e = jnp.sum(gmean * evec[:, None, :], axis=2)     # (nP, 2)
+            dq = jnp.roll(q, -o, axis=0) - q
+            vflux = dm * (jnp.sum(gmean * ns[:, None, :], axis=2)
+                          + pv[:, None] * (dq - gm_e))
             dvp = dm * (pv / rho)[:, None]
             dvn = dm * (pv / jnp.roll(rho, -o))[:, None]
             part = conv - vflux
@@ -255,14 +283,21 @@ def sst_step(lay: Layout, mesh: MeshArrays, scfg: SSTConfig, bcs,
         dw = 0.5 * (fi[:, 3 * d + 4] + fj[:, 3 * d + 4])
         gmean = 0.5 * (fi[:, d + 3:3 * d + 3]
                        + fj[:, d + 3:3 * d + 3]).reshape(-1, 2, d)
-        proj = jnp.einsum("egd,ed->eg", gmean, mesh.edge_normal)
-        vflux = jnp.stack([dk * proj[:, 0], dw * proj[:, 1]], axis=1)
-        # one edge scatter for conv - visc
-        res = mesh.scatter_edges(flux - vflux)
         evec = fj[:, 3 * d + 5:4 * d + 5] - fi[:, 3 * d + 5:4 * d + 5]
         dist2 = jnp.sum(evec * evec, axis=1)
         pvec = jnp.einsum("ed,ed->e", evec, mesh.edge_normal) / \
             jnp.where(dist2 == 0.0, 1.0, dist2)
+        # CORRECTED projected gradient (CAvgGradCorrected_TurbSST,
+        # numerics_direct_turbulent.cpp:1183-1257):
+        #   g.n - (g.e) pv + (q_j - q_i) pv
+        proj = jnp.einsum("egd,ed->eg", gmean, mesh.edge_normal)
+        gm_e = jnp.einsum("egd,ed->eg", gmean, evec)
+        dq = fj[:, d + 1:d + 3] / fj[:, d:d + 1] \
+            - fi[:, d + 1:d + 3] / fi[:, d:d + 1]
+        proj = proj + pvec[:, None] * (dq - gm_e)
+        vflux = jnp.stack([dk * proj[:, 0], dw * proj[:, 1]], axis=1)
+        # one edge scatter for conv - visc
+        res = mesh.scatter_edges(flux - vflux)
         dvi = jnp.stack([dk * pvec / fi[:, d], dw * pvec / fi[:, d]], axis=1)
         dvj = jnp.stack([dk * pvec / fj[:, d], dw * pvec / fj[:, d]], axis=1)
         # viscous jacobians: J_i = -diag(dvi), J_j = +diag(dvj); residual is
@@ -373,7 +408,27 @@ def sst_step(lay: Layout, mesh: MeshArrays, scfg: SSTConfig, bcs,
                       0.0)
     diag = diag + delta[:, None, None] * eye2
     rhs = -res
-    if fam_off is not None:
+    if _RHS_STASH is not None:
+        _RHS_STASH.append(rhs)          # diagnostics hook (eager calls)
+    if scfg.linear_prec == "LU_SGS_SEQ":
+        # reference-exact natural-order sweep via host callback — validation
+        # only (linalg/seq_sgs.py; demonstrates the multicolor-SGS parity
+        # deviation is purely the sweep ordering)
+        from su2_tpu.linalg import seq_sgs
+        if fam_off is not None:
+            sel = fam_off[:, :, :, None] * eye2
+            mv = lambda x: (blockcsr._bmv(diag, x)
+                            + blockcsr._offdiag_apply(mesh, sel, x))
+            pcf = seq_sgs.fam_preconditioner(mesh, 2)
+            pc = lambda r: pcf(diag, sel, r)
+        else:
+            jac = BlockJacobian(diag=diag, off_ij=off_ij, off_ji=off_ji)
+            sel_g = blockcsr.gather_offdiag(mesh, jac)
+            mv = lambda x: blockcsr.matvec(mesh, jac, x, sel_g)
+            pce = seq_sgs.edge_preconditioner(mesh, 2)
+            pc = lambda r: pce(diag, off_ij, off_ji, r)
+        pm, solve = None, None
+    elif fam_off is not None:
         sel = fam_off[:, :, :, None] * eye2                  # (K, nP, 2, 2)
         mv, pc, pm, solve = blockcsr.make_solver_ops_fam(
             mesh, diag, sel, scfg.linear_prec, scfg.color_masks,
@@ -400,20 +455,27 @@ def sst_step(lay: Layout, mesh: MeshArrays, scfg: SSTConfig, bcs,
     upper = jnp.asarray(UPPER, dtype=dtype)
     q_new = (rho_old[:, None] * q + scfg.relax * sol) / rho[:, None]
     q_new = jnp.clip(q_new, lower, upper)
-    # enforce wall values strongly
-    q_new = jnp.where(wall_mask[:, None], q_wall, q_new)
-    q_new = q_new.at[:, 0].set(
-        jnp.where(wall_mask, 0.0, q_new[:, 0]))
+    # enforce wall values strongly.  The BC stores q_wall into Solution_Old
+    # and the conservative update then rescales EVERY row by
+    # rho_old/rho_new and clips (AddConservativeSolution,
+    # variable_structure.cpp) — so wall omega picks up the density ratio
+    # (visible at marker-junction corners where the first flow updates
+    # move rho by ~5e-4) and wall k lands on the 1e-10 lower clip, not 0
+    q_new = jnp.where(
+        wall_mask[:, None],
+        jnp.clip(q_wall * (rho_old / rho)[:, None], lower, upper), q_new)
 
     rms = jnp.sqrt(jnp.mean(rhs * rhs, axis=0))
 
-    # outputs for the mean-flow coupling
+    # outputs for the mean-flow coupling (Postprocessing: blending stored
+    # from THIS step's gradients + the updated q — next step's assembly
+    # consumes it via gq_prev)
     f1n, f2n, cdkwn = blending(q_new[:, 0], q_new[:, 1], grad_k, grad_w,
                                mu, rho, dist)
     mu_t_new = eddy_viscosity(rho, q_new[:, 0], q_new[:, 1], strain_mag, f2n)
     outs = dict(f1=f1n, f2=f2n, cdkw=cdkwn, mu_t=mu_t_new,
                 sigma_k=f1n * SIGMA_K1 + (1.0 - f1n) * SIGMA_K2,
-                grad_k=grad_k, grad_w=grad_w)
+                grad_k=grad_k, grad_w=grad_w, gq=gq)
     return q_new, rms, outs
 
 
@@ -494,7 +556,8 @@ _CONSTS = (SIGMA_K1, SIGMA_K2, SIGMA_OM1, SIGMA_OM2, BETA_1, BETA_2,
 
 def _sst_step_fused(lay, mesh, scfg, bcs, q, v, flow_grad, mu, mu_t_node,
                     strain_mag, dist, rho_old, dt, kine_inf, omega_inf,
-                    lib, dpdu_e, tke_inf, gq, grad_k, grad_w, flow_fb):
+                    lib, dpdu_e, tke_inf, gq, grad_k, grad_w, flow_fb,
+                    f1, f2, cdkw):
     """sst_step body on the fused-assembly path: ONE pallas launch builds
     (res, diag, sel) in the lane layout (pallas/sst_assemble.py), the weak
     BCs add in lane space (bg.add_cols), and the system feeds the
@@ -526,7 +589,7 @@ def _sst_step_fused(lay, mesh, scfg, bcs, q, v, flow_grad, mu, mu_t_node,
     consts = _CONSTS + (float(scfg.cfl_red),)
     res_t, dd_t, sel_t = sstasm.sst_assemble(
         mesh, consts, q, rho, vel, gq, mu, mu_t_node, dist, strain_mag,
-        diverg, dt, wall_mask)
+        diverg, dt, wall_mask, f1, f2, cdkw)
 
     # weak BCs in lane space; wall-corner faces masked out (the XLA path
     # zeroes wall rows AFTER its BC adds — same result)
@@ -585,8 +648,11 @@ def _sst_step_fused(lay, mesh, scfg, bcs, q, v, flow_grad, mu, mu_t_node,
     upper = jnp.asarray(UPPER, dtype=dtype)
     q_new = (rho_old[:, None] * q + scfg.relax * sol) / rho[:, None]
     q_new = jnp.clip(q_new, lower, upper)
-    q_new = jnp.where(wall_mask[:, None], q_wall, q_new)
-    q_new = q_new.at[:, 0].set(jnp.where(wall_mask, 0.0, q_new[:, 0]))
+    # wall rows rescaled by rho_old/rho and clipped like every other row
+    # (AddConservativeSolution semantics; k_wall lands on the 1e-10 clip)
+    q_new = jnp.where(
+        wall_mask[:, None],
+        jnp.clip(q_wall * (rho_old / rho)[:, None], lower, upper), q_new)
 
     # rms over REAL nodes (pad lanes carry zero residual)
     rms = jnp.sqrt(jnp.sum(b_t * b_t, axis=1) / n)
@@ -596,7 +662,7 @@ def _sst_step_fused(lay, mesh, scfg, bcs, q, v, flow_grad, mu, mu_t_node,
     mu_t_new = eddy_viscosity(rho, q_new[:, 0], q_new[:, 1], strain_mag, f2n)
     outs = dict(f1=f1n, f2=f2n, cdkw=cdkwn, mu_t=mu_t_new,
                 sigma_k=f1n * SIGMA_K1 + (1.0 - f1n) * SIGMA_K2,
-                grad_k=grad_k, grad_w=grad_w)
+                grad_k=grad_k, grad_w=grad_w, gq=gq)
     return q_new, rms, outs
 
 

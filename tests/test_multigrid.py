@@ -91,3 +91,43 @@ def test_fas_cycle_converges_and_beats_single_grid(tmp_path):
 
     assert drop_mg > 0.8, hist_mg[-1]
     assert drop_mg > drop_sg - 0.2, (drop_mg, drop_sg)
+
+
+def test_mglevel_config_drives_fas_cycle(tmp_path):
+    """MGLEVEL> 0 in the cfg routes Simulation.run through the FAS cycle
+    (round-2 verdict item 4: previously a silent single-grid no-op)."""
+    from su2_tpu.config import Config
+    from su2_tpu.driver import Simulation
+
+    cfg_path = tmp_path / "case.cfg"
+    cfg_path.write_text(CFG + "MGLEVEL= 2\nMGCYCLE= V_CYCLE\n")
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        sim = Simulation(Config(str(cfg_path)),
+                         raw_mesh=channel_mesh(25, 17, lx=1.0, ly=0.4))
+        u, t, hist = sim.run(40, quiet=True)
+    finally:
+        os.chdir(cwd)
+    assert getattr(sim, "_mg", None) is not None      # MG actually engaged
+    assert len(sim._mg.meshes) == 3
+    assert np.isfinite(hist).all()
+    assert hist[0][sim.lay.RHO] - hist[-1][sim.lay.RHO] > 0.5
+
+
+def test_mglevel_raises_for_unsupported_smoother(tmp_path):
+    from su2_tpu.config import Config
+    from su2_tpu.driver import Simulation
+
+    cfg_path = tmp_path / "case.cfg"
+    cfg_path.write_text(CFG.replace("EULER_EXPLICIT", "EULER_IMPLICIT")
+                        + "MGLEVEL= 1\n")
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        sim = Simulation(Config(str(cfg_path)),
+                         raw_mesh=channel_mesh(13, 9))
+        with pytest.raises(ValueError, match="MGLEVEL"):
+            sim.run(2, quiet=True)
+    finally:
+        os.chdir(cwd)
