@@ -120,8 +120,10 @@ def element_stiffness(mesh: RawMesh, e_mod=1.0, nu=0.3,
 def solve_elasticity(mesh: RawMesh, bnd_mask: np.ndarray,
                      bnd_disp: np.ndarray, e_mod=1.0, nu=0.3,
                      stiffness_type="CONSTANT_STIFFNESS",
-                     n_iter: int = 600, tol: float = 1e-12):
-    """Displacement field with Dirichlet data on bnd_mask nodes."""
+                     n_iter: int = 600, tol: float = 1e-12, loads=None):
+    """Displacement field with Dirichlet data on bnd_mask nodes and
+    optional nodal force loads (K u = f; the FSI driver feeds transferred
+    flow tractions here, CFEM_ElasticitySolver + CTransfer_FlowTraction)."""
     kes, elem_lists = element_stiffness(mesh, e_mod, nu, stiffness_type)
     kes = [jnp.asarray(k) for k in kes]
     elem_lists = [jnp.asarray(e, dtype=jnp.int32) for e in elem_lists]
@@ -151,6 +153,8 @@ def solve_elasticity(mesh: RawMesh, bnd_mask: np.ndarray,
     dinv = jnp.where(mask[:, None], 1.0, 1.0 / jnp.maximum(diag, 1e-300))
 
     rhs = jnp.where(mask[:, None], 0.0, -kmul(disp_b))
+    if loads is not None:
+        rhs = rhs + jnp.where(mask[:, None], 0.0, jnp.asarray(loads))
     x, _, _ = krylov.cg(op, lambda r: dinv * r, rhs,
                         max_iter=n_iter, tol=tol)
     return disp_b + jnp.where(mask[:, None], 0.0, x)
