@@ -412,6 +412,27 @@ _REGISTRY: dict[str, _Opt] = {
     "WRT_BINARY_RESTART": _b(False),
     "READ_BINARY_RESTART": _b(False),
     "GRID_MOVEMENT": _b(False),
+    # --- rigid mesh motion / rotating frame (su2_tpu/motion.py) ---
+    "GRID_MOVEMENT_KIND": _enum("NO_MOVEMENT"),
+    "MACH_MOTION": _d(0.0),
+    "MOTION_ORIGIN_X": _d(0.0),
+    "MOTION_ORIGIN_Y": _d(0.0),
+    "MOTION_ORIGIN_Z": _d(0.0),
+    "ROTATION_RATE_X": _d(0.0),
+    "ROTATION_RATE_Y": _d(0.0),
+    "ROTATION_RATE_Z": _d(0.0),
+    "PITCHING_OMEGA_X": _d(0.0),
+    "PITCHING_OMEGA_Y": _d(0.0),
+    "PITCHING_OMEGA_Z": _d(0.0),
+    "PITCHING_AMPL_X": _d(0.0),
+    "PITCHING_AMPL_Y": _d(0.0),
+    "PITCHING_AMPL_Z": _d(0.0),
+    "PITCHING_PHASE_X": _d(0.0),
+    "PITCHING_PHASE_Y": _d(0.0),
+    "PITCHING_PHASE_Z": _d(0.0),
+    "TRANSLATION_RATE_X": _d(0.0),
+    "TRANSLATION_RATE_Y": _d(0.0),
+    "TRANSLATION_RATE_Z": _d(0.0),
 }
 
 

@@ -239,6 +239,26 @@ class Simulation:
             pasr_lb=cfg.pasr_lb,
             c_mu=cfg.c_mu,
         )
+        # moving grids (motion.py): ROTATING_FRAME is a steady static grid
+        # velocity wired into the params here; RIGID_MOTION runs through
+        # run_rigid_motion (coords/grid_vel as runtime args via remesh)
+        self.motion = None
+        if cfg.grid_movement:
+            from su2_tpu import motion as mo
+            self.motion = mo.from_config(cfg)
+            if common["conv_method"] != "ROE":
+                raise ValueError(
+                    "GRID_MOVEMENT requires CONV_NUM_METHOD_FLOW= ROE "
+                    "(the ALE flux is implemented in the Roe kernel)")
+            if self.motion.kind == "ROTATING_FRAME":
+                common["grid_vel"] = mo.rotating_frame_velocity(
+                    self.motion, self.mesh.coords).astype(dtype)
+                common["rotation_rate"] = self.motion.rotation_rate
+                common["rotating_source"] = True
+            elif self.motion.kind != "RIGID_MOTION":
+                raise ValueError(
+                    f"GRID_MOVEMENT_KIND= {self.motion.kind} not supported "
+                    "(ROTATING_FRAME and RIGID_MOTION are)")
         if cfg.viscous:
             self.params = ns.NSParams(
                 prandtl_lam=cfg.prandtl_lam, prandtl_turb=cfg.prandtl_turb,
@@ -425,11 +445,12 @@ class Simulation:
                 lam_v = ns.viscous_lambda(
                     lib, mesh, lay, prm, v, trans, dpdu_full, None)
                 dt, min_dt, _ = timestep.local_time_step(
-                    mesh, lay, v, cfl, prm.max_dt, lam_visc=lam_v)
+                    mesh, lay, v, cfl, prm.max_dt, lam_visc=lam_v,
+                    grid_vel=prm.grid_vel)
                 u = ns.enforce_wall_velocity(lay, u, wall_mask)
             else:
                 dt, min_dt, _ = timestep.local_time_step(
-                    mesh, lay, v, cfl, prm.max_dt)
+                    mesh, lay, v, cfl, prm.max_dt, grid_vel=prm.grid_vel)
             u_old = u
             u_new, rms, rmax = es.explicit_euler_update(
                 lay, mesh, u_old, res, dt, lower, upper, alpha=alphas[0])
@@ -928,6 +949,117 @@ class Simulation:
             u_nm1 = u_n
             u_n = u
         return u, t_guess, np.array(hist), (q, mu_t, grad_k, sigma_k)
+
+    def run_rigid_motion(self, n_steps: int | None = None, quiet=True,
+                         monitor_tags=None):
+        """Unsteady rigid-motion (ALE) dual-time loop for the inviscid
+        standard path (GRID_MOVEMENT_KIND= RIGID_MOTION: rotation +
+        pitching + translation, su2_tpu/motion.py; reference:
+        Rigid_Rotation/Rigid_Pitching/Rigid_Translation,
+        grid_movement_structure.cpp:1955-2550 + the ALE fluxes).
+
+        TPU-native structure: ONE compiled inner-iteration program taking
+        coords(t) and grid_vel(t) as runtime arguments — mesh metrics are
+        recomputed inside the trace from coordinates via the differentiable
+        remesh (geometry/diffgeo.py), so physical steps never retrace.
+        Rigid motion keeps volumes constant, so the analytic grid
+        velocities satisfy the GCL discretely.
+
+        Returns (u, t_guess, hist, per_step) with per_step a list of
+        (t_phys, coords, forces|None)."""
+        import dataclasses as _dc
+
+        from su2_tpu import motion as mo
+        from su2_tpu.adjoint import _rebuild_bcs
+        from su2_tpu.geometry.diffgeo import build_diffgeo, remesh
+
+        assert self.motion is not None and self.motion.kind == "RIGID_MOTION"
+        assert not self.turbulent, "rigid motion: inviscid standard path"
+        cfg = self.cfg
+        mot = self.motion
+        dt_phys = cfg.unst_timestep
+        dual_order = {"DUAL_TIME_STEPPING-1ST_ORDER": 1, "DT_STEPPING_1ST": 1,
+                      "DUAL_TIME_STEPPING-2ND_ORDER": 2,
+                      "DT_STEPPING_2ND": 2}.get(cfg.unsteady_simulation, 1)
+        if n_steps is None:
+            n_steps = max(1, int(cfg.unst_time / dt_phys))
+        dgeo = build_diffgeo(self.raw, self.grid)
+        base_mesh = self.mesh
+        coords0 = base_mesh.coords
+        lib, lay, prm, tparams = self.lib, self.lay, self.params, self.tparams
+        lower, upper = self.lower, self.upper
+
+        @jax.jit
+        def inner(u, t_guess, coords, gvel, u_n, u_nm1):
+            # null the stencil fast-path geometry (gg_snormal/wls/fam are
+            # precomputed from the BASE coords; consumers must fall back to
+            # the exact edge forms evaluated from the remeshed metrics)
+            mesh = _dc.replace(
+                remesh(base_mesh, dgeo, coords),
+                gg_snormal=None, wls_coeff=None, stencil_pvec=None,
+                fam_normal=None, fam_evec=None, fam_offsets=None)
+            bcs = _rebuild_bcs(self.bcs, mesh)
+            prm_t = _dc.replace(prm, grid_vel=gvel)
+            u2, v, nonphys = st.cons2prim(lib, lay, u, t_guess, tparams)
+            res, _ = es.total_residual(lib, lay, mesh, prm_t, bcs, v)
+            res, _ = ns.add_dual_time(lay, mesh, res, None, u2, u_n, u_nm1,
+                                      dt_phys, dual_order)
+            dt, min_dt, _ = timestep.local_time_step(
+                mesh, lay, v, prm.cfl, prm.max_dt, grid_vel=gvel)
+            dt = jnp.minimum(dt, 2.0 / 3.0 * dt_phys)
+            u_new, rms, _ = es.explicit_euler_update(
+                lay, mesh, u2, res, dt, lower, upper)
+            return u_new, v[:, lay.T], rms
+
+        u, t_guess = self.u0, self.t0
+        u_n = u
+        u_nm1 = u
+        hist = []
+        per_step = []
+        for step_i in range(n_steps):
+            t_phys = (step_i + 1) * dt_phys
+            coords_t = mo.rigid_coords_2d(mot, coords0, t_phys).astype(
+                self.dtype)
+            gvel = mo.rigid_grid_velocity_2d(mot, coords_t, t_phys).astype(
+                self.dtype)
+            for _ in range(cfg.unst_int_iter):
+                u, t_guess, rms = inner(u, t_guess, coords_t, gvel,
+                                        u_n, u_nm1)
+            log_rms = np.log10(np.maximum(np.asarray(rms), 1e-300))
+            hist.append(log_rms)
+            if not quiet:
+                print(f"motion step {step_i:5d} t={t_phys:.4e}  "
+                      f"Res[Rho]: {log_rms[lay.RHO]: .4f}")
+            forces = None
+            if monitor_tags:
+                forces = self._moving_forces(u, t_guess, coords_t,
+                                             dgeo, monitor_tags)
+            per_step.append((float(t_phys), coords_t, forces))
+            u_nm1 = u_n
+            u_n = u
+        return u, t_guess, np.array(hist), per_step
+
+    def _moving_forces(self, u, t_guess, coords, dgeo, tags):
+        """Inviscid force coefficients on the DISPLACED geometry."""
+        from su2_tpu.adjoint import _rebuild_bcs
+        from su2_tpu.geometry.diffgeo import remesh
+        from su2_tpu.solvers import forces as ff
+        from su2_tpu.ops import viscous as vis
+
+        mesh = remesh(self.mesh, dgeo, coords)
+        _, v, _ = st.cons2prim(self.lib, self.lay, u, t_guess, self.tparams)
+        markers = {}
+        bcs = _rebuild_bcs(self.bcs, mesh)
+        for tag in tags:
+            nodes, normal = mesh.markers[tag]
+            markers[tag] = (nodes, normal, self.mesh.marker_nn[tag])
+        ys, t_inf, p_inf, rho_inf, vel_inf, _ = self.freestream_primitives()
+        ref_area = self.cfg.ref_area if self.cfg.ref_area > 0 else 1.0
+        return ff.surface_forces(
+            self.lib, self.lay, mesh, v, None, None, markers,
+            p_inf, rho_inf, vel_inf, ref_area, viscous=False,
+            coords=mesh.coords, ref_len=self.cfg.ref_length,
+            aoa_deg=self.cfg.aoa)
 
     def forces_inputs(self, u, t_guess, turb=None):
         """(v, grad, trans, mu_t) for surface-force/traction evaluation —

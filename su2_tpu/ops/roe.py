@@ -19,8 +19,14 @@ from su2_tpu.state import Layout
 
 
 def roe_flux(lay: Layout, v_i: jnp.ndarray, v_j: jnp.ndarray,
-             normal: jnp.ndarray, entropy_fix: float = 0.001):
+             normal: jnp.ndarray, entropy_fix: float = 0.001, qg=None):
     """Roe flux over a batch of faces. v_*: (nF, nPrim); normal area normals.
+
+    qg: optional (nF,) PROJECTED grid velocity at the face (u_g . unit
+    normal) — the ALE / moving-grid form (CUpwRoe_Flow with grid_movement,
+    numerics_direct_mean.cpp): eigenvalues use the relative normal speed
+    and the central flux subtracts qg * U on each side; pressure terms and
+    the Roe eigenvector basis stay in absolute velocities.
 
     Returns residual (nF, nVar).
     """
@@ -59,11 +65,13 @@ def roe_flux(lay: Layout, v_i: jnp.ndarray, v_j: jnp.ndarray,
     a = jnp.sqrt(a2)
     un = jnp.sum(vel * unit, axis=1)
 
-    # eigenvalues with Harten entropy fix on the acoustic waves
-    lam_m = jnp.abs(un)
-    lam_p = jnp.abs(un + a)
-    lam_n = jnp.abs(un - a)
-    eps = entropy_fix * (jnp.abs(un) + a)
+    # eigenvalues with Harten entropy fix on the acoustic waves; moving
+    # grids use the RELATIVE normal speed (un - qg) in the wave speeds
+    un_rel = un if qg is None else un - qg
+    lam_m = jnp.abs(un_rel)
+    lam_p = jnp.abs(un_rel + a)
+    lam_n = jnp.abs(un_rel - a)
+    eps = entropy_fix * (jnp.abs(un_rel) + a)
 
     def fix(lam):
         return jnp.where(lam < eps, 0.5 * (lam * lam / eps + eps), lam)
@@ -115,4 +123,14 @@ def roe_flux(lay: Layout, v_i: jnp.ndarray, v_j: jnp.ndarray,
 
     dis_full = jnp.concatenate([diss[:, :1], diss[:, 1:1 + nd],
                                 diss[:, 1 + nd:2 + nd], diss_y], axis=1)
-    return 0.5 * (f_i + f_j - dis_full) * area[:, None]
+    flux = 0.5 * (f_i + f_j - dis_full)
+    if qg is not None:
+        # ALE central-flux correction: -qg * 0.5 (U_i + U_j)
+        def cons(rho, velx, p, hx, ysx):
+            return jnp.concatenate([
+                rho[:, None], rho[:, None] * velx,
+                (rho * hx - p)[:, None], rho[:, None] * ysx], axis=1)
+        u_i = cons(rho_i, vel_i, p_i, h_i, ys_i)
+        u_j = cons(rho_j, vel_j, p_j, h_j, ys_j)
+        flux = flux - (0.5 * qg)[:, None] * (u_i + u_j)
+    return flux * area[:, None]

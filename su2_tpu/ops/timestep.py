@@ -29,7 +29,7 @@ def _static_marker(nodes, normal):
 
 
 def boundary_lambda_inv(mesh: MeshArrays, lay: Layout, v: jnp.ndarray,
-                        lam: jnp.ndarray) -> jnp.ndarray:
+                        lam: jnp.ndarray, grid_vel=None) -> jnp.ndarray:
     """Add the boundary-vertex inviscid spectral radii to lam.
 
     Marker node lists and normals are trace-time constants, so each marker
@@ -38,6 +38,9 @@ def boundary_lambda_inv(mesh: MeshArrays, lay: Layout, v: jnp.ndarray,
     a*0 = 0) — no gathers or scatters, which otherwise dominate large-mesh
     BC sections as one-hot contractions."""
     vel = v[:, lay.VX:lay.VX + lay.ndim]
+    if grid_vel is not None:
+        # moving grids: spectral radius from the RELATIVE velocity
+        vel = vel - grid_vel
     a = v[:, lay.A]
     n = v.shape[0]
     for tag, (nodes, normal) in mesh.markers.items():
@@ -58,9 +61,14 @@ def boundary_lambda_inv(mesh: MeshArrays, lay: Layout, v: jnp.ndarray,
     return lam
 
 
-def max_lambda_inv(mesh: MeshArrays, lay: Layout, v: jnp.ndarray) -> jnp.ndarray:
-    """Per-node accumulated inviscid spectral radius (interior + boundary)."""
+def max_lambda_inv(mesh: MeshArrays, lay: Layout, v: jnp.ndarray,
+                   grid_vel=None) -> jnp.ndarray:
+    """Per-node accumulated inviscid spectral radius (interior + boundary);
+    with grid_vel the projections use the relative velocity (moving-grid
+    SetTime_Step)."""
     vel = v[:, lay.VX:lay.VX + lay.ndim]
+    if grid_vel is not None:
+        vel = vel - grid_vel
     a = v[:, lay.A]
 
     if mesh.fam_offsets is not None:
@@ -75,7 +83,7 @@ def max_lambda_inv(mesh: MeshArrays, lay: Layout, v: jnp.ndarray) -> jnp.ndarray
             mean_a = 0.5 * (a + jnp.roll(a, -o, axis=0))
             lam_e = (jnp.abs(0.5 * (proj_i + proj_j)) + mean_a) * area
             lam = lam + lam_e + jnp.roll(lam_e, o, axis=0)
-        return boundary_lambda_inv(mesh, lay, v, lam)
+        return boundary_lambda_inv(mesh, lay, v, lam, grid_vel=grid_vel)
 
     i, j = mesh.edges[:, 0], mesh.edges[:, 1]
     proj_i = jnp.sum(vel[i] * mesh.edge_normal, axis=1)
@@ -91,7 +99,7 @@ def max_lambda_inv(mesh: MeshArrays, lay: Layout, v: jnp.ndarray) -> jnp.ndarray
 def local_time_step(mesh: MeshArrays, lay: Layout, v: jnp.ndarray,
                     cfl: float, max_dt: float = 1e6,
                     lam_visc: jnp.ndarray | None = None, k_v: float = 0.25,
-                    lam_inv: jnp.ndarray | None = None):
+                    lam_inv: jnp.ndarray | None = None, grid_vel=None):
     """Per-node dt = CFL*Vol/lambda_inv with the reference's guards; with a
     viscous spectral radius, dt = min(dt_inv, CFL*K_v*Vol^2/lambda_visc)
     (NS SetTime_Step, solver_direct_reactive.cpp:5216-5220).
@@ -99,7 +107,8 @@ def local_time_step(mesh: MeshArrays, lay: Layout, v: jnp.ndarray,
     kernel returns it alongside the flux); computed here when absent.
     Returns (dt, min_dt, max_dt_seen).
     """
-    lam = max_lambda_inv(mesh, lay, v) if lam_inv is None else lam_inv
+    lam = max_lambda_inv(mesh, lay, v, grid_vel=grid_vel) \
+        if lam_inv is None else lam_inv
     vol_ok = mesh.volume > EPS
     dt = jnp.where(vol_ok, cfl * mesh.volume / jnp.where(lam > 0, lam, 1.0), 0.0)
     if lam_visc is not None:

@@ -139,9 +139,12 @@ def _rowfill(area, p):
     return jnp.broadcast_to(jnp.asarray(p, area.dtype), area.shape)
 
 
-def euler_wall_residual(lib, lay, nodes, normal, v, turb_ke=None):
+def euler_wall_residual(lib, lay, nodes, normal, v, turb_ke=None,
+                        grid_vel=None):
     """Weak slip-wall: pressure (+ 2/3 rho k) flux on momentum
-    (BC_Euler_Wall, solver_direct_reactive.cpp:2881-2995)."""
+    (BC_Euler_Wall, solver_direct_reactive.cpp:2881-2995).  Moving walls
+    add the p * (u_g . n) work term on energy (the reference's
+    BC_Euler_Wall grid_movement branch)."""
     area = jnp.linalg.norm(normal, axis=1)
     unit = -normal / area[:, None]                        # outward
     p = bg.rows(v, nodes)[:, lay.P]
@@ -150,6 +153,10 @@ def euler_wall_residual(lib, lay, nodes, normal, v, turb_ke=None):
     coeff = (p + 2.0 / 3.0 * rho * tke) * area
     res = jnp.zeros((nodes.shape[0], lay.nvar), dtype=v.dtype)
     res = res.at[:, lay.RHOVX:lay.RHOVX + lay.ndim].set(coeff[:, None] * unit)
+    if grid_vel is not None:
+        qg_out = jnp.einsum("ed,ed->e", bg.rows(grid_vel, nodes),
+                            -normal)                      # area-weighted
+        res = res.at[:, lay.RHOE].set(p * qg_out)
     return res
 
 
@@ -438,6 +445,12 @@ class EulerParams:
     tke_inf: float = 0.0
     jst_coeff: tuple = (0.5, 0.02)   # JST_SENSOR_COEFF (kappa_2, kappa_4)
     lax_coeff: float = 0.15          # LAX_SENSOR_COEFF (kappa_0)
+    # moving grids (ALE / rotating frame, su2_tpu/motion.py): per-node grid
+    # velocity (N, d) entering the ROE fluxes, wall BCs, and the time step;
+    # rotating_source adds the absolute-velocity-form momentum source
+    grid_vel: object = None
+    rotation_rate: tuple = (0.0, 0.0, 0.0)
+    rotating_source: bool = False
 
 
 def gradient_vars(lay: Layout, v: jnp.ndarray) -> jnp.ndarray:
@@ -546,7 +559,12 @@ def convective_residual(lib, lay, mesh, prm, v, grad, lim):
         v_i, v_j = v[i], v[j]
     if prm.conv_method == "ROE":
         from su2_tpu.ops import roe
-        flux = roe.roe_flux(lay, v_i, v_j, mesh.edge_normal)
+        qg = None
+        if prm.grid_vel is not None:
+            ug = prm.grid_vel
+            qg = 0.5 * jnp.einsum("ed,ed->e", ug[i] + ug[j],
+                                  mesh.edge_normal) / mesh.edge_area
+        flux = roe.roe_flux(lay, v_i, v_j, mesh.edge_normal, qg=qg)
     elif prm.conv_method == "HLLC":
         from su2_tpu.ops import hllc
         flux = hllc.hllc_flux(lay, v_i, v_j, mesh.edge_normal)
@@ -663,14 +681,24 @@ def bc_residuals(lib, lay, mesh, prm, bcs, v, dpdu_full, turb_ke=None):
     wb = wall_bc_batch(bcs)
     if wb is not None:
         wn, wnorm = wb
-        r = euler_wall_residual(lib, lay, wn, wnorm, v, turb_ke)
+        r = euler_wall_residual(lib, lay, wn, wnorm, v, turb_ke,
+                                grid_vel=prm.grid_vel)
         res = bg.add_rows(res, wn, r)
     fb = flux_bc_batch(lib, lay, bcs, v, dpdu_full, prm.tke_inf, mesh.coords)
     if fb is not None:
         nodes, _, normal, v_ghost, _, _ = fb
-        # flux BCs: AUSM between domain and ghost state over -vertex normal
-        flux = ausm.ausm_flux(lay, bg.rows(v, nodes), v_ghost, -normal,
-                              prm.m_infty)
+        if prm.grid_vel is not None:
+            # moving grids route boundary fluxes through the ALE Roe kernel
+            from su2_tpu.ops import roe
+            area_b = jnp.linalg.norm(normal, axis=1)
+            qg_b = jnp.einsum("ed,ed->e", bg.rows(prm.grid_vel, nodes),
+                              -normal) / area_b
+            flux = roe.roe_flux(lay, bg.rows(v, nodes), v_ghost, -normal,
+                                qg=qg_b)
+        else:
+            # flux BCs: AUSM between domain and ghost over -vertex normal
+            flux = ausm.ausm_flux(lay, bg.rows(v, nodes), v_ghost, -normal,
+                                  prm.m_infty)
         res = bg.add_rows(res, nodes, flux)
     return res
 
@@ -691,6 +719,10 @@ def total_residual(lib, lay, mesh, prm, bcs, v, omega_turb=None, turb_ke=None):
     res = res + bc_residuals(lib, lay, mesh, prm, bcs, v, dpdu_full, turb_ke)
     if prm.reactive_sources:
         res = res + chemistry_source_residual(lib, lay, mesh, prm, v, omega_turb)
+    if prm.rotating_source:
+        from su2_tpu import motion as mo
+        res = res + mo.rotating_frame_source(lay, v, prm.rotation_rate,
+                                             mesh.volume)
     if mesh.pg_src is not None:
         # rotational-periodic ghost rows carry no equations (their state is
         # refreshed from the donors every iteration)
