@@ -194,6 +194,18 @@ class Simulation:
                     pg_rot=jnp.asarray(self.pghost.rot, dtype),
                     pg_start=int(self.pghost.start))
         self.lay = Layout(self.grid.ndim, cfg.nspecies)
+        # Mach/AOA-derived freestream velocity: the config builds the 3D
+        # convention (cos a cos b, sin b, sin a cos b) — SU2's AOA lives in
+        # the x-z plane in 3D but in the x-y plane in 2D
+        # (SetNondimensionalization nDim == 2 branch); the config cannot
+        # know ndim, so rewrite the derived vector here
+        if self.grid.ndim == 2 and not cfg.was_set("FREESTREAM_VELOCITY") \
+                and cfg.mach_number > 0.0 and not cfg.reactive:
+            import math
+            vmag = float(np.linalg.norm(np.asarray(cfg.freestream_velocity)))
+            al = math.radians(cfg.aoa)
+            cfg.freestream_velocity = [vmag * math.cos(al),
+                                       vmag * math.sin(al), 0.0]
 
         self.tparams = TSolveParams(
             tmin=cfg.temperature_min, tmax=cfg.temperature_max,
