@@ -187,12 +187,16 @@ class Simulation:
                         raw, self.grid, self.perm = raw2, grid2, sperm
             self.dmesh = None
             self.mesh = mesh_arrays(self.grid, dtype)
+            # dense per-marker fields as setup-time device buffers (at 2M+
+            # cells the trace-time numpy constants exceed the remote-compile
+            # payload cap; see timestep.precompute_dense_markers)
             if self.pghost is not None:
                 self.mesh = dataclasses_replace(
                     self.mesh,
                     pg_src=jnp.asarray(self.pghost.src, jnp.int32),
                     pg_rot=jnp.asarray(self.pghost.rot, dtype),
                     pg_start=int(self.pghost.start))
+            timestep.precompute_dense_markers(self.mesh, dtype)
         self.lay = Layout(self.grid.ndim, cfg.nspecies)
         # Mach/AOA-derived freestream velocity: the config builds the 3D
         # convention (cos a cos b, sin b, sin a cos b) — SU2's AOA lives in

@@ -28,6 +28,38 @@ def _static_marker(nodes, normal):
     return sn, np.asarray(normal)
 
 
+def precompute_dense_markers(mesh: MeshArrays, dtype) -> None:
+    """Materialize the dense per-marker (normal, area) fields ONCE as
+    DEVICE arrays and stash them on the mesh.
+
+    The boundary spectral-radius routines densify each marker to a
+    full-mesh field; built at trace time from numpy they are inlined into
+    the HLO as literals — a few hundred MB at 2M+ cells, which the axon
+    remote-compile endpoint rejects (HTTP 413) and which bloats every
+    program.  Built here (outside jit) they become captured device
+    buffers: same math, same fusion, parameter-passed instead of inlined.
+    Also precomputes the merged viscous area^2 weight (ns.py)."""
+    cache = {}
+    n = int(mesh.npoint)
+    w2 = np.zeros((n,), np.float64)
+    ok_w2 = True
+    for tag, (nodes, normal) in mesh.markers.items():
+        stat = _static_marker(nodes, normal)
+        if stat is None:
+            ok_w2 = False
+            continue
+        sn, nm = stat
+        nd = np.zeros((n, nm.shape[1]), np.float64)
+        nd[sn] = nm
+        ad = np.zeros((n,), np.float64)
+        ad[sn] = np.linalg.norm(nm, axis=1)
+        cache[tag] = (jnp.asarray(nd, dtype), jnp.asarray(ad, dtype))
+        np.add.at(w2, sn, np.sum(nm.astype(np.float64) ** 2, axis=1))
+    if ok_w2 and cache:
+        cache["_visc_w2"] = jnp.asarray(w2, dtype)
+    object.__setattr__(mesh, "dense_marker_cache", cache)
+
+
 def boundary_lambda_inv(mesh: MeshArrays, lay: Layout, v: jnp.ndarray,
                         lam: jnp.ndarray, grid_vel=None) -> jnp.ndarray:
     """Add the boundary-vertex inviscid spectral radii to lam.
@@ -43,7 +75,16 @@ def boundary_lambda_inv(mesh: MeshArrays, lay: Layout, v: jnp.ndarray,
         vel = vel - grid_vel
     a = v[:, lay.A]
     n = v.shape[0]
+    dense = getattr(mesh, "dense_marker_cache", {})
     for tag, (nodes, normal) in mesh.markers.items():
+        hit = dense.get(tag)
+        if hit is not None:
+            # setup-time device buffers (precompute_dense_markers):
+            # captured parameters, not HLO literals
+            ndv, adv = hit
+            proj = jnp.sum(vel * ndv.astype(v.dtype), axis=1)
+            lam = lam + (jnp.abs(proj) + a) * adv.astype(v.dtype)
+            continue
         stat = _static_marker(nodes, normal)
         if stat is not None:
             sn, nm = stat

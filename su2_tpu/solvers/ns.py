@@ -104,6 +104,13 @@ def viscous_lambda_boundary(lib: ChemLib, mesh: MeshArrays, lay: Layout,
     gamma = dpdu_full[:, lay.RHOE] + 1.0
     cpg = cl.mixture_cp(lib, v[:, lay.T], v[:, lay.YS:lay.YS + lay.ns]) / gamma
     n = v.shape[0]
+    w2_dev = getattr(mesh, "dense_marker_cache", {}).get("_visc_w2")
+    if w2_dev is not None:
+        # setup-time device buffer (timestep.precompute_dense_markers)
+        mut = turb.mu_t if turb is not None else None
+        lamf = _visc_lam12(prm, turb is not None, trans.mu, trans.kappa,
+                           mut, gamma, cpg) / v[:, lay.PRHO]
+        return lam + lamf * w2_dev.astype(v.dtype)
     w2 = None
     for tag, (nodes, normal) in mesh.markers.items():
         stat = _static_marker(nodes, normal)
