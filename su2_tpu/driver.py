@@ -92,6 +92,12 @@ class Simulation:
             cfg.nspecies = 1
             if not cfg.freestream_mass_frac:
                 cfg.freestream_mass_frac = [1.0]
+        # chemistry tables live on DEVICE: numpy leaves captured in jit
+        # closures lower as host literals, which both bloats the serialized
+        # module and breaks jax_use_simplified_jaxpr_constants (the
+        # million-cell payload-cap workaround — see rans_multistep)
+        self.lib = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x) if hasattr(x, "dtype") else x, self.lib)
 
         if raw_mesh is not None:
             raw = raw_mesh
@@ -187,6 +193,14 @@ class Simulation:
                         raw, self.grid, self.perm = raw2, grid2, sperm
             self.dmesh = None
             self.mesh = mesh_arrays(self.grid, dtype)
+            # million-cell meshes: lower closed-over mesh arrays as
+            # PARAMETERS instead of inlined dense literals — the inlined
+            # form serializes hundreds of MB of HLO that the axon
+            # remote-compile endpoint rejects (HTTP 413).  The flag is
+            # trace-context-keyed, so smaller sims in the same process are
+            # unaffected semantically.
+            if self.mesh.npoint >= 200_000:
+                jax.config.update("jax_use_simplified_jaxpr_constants", True)
             # dense per-marker fields as setup-time device buffers (at 2M+
             # cells the trace-time numpy constants exceed the remote-compile
             # payload cap; see timestep.precompute_dense_markers)

@@ -83,10 +83,10 @@ def test_reference_option_surface_hardening():
     assert len(co.REFERENCE_OPTIONS) >= 450
     base = "PHYSICAL_PROBLEM= EULER\nMESH_FILENAME= x.su2\n"
     # enabled unsupported features fail loudly
+    # (GRID_MOVEMENT_KIND / ROTATION_RATE_* became SUPPORTED in round 3 —
+    # rigid motion & rotating frame, su2_tpu/motion.py)
     for line in ("MARKER_RIEMANN= ( in, TOTAL_CONDITIONS_PT, 1e5, 300, 1, 0, 0 )",
-                 "GRID_MOVEMENT_KIND= RIGID_MOTION",
                  "AXISYMMETRIC= YES",
-                 "ROTATION_RATE_Z= 10.0",
                  "TIME_INSTANCES= 3"):
         with pytest.raises(ValueError):
             Config(text=base + line + "\n")

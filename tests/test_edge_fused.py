@@ -41,7 +41,9 @@ def pasr_state(combustion_dir, tmp_path_factory):
     lib, lay = sim.lib, sim.lay
     u, v, _ = st.cons2prim(lib, lay, sim.u0, sim.t0, sim.tparams,
                            turb_ke=q[:, 0])
-    turb = vis.TurbFlowData(tke=q[:, 0], mu_t=mu_t, grad_tke=grad_k,
+    turb = vis.TurbFlowData(tke=q[:, 0], mu_t=mu_t,
+                            grad_tke=grad_k[:, 0, :],   # SST carry is the
+                            # full (k, omega) gradient pair since round 3
                             sigma_k=sigma_k)
     sigma_k_edge = sigma_k[sim.mesh.edges[:, 0]]
     return sim, v, turb, q[:, 1], sigma_k_edge
@@ -100,7 +102,7 @@ def flatplate_state(flatplate_dir):
                            sim.tparams, turb_ke=q0[:, 0])
     turb = vis.TurbFlowData(
         tke=q0[:, 0], mu_t=mu_t0 * (1 + rng.uniform(0, 1, mu_t0.shape)),
-        grad_tke=jnp.asarray(rng.normal(0, 1e-3, grad_k0.shape)),
+        grad_tke=jnp.asarray(rng.normal(0, 1e-3, grad_k0[:, 0, :].shape)),
         sigma_k=sigma_k0)
     return sim, v, turb
 

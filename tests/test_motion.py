@@ -122,13 +122,22 @@ def test_pitching_naca_tracks_quasi_steady_lift(tmp_path):
         NUM_METHOD_GRAD= GREEN_GAUSS
         MESH_FILENAME= unused.su2
     """)
+    # steady AOA polar runs use the implicit path (explicit needs tens of
+    # thousands of iterations to settle CL on the O-mesh)
+    static = base.replace("TIME_DISCRE_FLOW= EULER_EXPLICIT",
+                          "TIME_DISCRE_FLOW= EULER_IMPLICIT").replace(
+        "CFL_NUMBER= 0.9", """CFL_NUMBER= 8.0
+        LINEAR_SOLVER= FGMRES
+        LINEAR_SOLVER_PREC= LU_SGS
+        LINEAR_SOLVER_ITER= 8
+        LINEAR_SOLVER_ERROR= 1e-6""")
     raw = naca_omesh(n_wrap=65, n_rad=33, radius=10.0)
 
     # static polar at +-2 deg from the same solver (steady AOA runs)
     cl_stat = {}
     for aoa in (2.0, -2.0):
-        sim_s = _build(tmp_path, base + f"AOA= {aoa}\n", raw)
-        us, ts, _ = sim_s.run(1500, quiet=True, chunk=100)
+        sim_s = _build(tmp_path, static + f"AOA= {aoa}\n", raw)
+        us, ts, _ = sim_s.run(400, quiet=True, chunk=50)
         f = sim_s.monitor_forces(us, ts)
         cl_stat[aoa] = f["CL"]
     slope = (cl_stat[2.0] - cl_stat[-2.0]) / np.deg2rad(4.0)
@@ -147,12 +156,12 @@ def test_pitching_naca_tracks_quasi_steady_lift(tmp_path):
         PITCHING_AMPL_Z= 2.0
         UNSTEADY_SIMULATION= DUAL_TIME_STEPPING-2ND_ORDER
         UNST_TIMESTEP= {period / nsteps}
-        UNST_INT_ITER= 400
+        UNST_INT_ITER= 1500
     """)
     sim = _build(tmp_path, cfg_m, raw)
     # start from the converged alpha=0 steady state
-    sim0 = _build(tmp_path, base + "AOA= 0.0\n", raw)
-    u0, t0, _ = sim0.run(1500, quiet=True, chunk=100)
+    sim0 = _build(tmp_path, static + "AOA= 0.0\n", raw)
+    u0, t0, _ = sim0.run(400, quiet=True, chunk=50)
     sim.u0, sim.t0 = u0, t0
     u, tg, hist, per_step = sim.run_rigid_motion(
         n_steps=nsteps, quiet=True, monitor_tags=("airfoil",))

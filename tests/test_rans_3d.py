@@ -44,9 +44,9 @@ CFG = textwrap.dedent("""
     LINEAR_SOLVER_ERROR= 1E-6
     LINEAR_SOLVER_ITER= 5
     CONV_NUM_METHOD_FLOW= AUSM
-    MUSCL_FLOW= YES
+    SPATIAL_ORDER_FLOW= 2ND_ORDER
     SLOPE_LIMITER_FLOW= VENKATAKRISHNAN
-    VENKAT_LIMITER_COEFF= 0.05
+    LIMITER_COEFF= 0.05
     TIME_DISCRE_FLOW= EULER_IMPLICIT
     CONV_NUM_METHOD_TURB= SCALAR_UPWIND
     TIME_DISCRE_TURB= EULER_IMPLICIT
