@@ -348,7 +348,11 @@ def test_flatplate_50_iteration_fields_match_reference(flatplate_dir,
     for k, tol in enumerate(tols):
         sc = max(np.abs(ru[:, k]).max(), 1e-30)
         assert np.abs(ua[:, k] - ru[:, k]).max() / sc < tol, k
-    for k, tol in enumerate([2e-2, 6e-2]):
+    # round 3 (corrected turb diffusion): k 1.88e-3 / omega 1.56e-4
+    # measured — was 1.1e-2 / 3e-2; the remaining flat-plate deviation is
+    # flow-side (implicit solve at LINEAR_SOLVER_ITER=8 is
+    # preconditioner-ordering-sensitive when stopped before tolerance)
+    for k, tol in enumerate([4e-3, 5e-4]):
         sc = np.abs(rt[:, k]).max()
         assert np.abs(qa[:, k] - rt[:, k]).max() / sc < tol, k
 
