@@ -345,6 +345,10 @@ class Simulation:
                 linear_iter=cfg.linear_solver_iter,
                 linear_tol=cfg.linear_solver_error,
                 linear_prec=cfg.linear_solver_prec)
+            if os.environ.get("SU2_TPU_SEQ_SGS_FLOW"):
+                # validation knob: reference-exact sequential LU-SGS for
+                # the FLOW implicit solve (see linalg/seq_sgs.py)
+                cfg.linear_solver_prec = "LU_SGS_SEQ"
             if os.environ.get("SU2_TPU_SEQ_SGS_TURB"):
                 # validation knob: run the turb solve with the reference's
                 # exact sequential natural-order LU-SGS sweep (host

@@ -292,6 +292,26 @@ def make_solver_ops(mesh: MeshArrays, jac: BlockJacobian,
     preconditioner (ComputeLineletPreconditioner parity); without it
     LINELET falls back to the multicolor SGS sweep (same smoothing role).
     """
+    if kind == "LU_SGS_SEQ":
+        # reference-exact sequential natural-order sweep via host callback
+        # (linalg/seq_sgs.py) — validation only: attributes parity gaps of
+        # UNDER-CONVERGED solves (max_iter hit before tol) to the
+        # preconditioner ordering.  Env knob: SU2_TPU_SEQ_SGS_FLOW=1.
+        from su2_tpu.linalg import seq_sgs
+        if isinstance(jac, StencilJacobianT):
+            oij, oji = sel_t_to_family(mesh, jac.sel_t, jac.diag.shape[-1])
+            jac = FamilyJacobian(diag=jac.diag, off_ij=oij, off_ji=oji)
+        if isinstance(jac, FamilyJacobian):
+            sel = family_sel(mesh, jac)
+            mv = lambda x: _bmv(jac.diag, x) + _offdiag_apply(mesh, sel, x)
+            pcf = seq_sgs.fam_preconditioner(mesh, jac.diag.shape[-1])
+            pc = lambda r: pcf(jac.diag, sel, r)
+        else:
+            sel = gather_offdiag(mesh, jac)
+            mv = lambda x: matvec(mesh, jac, x, sel)
+            pce = seq_sgs.edge_preconditioner(mesh, jac.diag.shape[-1])
+            pc = lambda r: pce(jac.diag, jac.off_ij, jac.off_ji, r)
+        return mv, pc, None, None
     if kind == "LINELET" and linelets is not None:
         from su2_tpu.linalg import linelet as ll
         if isinstance(jac, StencilJacobianT):
