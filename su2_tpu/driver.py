@@ -797,6 +797,68 @@ class Simulation:
         return step
 
     # ------------------------------------------------------------------
+    # million-cell compile payload: jit closure constants (the per-node
+    # mesh geometry, wall distance, color masks, dense marker fields) are
+    # inlined into the serialized StableHLO as dense literals — ~300 B/node,
+    # ~700 MB at 2.26M cells, which the axon remote-compile endpoint
+    # rejects (HTTP 413).  Above _MESH_ARGS_MIN_NODES the multistep entry
+    # points thread them as jit ARGUMENTS instead: the step maker runs
+    # UNDER the trace with the traced buffer pytree temporarily bound on
+    # self, so every closure captures tracers (parameters), not literals.
+    # Boundary-sized constants (marker node lists/normals, BC ghost
+    # tables) stay static — bgather's contiguous-run slices need static
+    # indices, and they are O(sqrt N).
+    _MESH_ARGS_MIN_NODES = 200_000
+
+    def _use_mesh_args(self) -> bool:
+        env = os.environ.get("SU2_TPU_MESH_ARGS", "")
+        if env == "1":
+            return True
+        if env == "0":
+            return False
+        return (self.mesh.npoint >= self._MESH_ARGS_MIN_NODES
+                and self.dmesh is None)
+
+    def _big_buffers(self):
+        """The per-node device buffers passed as jit arguments (pytree)."""
+        return {
+            "mesh": dataclasses_replace(self.mesh, markers=None,
+                                        marker_nn=None),
+            "dense_cache": dict(getattr(self.mesh, "dense_marker_cache",
+                                        None) or {}),
+            "wall_dist": self.__dict__.get("wall_dist"),
+            "color_masks": self.color_masks,
+        }
+
+    def _bind_buffers(self, bufs):
+        """Swap the (traced) buffer pytree onto self; returns a restore
+        callable.  Only meaningful under an active trace of the multistep
+        entry points."""
+        saved = (self.mesh, self.__dict__.get("wall_dist"),
+                 self.color_masks, self.__dict__.get("scfg"))
+        mesh = dataclasses_replace(bufs["mesh"], markers=self.mesh.markers,
+                                   marker_nn=self.mesh.marker_nn)
+        if bufs["dense_cache"]:
+            object.__setattr__(mesh, "dense_marker_cache",
+                               bufs["dense_cache"])
+        self.mesh = mesh
+        if bufs["wall_dist"] is not None:
+            self.wall_dist = bufs["wall_dist"]
+        if bufs["color_masks"] is not None:
+            self.color_masks = tuple(bufs["color_masks"])
+            if saved[3] is not None and saved[3].color_masks is not None:
+                self.scfg = dataclasses_replace(
+                    self.scfg, color_masks=self.color_masks)
+
+        def restore():
+            self.mesh, wd, self.color_masks, scfg = saved
+            if wd is not None or "wall_dist" in self.__dict__:
+                self.wall_dist = wd
+            if scfg is not None:
+                self.scfg = scfg
+
+        return restore
+
     def rans_multistep(self, u, t_guess, q, mu_t, grad_k, sigma_k, ignites,
                        cfl=None):
         """K coupled iterations as ONE device program (lax.scan over the
@@ -806,18 +868,37 @@ class Simulation:
         IGNITION window flag); returns the final carry plus stacked
         per-iteration (rms, rmax, turb_rms, nerr, min_dt) histories."""
         if getattr(self, "_multistep_jit", None) is None:
-            raw_step = self._make_rans_step()
+            self._multistep_args = self._use_mesh_args()
+            if self._multistep_args:
+                def multi(bufs, u, t, q, mu_t, gk, sk, ignites, cfl):
+                    restore = self._bind_buffers(bufs)
+                    try:
+                        raw_step = self._make_rans_step()
 
-            def multi(u, t, q, mu_t, gk, sk, ignites, cfl):
-                def body(carry, ignite):
-                    out = raw_step(*carry, ignite, cfl=cfl)
-                    return out[:6], out[6:]
+                        def body(carry, ignite):
+                            out = raw_step(*carry, ignite, cfl=cfl)
+                            return out[:6], out[6:]
 
-                carry, ys = jax.lax.scan(
-                    body, (u, t, q, mu_t, gk, sk), ignites)
-                return carry, ys
+                        return jax.lax.scan(
+                            body, (u, t, q, mu_t, gk, sk), ignites)
+                    finally:
+                        restore()
+            else:
+                raw_step = self._make_rans_step()
+
+                def multi(u, t, q, mu_t, gk, sk, ignites, cfl):
+                    def body(carry, ignite):
+                        out = raw_step(*carry, ignite, cfl=cfl)
+                        return out[:6], out[6:]
+
+                    carry, ys = jax.lax.scan(
+                        body, (u, t, q, mu_t, gk, sk), ignites)
+                    return carry, ys
 
             self._multistep_jit = jax.jit(multi)
+        if self._multistep_args:
+            return self._multistep_jit(self._big_buffers(), u, t_guess, q,
+                                       mu_t, grad_k, sigma_k, ignites, cfl)
         return self._multistep_jit(u, t_guess, q, mu_t, grad_k, sigma_k,
                                    ignites, cfl)
 
@@ -826,19 +907,40 @@ class Simulation:
         ONE device program; same dispatch-amortization as rans_multistep.
         Returns the final (u, t) plus stacked (rms, rmax, nerr, min_dt)."""
         if getattr(self, "_flow_multistep_jit", None) is None:
-            raw_step = (self._make_implicit_step()
-                        if self.cfg.time_discre_flow == "EULER_IMPLICIT"
-                        else self._make_explicit_step())
+            implicit = self.cfg.time_discre_flow == "EULER_IMPLICIT"
+            self._flow_multistep_args = self._use_mesh_args()
+            if self._flow_multistep_args:
+                def multi(bufs, u, t, cfl, k):
+                    restore = self._bind_buffers(bufs)
+                    try:
+                        raw_step = (self._make_implicit_step() if implicit
+                                    else self._make_explicit_step())
 
-            def multi(u, t, cfl, k):
-                def body(carry, _):
-                    out = raw_step(*carry, cfl=cfl)
-                    return out[:2], out[2:]
+                        def body(carry, _):
+                            out = raw_step(*carry, cfl=cfl)
+                            return out[:2], out[2:]
 
-                carry, ys = jax.lax.scan(body, (u, t), None, length=k)
-                return carry, ys
+                        return jax.lax.scan(body, (u, t), None, length=k)
+                    finally:
+                        restore()
 
-            self._flow_multistep_jit = jax.jit(multi, static_argnums=3)
+                self._flow_multistep_jit = jax.jit(multi, static_argnums=4)
+            else:
+                raw_step = (self._make_implicit_step() if implicit
+                            else self._make_explicit_step())
+
+                def multi(u, t, cfl, k):
+                    def body(carry, _):
+                        out = raw_step(*carry, cfl=cfl)
+                        return out[:2], out[2:]
+
+                    carry, ys = jax.lax.scan(body, (u, t), None, length=k)
+                    return carry, ys
+
+                self._flow_multistep_jit = jax.jit(multi, static_argnums=3)
+        if self._flow_multistep_args:
+            return self._flow_multistep_jit(self._big_buffers(), u, t_guess,
+                                            cfl, k)
         return self._flow_multistep_jit(u, t_guess, cfl, k)
 
     # ------------------------------------------------------------------

@@ -26,8 +26,6 @@ Discovery runs on the host at setup:
 
 from __future__ import annotations
 
-from collections import deque
-
 import numpy as np
 
 # Above this many distinct offsets the roll form loses to the gather form
@@ -50,72 +48,95 @@ def structured_order(mesh) -> np.ndarray | None:
 
     Returns perm (perm[k] = original node id of new node k) or None when
     the mesh is not a single logically-rectangular quad grid.
+
+    Fully vectorized (the quad-by-quad Python BFS this replaces was ~30
+    minutes at 2.26M cells — the million-cell preprocessing bottleneck):
+    on a logically rectangular grid the quad-edge graph's BFS distance IS
+    the Manhattan distance, so two C-speed BFS sweeps from two adjacent
+    degree-2 corner nodes give  d0 = i + j  and  d1 = (ni-1-i) + j,
+    which invert algebraically to (i, j).  The candidate labeling is then
+    verified completely (bijection onto the ni x nj lattice + every quad's
+    cyclic corners trace a unit square), so a wrong guess degrades to the
+    same None the old code returned — never a wrong perm.
     """
     types = np.asarray(mesh.elem_types)
     if mesh.ndim != 2 or not np.all(types == 9):
         return None
     n = mesh.npoint
-    quads = np.asarray(mesh.elem_nodes)[:, :4]
+    quads = np.asarray(mesh.elem_nodes)[:, :4].astype(np.int64)
+    if quads.size == 0 or quads.min() < 0 or quads.max() >= n:
+        return None
 
-    edge2q: dict = {}
-    for qi in range(quads.shape[0]):
-        q = quads[qi]
-        for a in range(4):
-            k = (min(q[a], q[(a + 1) % 4]), max(q[a], q[(a + 1) % 4]))
-            edge2q.setdefault(k, []).append(qi)
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.csgraph import dijkstra
 
-    ij = np.full((n, 2), np.iinfo(np.int64).max, dtype=np.int64)
-    unset = np.iinfo(np.int64).max
-    q0 = quads[0]
-    ij[q0[0]] = (0, 0)
-    ij[q0[1]] = (1, 0)
-    ij[q0[2]] = (1, 1)
-    ij[q0[3]] = (0, 1)
-    filled = np.zeros(quads.shape[0], dtype=bool)
-    filled[0] = True
-    dq = deque([0])
-    while dq:
-        qi = dq.popleft()
-        q = quads[qi]
-        for a in range(4):
-            u, v = q[a], q[(a + 1) % 4]
-            k = (min(u, v), max(u, v))
-            for qj in edge2q[k]:
-                if filled[qj]:
-                    continue
-                r = quads[qj]
-                # direction away from the filled quad = -(offset from this
-                # edge to its opposite edge inside quad qi)
-                d = ij[u] - ij[q[(a + 3) % 4]]
-                ok = True
-                for p in range(4):
-                    node = r[p]
-                    if node == u or node == v:
-                        continue
-                    prev, nxt = r[(p - 1) % 4], r[(p + 1) % 4]
-                    if prev == u or nxt == u:
-                        cand = ij[u] + d
-                    elif prev == v or nxt == v:
-                        cand = ij[v] + d
-                    else:       # non-adjacent listing: not a simple quad
-                        ok = False
-                        break
-                    if ij[node][0] != unset and not np.all(ij[node] == cand):
-                        return None          # inconsistent grid coords
-                    ij[node] = cand
-                if not ok:
-                    return None
-                filled[qj] = True
-                dq.append(qj)
+    # undirected quad-boundary-edge graph (diagonals excluded)
+    eu = quads.ravel()
+    ev = np.roll(quads, -1, axis=1).ravel()
+    one = np.ones(2 * eu.size, dtype=np.int8)
+    adj = coo_matrix((one, (np.concatenate([eu, ev]),
+                            np.concatenate([ev, eu]))), shape=(n, n)).tocsr()
+    adj.sum_duplicates()
+    deg = np.diff(adj.indptr)
+    corners = np.flatnonzero(deg == 2)
+    if len(corners) != 4:
+        return None
 
-    if not filled.all() or np.any(ij[:, 0] == unset):
-        return None                          # disconnected / partial
-    ij -= ij.min(axis=0)
-    ni, nj = ij.max(axis=0) + 1
+    def bfs_dist(src):
+        d = dijkstra(adj, unweighted=True, indices=src)
+        return None if np.isinf(d).any() else d.astype(np.int64)
+
+    c0 = corners[0]
+    d0 = bfs_dist(c0)
+    if d0 is None:
+        return None
+    others = corners[1:]
+    c1 = others[np.argmin(d0[others])]       # an ADJACENT corner of c0
+    d1 = bfs_dist(c1)
+    if d1 is None:
+        return None
+    length = d0[c1]                          # = ni - 1 along the c0->c1 side
+    ti = d0 - d1 + length
+    if np.any(ti & 1):
+        return None
+    i = ti >> 1
+    j = d0 - i
+    if i.min() < 0 or j.min() < 0:
+        return None
+    # canonicalize to the labeling a corner-anchored propagation from quad
+    # 0 produces (u axis = corner0->corner1 of quad 0, v axis = corner0->
+    # corner3): lattice labelings are unique up to reflection/transpose,
+    # and downstream printed-digit parity pins depend on the summation
+    # order the node numbering induces, so the choice must be
+    # deterministic in the MESH, not in which degree-2 node scipy lists
+    # first
+    p0, p1, p3 = quads[0][0], quads[0][1], quads[0][3]
+    e1 = np.array([i[p1] - i[p0], j[p1] - j[p0]])
+    e2 = np.array([i[p3] - i[p0], j[p3] - j[p0]])
+    if np.abs(e1).sum() != 1 or np.abs(e2).sum() != 1 or np.any(e1 == e2):
+        return None
+    ci = e1[0] * (i - i[p0]) + e1[1] * (j - j[p0])
+    cj = e2[0] * (i - i[p0]) + e2[1] * (j - j[p0])
+    i, j = ci - ci.min(), cj - cj.min()
+    ni, nj = i.max() + 1, j.max() + 1
     if ni * nj != n:
-        return None                          # not logically rectangular
-    keys = ij[:, 0] * nj + ij[:, 1]
+        return None
+    keys = i * nj + j
     if len(np.unique(keys)) != n:
+        return None
+    # complete verification: each quad's cyclic corners must trace a unit
+    # square of the lattice (this is exactly the constraint the old BFS
+    # propagated; it also rejects non-cyclic corner listings)
+    qi, qj = i[quads], j[quads]
+    di = qi - qi.min(axis=1, keepdims=True)
+    dj = qj - qj.min(axis=1, keepdims=True)
+    code = np.sort(di * 2 + dj, axis=1)
+    if np.any(di > 1) or np.any(dj > 1) \
+            or np.any(code != np.array([0, 1, 2, 3])):
+        return None
+    si = np.abs(qi - np.roll(qi, -1, axis=1))
+    sj = np.abs(qj - np.roll(qj, -1, axis=1))
+    if np.any(si + sj != 1):
         return None
     return np.argsort(keys, kind="stable")
 
