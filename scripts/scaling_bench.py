@@ -20,6 +20,7 @@ _COMBUSTION = "/root/reference/Test_Cases/TURBOLENT/TURBOLENT_COMBUSTION"
 
 def main():
     levels = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    min_level = int(sys.argv[2]) if len(sys.argv) > 2 else 0
     from su2_tpu.config import Config
     from su2_tpu.driver import Simulation
     from su2_tpu.io.mesh import read_su2_mesh
@@ -34,8 +35,11 @@ def main():
         r, _, _ = refine_full(meshes[-1])
         meshes.append(r)
 
-    for rawm in meshes:
+    for rawm in meshes[min_level:]:
+        t_setup = time.time()
         sim = Simulation(cfg, dtype=jnp.float32, raw_mesh=rawm)
+        print(f"setup({rawm.npoint}): {time.time()-t_setup:.1f}s",
+              flush=True)
         q0, mu_t0, grad_k0, sigma_k0 = sim.initial_turb_state()
         ignites = jnp.zeros((10,), bool)
 
