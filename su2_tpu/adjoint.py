@@ -319,10 +319,26 @@ def make_rans_fixed_point_step(sim, cfl_scale: float = 1.0):
 
 def adjoint_sensitivity_rans(sim, u_star, q_star, t_star, tags=None,
                              which="CD", n_iter: int = 400,
-                             tol: float = 1e-12):
-    """Coupled turbulent adjoint: stacked (lambda_u, lambda_q) reverse
-    fixed point over the full RANS step; objective includes the friction
-    component (make_objective).  Returns J, the adjoint pair, dJ/dx."""
+                             tol: float = 1e-12, method: str = "gmres"):
+    """Coupled turbulent adjoint: stacked (lambda_u, lambda_q) solve of
+
+        (I - dG^T) lambda = dJ/du
+
+    over the full RANS step; objective includes the friction component
+    (make_objective).  Returns J, the adjoint pair, dJ/dx.
+
+    method="gmres" (default) solves the transposed system with restarted
+    GMRES, each matvec one `vjp` of the coupled step.  The reference's
+    Picard recipe (method="picard", lambda <- dJ + dG^T lambda —
+    solver_adjoint_discrete.cpp's reverse fixed point) stalls on this
+    map: the corrected turb diffusion (round 3) gives the coupled
+    flow+SST step a neutrally-stable mode (|eigenvalue| ~ 1, plateau at
+    0.27x of the first update, identical at 600 and 4000 iterations),
+    which a Krylov solve of the SAME linear system is insensitive to —
+    GMRES only needs 1 to stay OUT of the spectrum, not out of the unit
+    disk.  `n_iter` bounds the total matvec count for both methods;
+    adj_hist records linear-system residuals (for Picard the update
+    delta IS the residual b - A lam)."""
     step, _ = make_rans_fixed_point_step(sim)
     objective = make_objective(sim, tags, which)
     coords = sim.mesh.coords
@@ -336,20 +352,42 @@ def adjoint_sensitivity_rans(sim, u_star, q_star, t_star, tags=None,
     gj_u = vjp_ju(jnp.asarray(1.0, dtype=u_star.dtype))[0]
     zero_q = jnp.zeros_like(q_star)
 
-    @jax.jit
-    def adj_iter(lam_u, lam_q):
-        du, dq = vjp_g((lam_u, lam_q))
-        return gj_u + du, dq
-
-    lam_u, lam_q = gj_u, zero_q
     hist = []
-    for _ in range(n_iter):
-        lu_new, lq_new = adj_iter(lam_u, lam_q)
-        delta = float(jnp.abs(lu_new - lam_u).max())
-        hist.append(delta)
-        lam_u, lam_q = lu_new, lq_new
-        if delta < tol:
-            break
+    if method == "gmres":
+        from jax.scipy.sparse import linalg as spla
+
+        @jax.jit
+        def matvec(lam):
+            du, dq = vjp_g(lam)
+            return (lam[0] - du, lam[1] - dq)
+
+        b = (gj_u, zero_q)
+        lam = b
+        restart = 30
+        for _ in range(max(1, n_iter // restart)):
+            r = matvec(lam)
+            res = float(max(jnp.abs(b[0] - r[0]).max(),
+                            jnp.abs(b[1] - r[1]).max()))
+            hist.append(res)
+            if res < tol or (len(hist) > 3 and res > 0.99 * hist[-2]):
+                break
+            lam, _ = spla.gmres(matvec, b, x0=lam, restart=restart,
+                                maxiter=restart, tol=1e-30, atol=0.0)
+        lam_u, lam_q = lam
+    else:
+        @jax.jit
+        def adj_iter(lam_u, lam_q):
+            du, dq = vjp_g((lam_u, lam_q))
+            return gj_u + du, dq
+
+        lam_u, lam_q = gj_u, zero_q
+        for _ in range(n_iter):
+            lu_new, lq_new = adj_iter(lam_u, lam_q)
+            delta = float(jnp.abs(lu_new - lam_u).max())
+            hist.append(delta)
+            lam_u, lam_q = lu_new, lq_new
+            if delta < tol:
+                break
 
     sens = vjp_jx(jnp.asarray(1.0, dtype=u_star.dtype))[0] \
         + vjp_gx((lam_u, lam_q))[0]

@@ -275,12 +275,13 @@ def test_rans_coupled_adjoint_matches_fd(tmp_path, flatplate_dir):
     # below, which holds at this polish level.
     assert drift < 1e-6, drift
 
-    # the corrected turb diffusion (round 3) slowed the coupled map's
-    # asymptotic contraction to ~0.998/iter; more adjoint iterations reach
-    # the same tolerance
+    # the corrected turb diffusion (round 3) gave the coupled map a
+    # neutrally-stable mode that stalls the Picard reverse fixed point at
+    # 0.27x; the GMRES transposed-system solve (adjoint_sensitivity_rans
+    # method="gmres", the default) is insensitive to it
     out = adj.adjoint_sensitivity_rans(sim, u_star, q_star, t_star,
                                        tags=("lower_wall",), which="CD",
-                                       n_iter=4000, tol=1e-14)
+                                       n_iter=900, tol=1e-14)
     assert out["adj_hist"][-1] < 1e-4 * out["adj_hist"][0]
     # the turb adjoint is genuinely engaged (not frozen-mu_t)
     assert float(jnp.abs(out["lambda_turb"]).max()) > 0.0
