@@ -813,6 +813,12 @@ class Simulation:
     def _use_mesh_args(self) -> bool:
         env = os.environ.get("SU2_TPU_MESH_ARGS", "")
         if env == "1":
+            # the sharded-mesh guard still applies: binding sharded
+            # buffers through _bind_buffers is unsupported
+            if self.dmesh is not None:
+                raise ValueError(
+                    "SU2_TPU_MESH_ARGS=1 is incompatible with a sharded "
+                    "simulation (dmesh is set)")
             return True
         if env == "0":
             return False

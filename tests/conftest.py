@@ -16,6 +16,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# Persistent compilation cache: the suite is compile-bound on small hosts
+# (single coupled-step VJP compiles measured at 2m30s); repeat runs reuse
+# every jitted program from disk.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("SU2_TPU_TEST_CACHE",
+                                 "/root/.cache/jax_comp"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 assert jax.devices()[0].platform == "cpu"
 
 import pytest  # noqa: E402

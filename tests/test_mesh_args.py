@@ -27,6 +27,7 @@ pytestmark = pytest.mark.skipif(
 
 
 def _run(mode: str):
+    prev = os.environ.get("SU2_TPU_MESH_ARGS")
     os.environ["SU2_TPU_MESH_ARGS"] = mode
     try:
         cfg = Config(os.path.join(_COMBUSTION,
@@ -40,7 +41,10 @@ def _run(mode: str):
         assert sim._multistep_args == (mode == "1")
         return np.asarray(carry[0]), np.asarray(ys[0])
     finally:
-        del os.environ["SU2_TPU_MESH_ARGS"]
+        if prev is None:
+            del os.environ["SU2_TPU_MESH_ARGS"]
+        else:
+            os.environ["SU2_TPU_MESH_ARGS"] = prev
 
 
 @pytest.mark.slow
