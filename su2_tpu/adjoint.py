@@ -319,27 +319,41 @@ def make_rans_fixed_point_step(sim, cfl_scale: float = 1.0):
 
 def adjoint_sensitivity_rans(sim, u_star, q_star, t_star, tags=None,
                              which="CD", n_iter: int = 400,
-                             tol: float = 1e-12, method: str = "gmres"):
+                             tol: float = 1e-12, method: str = "gmres",
+                             cfl_scale: float | None = None,
+                             restart: int = 60):
     """Coupled turbulent adjoint: stacked (lambda_u, lambda_q) solve of
 
         (I - dG^T) lambda = dJ/du
 
     over the full RANS step; objective includes the friction component
-    (make_objective).  Returns J, the adjoint pair, dJ/dx.
+    (make_objective).  Returns J, the adjoint pair, dJ/dx, and a
+    ``converged`` flag.
 
-    method="gmres" (default) solves the transposed system with restarted
-    GMRES, each matvec one `vjp` of the coupled step.  The reference's
-    Picard recipe (method="picard", lambda <- dJ + dG^T lambda —
-    solver_adjoint_discrete.cpp's reverse fixed point) stalls on this
-    map: the corrected turb diffusion (round 3) gives the coupled
-    flow+SST step a neutrally-stable mode (|eigenvalue| ~ 1, plateau at
-    0.27x of the first update, identical at 600 and 4000 iterations),
-    which a Krylov solve of the SAME linear system is insensitive to —
-    GMRES only needs 1 to stay OUT of the spectrum, not out of the unit
-    disk.  `n_iter` bounds the total matvec count for both methods;
-    adj_hist records linear-system residuals (for Picard the update
-    delta IS the residual b - A lam)."""
-    step, _ = make_rans_fixed_point_step(sim)
+    Conditioning (round-4 spectral analysis, scripts/diag_adjoint2.py):
+    at the production CFL the update map G keeps every slow physical mode
+    near-neutral — dense eigendecomposition on the channel case found 32
+    eigenvalues of dG within 1e-2 of 1.0 (min |1-eig| = 7e-7), because
+    the pseudo-time Vol/dt diagonal dominates the implicit solve:
+    eig(dG) ~ (Vol/dt)/(Vol/dt + a) -> 1 for slow modes a.  Both the
+    reference's Picard recipe (solver_adjoint_discrete.cpp's reverse
+    fixed point) and restarted GMRES stall on that cluster.  The fix is
+    CFL-scaling the ADJOINT map: the fixed point (R = 0) is
+    dt-independent, so G built with cfl_scale >> 1 has the same fixed
+    point but dG ~ I - P A -> 0 wherever the inner FGMRES resolves A —
+    the transposed system becomes well-conditioned and GMRES converges
+    in a few restarts.  cfl_scale defaults to 1e6 for method="gmres"
+    (1.0 for the reference-recipe method="picard", kept for
+    comparison/attribution).
+
+    `n_iter` bounds the total matvec count for both methods (each matvec
+    is one coupled-step VJP; gmres passes run `restart` matvecs each,
+    maxiter=1 so the documented budget holds).  adj_hist records
+    linear-system residuals (for Picard the update delta IS the residual
+    b - A lam)."""
+    if cfl_scale is None:
+        cfl_scale = 1e6 if method == "gmres" else 1.0
+    step, _ = make_rans_fixed_point_step(sim, cfl_scale=cfl_scale)
     objective = make_objective(sim, tags, which)
     coords = sim.mesh.coords
 
@@ -353,6 +367,7 @@ def adjoint_sensitivity_rans(sim, u_star, q_star, t_star, tags=None,
     zero_q = jnp.zeros_like(q_star)
 
     hist = []
+    converged = False
     if method == "gmres":
         from jax.scipy.sparse import linalg as spla
 
@@ -362,17 +377,25 @@ def adjoint_sensitivity_rans(sim, u_star, q_star, t_star, tags=None,
             return (lam[0] - du, lam[1] - dq)
 
         b = (gj_u, zero_q)
+        bnorm = float(max(jnp.abs(b[0]).max(), 1e-300))
         lam = b
-        restart = 30
         for _ in range(max(1, n_iter // restart)):
             r = matvec(lam)
             res = float(max(jnp.abs(b[0] - r[0]).max(),
                             jnp.abs(b[1] - r[1]).max()))
             hist.append(res)
-            if res < tol or (len(hist) > 3 and res > 0.99 * hist[-2]):
+            # converged: absolute tol, or an 8-order drop from the
+            # initial linear residual / RHS scale
+            if res < max(tol, 1e-8 * max(hist[0], bnorm)):
+                converged = True
                 break
+            if len(hist) > 3 and res > 0.99 * hist[-2]:
+                break
+            # maxiter=1: each pass builds exactly ONE restart-sized
+            # Krylov space (restart matvecs), keeping the n_iter matvec
+            # budget honest (jax gmres maxiter counts restart cycles)
             lam, _ = spla.gmres(matvec, b, x0=lam, restart=restart,
-                                maxiter=restart, tol=1e-30, atol=0.0)
+                                maxiter=1, tol=1e-30, atol=0.0)
         lam_u, lam_q = lam
     else:
         @jax.jit
@@ -387,9 +410,17 @@ def adjoint_sensitivity_rans(sim, u_star, q_star, t_star, tags=None,
             hist.append(delta)
             lam_u, lam_q = lu_new, lq_new
             if delta < tol:
+                converged = True
                 break
 
+    if not converged:
+        import warnings
+        warnings.warn(
+            f"coupled adjoint ({method}) exited UNCONVERGED: residual "
+            f"{hist[-1]:.3e} after {len(hist)} checks — dJ/dx may be "
+            "inaccurate (inspect adj_hist)")
     sens = vjp_jx(jnp.asarray(1.0, dtype=u_star.dtype))[0] \
         + vjp_gx((lam_u, lam_q))[0]
     return {"J": float(j_val), "lambda": lam_u, "lambda_turb": lam_q,
-            "sensitivity": sens, "adj_hist": np.asarray(hist)}
+            "sensitivity": sens, "adj_hist": np.asarray(hist),
+            "converged": converged}

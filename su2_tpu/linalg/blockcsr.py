@@ -312,6 +312,32 @@ def make_solver_ops(mesh: MeshArrays, jac: BlockJacobian,
             pce = seq_sgs.edge_preconditioner(mesh, jac.diag.shape[-1])
             pc = lambda r: pce(jac.diag, jac.off_ij, jac.off_ji, r)
         return mv, pc, None, None
+    if kind == "LU_SGS_WAVE":
+        # TPU-resident sequential-equivalent LU-SGS (wavefront levels in
+        # natural order, linalg/wavefront.py) — the device-side form of
+        # LU_SGS_SEQ: same sweep semantics, no host callback
+        from su2_tpu.linalg import wavefront
+        if mesh.stencil_offsets is None:
+            raise ValueError("LU_SGS_WAVE needs a structured-ordered mesh "
+                             "(stencil offsets)")
+        if isinstance(jac, StencilJacobianT):
+            v = jac.diag.shape[-1]
+            n = mesh.npoint
+            k = len(mesh.stencil_offsets)
+            sel = jac.sel_t.reshape(k, v, v, n).transpose(0, 3, 1, 2)
+            diag = jac.diag
+        elif isinstance(jac, FamilyJacobian):
+            sel = family_sel(mesh, jac)
+            diag = jac.diag
+        else:
+            if mesh.stencil_sel is None:
+                raise ValueError("LU_SGS_WAVE: stencil_sel unavailable")
+            sel = gather_offdiag(mesh, jac)
+            diag = jac.diag
+        mv = lambda x: _bmv(diag, x) + _offdiag_apply(mesh, sel, x)
+        pcw = wavefront.make_wavefront_pc(mesh, diag.shape[-1])
+        pc = lambda r: pcw(diag, sel, r)
+        return mv, pc, None, None
     if kind == "LINELET" and linelets is not None:
         from su2_tpu.linalg import linelet as ll
         if isinstance(jac, StencilJacobianT):
@@ -361,6 +387,11 @@ def make_solver_ops(mesh: MeshArrays, jac: BlockJacobian,
                                        m=linear_iter)
             mv = lambda x: matvec(mesh, jac, x, sel)
             return mv, ops.precond, _mixed_pm(ops), _mixed_solve(ops)
+        sel = gather_offdiag(mesh, jac)
+        ops_t = _tiled_tier(mesh, sel, dinv, jac.diag, color_masks, False)
+        if ops_t is not None:
+            mv = lambda x: matvec(mesh, jac, x, sel)
+            return mv, ops_t.precond, ops_t.precond_matvec, None
     sel = gather_offdiag(mesh, jac)
     mv = lambda x: matvec(mesh, jac, x, sel)
     if sgs:
@@ -408,6 +439,22 @@ def _mixed_pm(ops):
     return ops.precond_matvec_mixed
 
 
+def _tiled_tier(mesh, sel, dinv, diag, color_masks, sel_is_t: bool):
+    """Round-4 streaming tier: fields past every VMEM-resident gate stream
+    through the tiled mixed sweep+matvec kernels (bf16 sweep blocks, f32
+    matvec blocks — the same precision contract as the resident mixed
+    tier).  Returns a TiledStencilOps or None."""
+    if diag.dtype != jnp.float32 or _fgmres_off():
+        return None
+    from su2_tpu.pallas import stencil_solve as stks
+    v = diag.shape[-1]
+    plan = stks.tile_plan(mesh, v, len(color_masks), 2, True)
+    if plan is None:
+        return None
+    return stks.TiledStencilOps(mesh, sel, dinv, diag, color_masks, plan,
+                                mixed=True, sel_is_t=sel_is_t)
+
+
 def make_solver_ops_fam(mesh: MeshArrays, diag: jax.Array, sel: jax.Array,
                         kind: str = "JACOBI", color_masks=None,
                         linear_iter: int = 5, allow_pallas: bool = True):
@@ -419,6 +466,11 @@ def make_solver_ops_fam(mesh: MeshArrays, diag: jax.Array, sel: jax.Array,
     x[p + offsets[k]] in row p — skipping BlockJacobian + gather_offdiag
     entirely (the per-solve stacked gather was ~0.2 ms of the 9k coupled
     step)."""
+    if kind == "LU_SGS_WAVE":
+        from su2_tpu.linalg import wavefront
+        mv = lambda x: _bmv(diag, x) + _offdiag_apply(mesh, sel, x)
+        pcw = wavefront.make_wavefront_pc(mesh, diag.shape[-1])
+        return mv, (lambda r: pcw(diag, sel, r)), None, None
     dinv = block_diag_inv(diag)
     v = diag.shape[-1]
     sgs = kind in ("LU_SGS", "ILU0", "LINELET") and color_masks is not None
@@ -438,6 +490,10 @@ def make_solver_ops_fam(mesh: MeshArrays, diag: jax.Array, sel: jax.Array,
                                        m=linear_iter)
             mv = lambda x: _bmv(diag, x) + _offdiag_apply(mesh, sel, x)
             return mv, ops.precond, _mixed_pm(ops), _mixed_solve(ops)
+        ops_t = _tiled_tier(mesh, sel, dinv, diag, color_masks, False)
+        if ops_t is not None:
+            mv = lambda x: _bmv(diag, x) + _offdiag_apply(mesh, sel, x)
+            return mv, ops_t.precond, ops_t.precond_matvec, None
     mv = lambda x: _bmv(diag, x) + _offdiag_apply(mesh, sel, x)
     if sgs:
         z_jac = BlockJacobian(diag=diag, off_ij=diag, off_ji=diag)
@@ -476,6 +532,14 @@ def make_solver_ops_stencil_t(mesh: MeshArrays, diag: jax.Array,
     native form.
     The stencil pallas kernels consume sel_t directly (zero relayout);
     elsewhere it is converted back to the node-major stencil form once."""
+    if kind == "LU_SGS_WAVE":
+        from su2_tpu.linalg import wavefront
+        v = diag.shape[-1]
+        sel = sel_t.reshape(len(mesh.stencil_offsets), v, v,
+                            mesh.npoint).transpose(0, 3, 1, 2)
+        mv = lambda x: _bmv(diag, x) + _offdiag_apply(mesh, sel, x)
+        pcw = wavefront.make_wavefront_pc(mesh, v)
+        return mv, (lambda r: pcw(diag, sel, r)), None, None
     dinv = block_diag_inv(diag)
     v = diag.shape[-1]
     n = mesh.npoint
@@ -496,6 +560,10 @@ def make_solver_ops_stencil_t(mesh: MeshArrays, diag: jax.Array,
                                        m=linear_iter)
             mv = lambda x: _bmv(diag, x) + _offdiag_apply_t(mesh, sel_t, x)
             return mv, ops.precond, _mixed_pm(ops), _mixed_solve(ops)
+        ops_t = _tiled_tier(mesh, sel_t, dinv, diag, color_masks, True)
+        if ops_t is not None:
+            mv = lambda x: _bmv(diag, x) + _offdiag_apply_t(mesh, sel_t, x)
+            return mv, ops_t.precond, ops_t.precond_matvec, None
     sel = sel_t.reshape(k, v, v, n).transpose(0, 3, 1, 2)
     mv = lambda x: _bmv(diag, x) + _offdiag_apply(mesh, sel, x)
     if sgs:

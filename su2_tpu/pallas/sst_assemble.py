@@ -48,23 +48,14 @@ def supported(mesh) -> bool:
     return npad * rows * 4 <= _VMEM_LIMIT
 
 
-@functools.partial(jax.jit, static_argnames=("offsets", "d", "consts",
-                                             "interpret"))
-def _assemble_call(f_t, geo_t, *, offsets, d, consts, interpret):
-    """f_t: (R, npad) stacked per-node rows (see sst_assemble for the
-    layout); geo_t: (K*(d+1), npad) stacked [ns_k rows..., pv_k rows].
-    consts: (sigma_k1, sigma_k2, sigma_om1, sigma_om2, beta_1, beta_2,
-    beta_star, a1, alfa_1, alfa_2, cfl_red).  Returns (res_t (2, npad),
-    dd_t (2, npad) = (d00, d11), sel_t (K*4, npad))."""
+def _assemble_body(f, geo, sel_write, *, offsets, d, consts):
+    """Shared assembly arithmetic on window VALUES (full-field and tiled
+    kernels): returns (res0, res1, dd0, dd1) after calling
+    ``sel_write(row_index, row_value)`` for each of the K*4 sel rows.
+    Groupings replicate the XLA roll sweep op-for-op."""
     (sk1, sk2, so1, so2, b1, b2, bstar, a1c, al1, al2, cfl_red) = consts
-    npad = f_t.shape[-1]
-    dtype = f_t.dtype
     kk = len(offsets)
-
-    def kernel(f_ref, g_ref, res_ref, dd_ref, sel_ref):
-        # all rows kept 2-D (1, npad): Mosaic's vector layouts want >=2-D
-        f = f_ref[...]
-        geo = g_ref[...]
+    if True:
         r1 = lambda i: f[i:i + 1]
         q_k = r1(0)
         q_w = r1(1)
@@ -140,10 +131,10 @@ def _assemble_call(f_t, geo_t, *, offsets, d, consts, interpret):
             # wall rows of the off-diagonal blocks are zeroed (strong rows)
             off0 = jnp.where(wall > 0.5, 0.0, off0)
             off1 = jnp.where(wall > 0.5, 0.0, off1)
-            sel_ref[k * 4:k * 4 + 1, :] = off0
-            sel_ref[k * 4 + 1:k * 4 + 2, :] = zero
-            sel_ref[k * 4 + 2:k * 4 + 3, :] = zero
-            sel_ref[k * 4 + 3:k * 4 + 4, :] = off1
+            sel_write(k * 4, off0)
+            sel_write(k * 4 + 1, zero)
+            sel_write(k * 4 + 2, zero)
+            sel_write(k * 4 + 3, off1)
 
         # ---- source (CSourcePieceWise_TurbSST) ----
         alfa_b = f1 * al1 + (1.0 - f1) * al2
@@ -169,10 +160,33 @@ def _assemble_call(f_t, geo_t, *, offsets, d, consts, interpret):
         d11 = jnp.where(wall > 0.5, 1.0, d11)
         ok = dt > EPS
         delta = jnp.where(ok, vol / (cfl_red * jnp.where(ok, dt, 1.0)), 0.0)
+        return res0, res1, d00 + delta, d11 + delta
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "d", "consts",
+                                             "interpret"))
+def _assemble_call(f_t, geo_t, *, offsets, d, consts, interpret):
+    """f_t: (R, npad) stacked per-node rows (see sst_assemble for the
+    layout); geo_t: (K*(d+1), npad) stacked [ns_k rows..., pv_k rows].
+    consts: (sigma_k1, sigma_k2, sigma_om1, sigma_om2, beta_1, beta_2,
+    beta_star, a1, alfa_1, alfa_2, cfl_red).  Returns (res_t (2, npad),
+    dd_t (2, npad) = (d00, d11), sel_t (K*4, npad))."""
+    npad = f_t.shape[-1]
+    dtype = f_t.dtype
+    kk = len(offsets)
+
+    def kernel(f_ref, g_ref, res_ref, dd_ref, sel_ref):
+        # all rows kept 2-D (1, npad): Mosaic's vector layouts want >=2-D
+        def sel_write(row, val):
+            sel_ref[row:row + 1, :] = val
+
+        res0, res1, dd0, dd1 = _assemble_body(
+            f_ref[...], g_ref[...], sel_write, offsets=offsets, d=d,
+            consts=consts)
         res_ref[0:1, :] = res0
         res_ref[1:2, :] = res1
-        dd_ref[0:1, :] = d00 + delta
-        dd_ref[1:2, :] = d11 + delta
+        dd_ref[0:1, :] = dd0
+        dd_ref[1:2, :] = dd1
 
     full = lambda a: pl.BlockSpec(a.shape, lambda: (0,) * a.ndim)
     fs = lambda r: pl.BlockSpec((r, npad), lambda: (0, 0))
@@ -186,6 +200,106 @@ def _assemble_call(f_t, geo_t, *, offsets, d, consts, interpret):
                    jax.ShapeDtypeStruct((2, npad), dtype),
                    jax.ShapeDtypeStruct((kk * 4, npad), dtype)],
     )(f_t, geo_t)
+
+
+def tile_plan(mesh):
+    """(T, H, ntiles, E) for the tiled assembly, or None.  Single-pass
+    stencil reads: H = max|offset| rounded to the lane boundary."""
+    if mesh.stencil_offsets is None or mesh.n_shards != 1 \
+            or mesh.gg_snormal is None:
+        return None
+    k = len(mesh.stencil_offsets)
+    d = mesh.coords.shape[1]
+    maxoff = max(abs(int(o)) for o in mesh.stencil_offsets)
+    H = -(-maxoff // 128) * 128
+    # resident rows: f (17 + 4d) + geo k(d+1) + outputs (4 + 4k) + the
+    # same 2x temporaries model as the full-field gate
+    rows = (17 + 4 * d) + k * (d + 1) + (4 + 4 * k) \
+        + 2 * (30 + 4 * k + k * (d + 1))
+    W = (_VMEM_LIMIT // (rows * 4)) // 128 * 128
+    T = W - 2 * H
+    if T < max(8 * 128, H):
+        return None
+    npad = -(-mesh.npoint // 128) * 128
+    ntiles = -(-npad // T)
+    E = ntiles * T + 2 * H
+    return T, H, ntiles, E
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "d", "consts",
+                                             "T", "H", "ntiles",
+                                             "interpret"))
+def _assemble_tiled_call(f_e, geo_e, *, offsets, d, consts, T, H, ntiles,
+                         interpret):
+    """Streaming form of _assemble_call: lane-extended inputs (see
+    stencil_solve._extend_lanes), overlapping [i*T, i*T + T + 2H) windows
+    DMAed per grid step, owner region [H, H+T) written back.  Bitwise
+    identical to the full-field kernel on real lanes (window-edge rolls
+    feed only lanes whose gg_snormal/pvec rows are zero, exactly like the
+    full kernel's wrap)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    W = T + 2 * H
+    dtype = f_e.dtype
+    kk = len(offsets)
+    fr = f_e.shape[0]
+    gr = geo_e.shape[0]
+
+    def kernel(f_h, g_h, res_o, dd_o, sel_o, f_s, g_s, res_s, dd_s, sel_s,
+               sems):
+        i = pl.program_id(0)
+        s = i * T
+        cf = pltpu.make_async_copy(f_h.at[:, pl.ds(s, W)], f_s, sems.at[0])
+        cg = pltpu.make_async_copy(g_h.at[:, pl.ds(s, W)], g_s, sems.at[1])
+        cf.start()
+        cg.start()
+        cf.wait()
+        cg.wait()
+
+        def sel_write(row, val):
+            sel_s[row:row + 1, :] = val
+
+        res0, res1, dd0, dd1 = _assemble_body(
+            f_s[...], g_s[...], sel_write, offsets=offsets, d=d,
+            consts=consts)
+        res_s[0:1, :] = res0
+        res_s[1:2, :] = res1
+        dd_s[0:1, :] = dd0
+        dd_s[1:2, :] = dd1
+        cps = [
+            pltpu.make_async_copy(res_s.at[:, pl.ds(H, T)],
+                                  res_o.at[:, pl.ds(s, T)], sems.at[2]),
+            pltpu.make_async_copy(dd_s.at[:, pl.ds(H, T)],
+                                  dd_o.at[:, pl.ds(s, T)], sems.at[3]),
+            pltpu.make_async_copy(sel_s.at[:, pl.ds(H, T)],
+                                  sel_o.at[:, pl.ds(s, T)], sems.at[4]),
+        ]
+        for c in cps:
+            c.start()
+        for c in cps:
+            c.wait()
+
+    anyspec = pl.BlockSpec(memory_space=pl.ANY)
+    return pl.pallas_call(
+        kernel,
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT, has_side_effects=True),
+        grid=(ntiles,),
+        in_specs=[anyspec] * 2,
+        out_specs=[anyspec] * 3,
+        out_shape=[jax.ShapeDtypeStruct((2, ntiles * T), dtype),
+                   jax.ShapeDtypeStruct((2, ntiles * T), dtype),
+                   jax.ShapeDtypeStruct((kk * 4, ntiles * T), dtype)],
+        scratch_shapes=[
+            pltpu.VMEM((fr, W), dtype),
+            pltpu.VMEM((gr, W), dtype),
+            pltpu.VMEM((2, W), dtype),
+            pltpu.VMEM((2, W), dtype),
+            pltpu.VMEM((kk * 4, W), dtype),
+            pltpu.SemaphoreType.DMA((5,)),
+        ],
+    )(f_e, geo_e)
 
 
 def sst_assemble(mesh, consts, q, rho, vel, gq, mu, mut, dist, strain,
@@ -209,5 +323,16 @@ def sst_assemble(mesh, consts, q, rho, vel, gq, mu, mut, dist, strain,
          mesh.stencil_pvec], axis=0).astype(dtype)
     geo_t = _pad_lanes(geo, npad)
     interpret = jax.devices()[0].platform != "tpu"
-    return _assemble_call(f_t, geo_t, offsets=tuple(mesh.stencil_offsets),
-                          d=d, consts=consts, interpret=interpret)
+    if supported(mesh):
+        return _assemble_call(f_t, geo_t,
+                              offsets=tuple(mesh.stencil_offsets),
+                              d=d, consts=consts, interpret=interpret)
+    plan = tile_plan(mesh)
+    assert plan is not None, "sst_assemble: no full-field or tiled plan"
+    T, H, ntiles, E = plan
+    from su2_tpu.pallas.stencil_solve import _extend_lanes
+    res_o, dd_o, sel_o = _assemble_tiled_call(
+        _extend_lanes(f_t, H, E), _extend_lanes(geo_t, H, E),
+        offsets=tuple(mesh.stencil_offsets), d=d, consts=consts,
+        T=T, H=H, ntiles=ntiles, interpret=interpret)
+    return res_o[:, :npad], dd_o[:, :npad], sel_o[:, :npad]

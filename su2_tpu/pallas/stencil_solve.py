@@ -469,6 +469,316 @@ def _interpret():
     return jax.devices()[0].platform != "tpu"
 
 
+# ---------------------------------------------------------------------------
+# Tiled / streaming tier (round-4): fields too large for the VMEM-resident
+# kernels stream through in overlapping lane windows.  Each grid step DMAs
+# a [i*T, i*T + T + 2H) window of every operand from HBM into VMEM scratch,
+# runs the SAME _sgs_body / _offdiag arithmetic on the window, and writes
+# back only the owner region [H, H+T).
+#
+# Exactness: one color pass reads neighbors within max|offset| lanes, so
+# after p passes the window's outer p*maxoff lanes are stale.  With
+# H >= (npass + 1) * maxoff (npass = 2*ncolor - 1 sweep passes + 1 matvec
+# read) the owner region sees exactly the same operand values as the
+# full-field kernel at every pass — results are bitwise identical.  Window
+# edges that roll in zeros (instead of the full kernel's wrapped lanes)
+# only feed lanes whose products multiply zero blocks, as in the
+# full-field kernel.
+# ---------------------------------------------------------------------------
+
+
+def _round128(x: int) -> int:
+    return -(-int(x) // 128) * 128
+
+
+def tile_plan(mesh, v: int, ncolor: int, sel_itemsize: int,
+              with_f32_matvec_sel: bool):
+    """(T, H, ntiles, E) for the tiled sweep kernels, or None when the
+    stencil form is unavailable or the halo would dominate the tile."""
+    if mesh.stencil_offsets is None or mesh.n_shards != 1:
+        return None
+    k = len(mesh.stencil_offsets)
+    maxoff = max(abs(int(o)) for o in mesh.stencil_offsets)
+    npass = 2 * ncolor - 1
+    H = _round128((npass + 1) * maxoff)
+    # resident scratch bytes/lane + the _est_stack temporaries model
+    bpl = k * v * v * sel_itemsize \
+        + (k * v * v * 4 if with_f32_matvec_sel else 0) \
+        + 2 * v * v * 4 + ncolor * 4 + 4 * v * 4 \
+        + 2 * (v * v + ncolor + 6 * v + k * v) * 4
+    W = (_VMEM_LIMIT // bpl) // 128 * 128
+    T = W - 2 * H
+    if T < max(8 * 128, H):        # halo overhead > 2x: not worth it
+        return None
+    npad = _round128(mesh.npoint)
+    ntiles = -(-npad // T)
+    E = ntiles * T + 2 * H
+    return T, H, ntiles, E
+
+
+def _extend_lanes(x_t, H: int, E: int):
+    """[zeros(H) | x | zeros] lane padding to length E."""
+    n = x_t.shape[-1]
+    lo = jnp.zeros(x_t.shape[:-1] + (H,), x_t.dtype)
+    hi = jnp.zeros(x_t.shape[:-1] + (E - H - n,), x_t.dtype)
+    return jnp.concatenate([lo, x_t, hi], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "offsets", "v", "ncolor", "T", "H", "ntiles", "interpret"))
+def _tiled_sgs_matvec_call(sel_e, dinv_e, diag_e, masks_e, r_e, *, offsets,
+                           v, ncolor, T, H, ntiles, interpret):
+    """Tiled fused (z, A z): one sel array serves sweep and matvec (f32
+    path).  Inputs are lane-extended (see _extend_lanes); outputs are
+    (v, ntiles*T) — caller slices [:, :npad]."""
+    W = T + 2 * H
+    dtype = r_e.dtype
+    kk = len(offsets)
+
+    def kernel(sel_h, dinv_h, diag_h, masks_h, r_h, z_o, w_o,
+               sel_s, dinv_s, diag_s, masks_s, r_s, z_s, w_s, sems):
+        i = pl.program_id(0)
+        s = i * T
+        cps = [
+            pltpu.make_async_copy(sel_h.at[:, pl.ds(s, W)], sel_s,
+                                  sems.at[0]),
+            pltpu.make_async_copy(dinv_h.at[:, pl.ds(s, W)], dinv_s,
+                                  sems.at[1]),
+            pltpu.make_async_copy(diag_h.at[:, pl.ds(s, W)], diag_s,
+                                  sems.at[2]),
+            pltpu.make_async_copy(masks_h.at[:, pl.ds(s, W)], masks_s,
+                                  sems.at[3]),
+            pltpu.make_async_copy(r_h.at[:, pl.ds(s, W)], r_s, sems.at[4]),
+        ]
+        for c in cps:
+            c.start()
+        for c in cps:
+            c.wait()
+        sel = sel_s[...]
+        z = _sgs_body(sel, dinv_s[...], masks_s[...], r_s[...],
+                      offsets, v, ncolor)
+        z_s[...] = z
+        w_s[...] = _bapply(diag_s[...], z, v) + _offdiag(sel, z, offsets, v)
+        cz = pltpu.make_async_copy(z_s.at[:, pl.ds(H, T)],
+                                   z_o.at[:, pl.ds(s, T)], sems.at[5])
+        cw = pltpu.make_async_copy(w_s.at[:, pl.ds(H, T)],
+                                   w_o.at[:, pl.ds(s, T)], sems.at[6])
+        cz.start()
+        cw.start()
+        cz.wait()
+        cw.wait()
+
+    anyspec = pl.BlockSpec(memory_space=pl.ANY)
+    z_o, w_o = pl.pallas_call(
+        kernel,
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT, has_side_effects=True),
+        grid=(ntiles,),
+        in_specs=[anyspec] * 5,
+        out_specs=[anyspec] * 2,
+        out_shape=[jax.ShapeDtypeStruct((v, ntiles * T), dtype)] * 2,
+        scratch_shapes=[
+            pltpu.VMEM((kk * v * v, W), sel_e.dtype),
+            pltpu.VMEM((v * v, W), dtype),
+            pltpu.VMEM((v * v, W), dtype),
+            pltpu.VMEM((masks_e.shape[0], W), dtype),
+            pltpu.VMEM((v, W), dtype),
+            pltpu.VMEM((v, W), dtype),
+            pltpu.VMEM((v, W), dtype),
+            pltpu.SemaphoreType.DMA((7,)),
+        ],
+    )(sel_e, dinv_e, diag_e, masks_e, r_e)
+    return z_o, w_o
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "offsets", "v", "ncolor", "T", "H", "ntiles", "interpret"))
+def _tiled_sgs_matvec_mixed_call(selp_e, selm_e, dinv_e, diag_e, masks_e,
+                                 r_e, *, offsets, v, ncolor, T, H, ntiles,
+                                 interpret):
+    """Tiled mixed (z, A z): bf16 sweep blocks + f32 matvec blocks, the
+    streaming form of _sgs_matvec_mixed_call."""
+    W = T + 2 * H
+    dtype = r_e.dtype
+    kk = len(offsets)
+
+    def kernel(selp_h, selm_h, dinv_h, diag_h, masks_h, r_h, z_o, w_o,
+               selp_s, selm_s, dinv_s, diag_s, masks_s, r_s, z_s, w_s,
+               sems):
+        i = pl.program_id(0)
+        s = i * T
+        cps = [
+            pltpu.make_async_copy(selp_h.at[:, pl.ds(s, W)], selp_s,
+                                  sems.at[0]),
+            pltpu.make_async_copy(selm_h.at[:, pl.ds(s, W)], selm_s,
+                                  sems.at[1]),
+            pltpu.make_async_copy(dinv_h.at[:, pl.ds(s, W)], dinv_s,
+                                  sems.at[2]),
+            pltpu.make_async_copy(diag_h.at[:, pl.ds(s, W)], diag_s,
+                                  sems.at[3]),
+            pltpu.make_async_copy(masks_h.at[:, pl.ds(s, W)], masks_s,
+                                  sems.at[4]),
+            pltpu.make_async_copy(r_h.at[:, pl.ds(s, W)], r_s, sems.at[5]),
+        ]
+        for c in cps:
+            c.start()
+        for c in cps:
+            c.wait()
+        z = _sgs_body(selp_s[...], dinv_s[...], masks_s[...], r_s[...],
+                      offsets, v, ncolor)
+        z_s[...] = z
+        w_s[...] = _bapply(diag_s[...], z, v) + _offdiag(
+            selm_s[...], z, offsets, v)
+        cz = pltpu.make_async_copy(z_s.at[:, pl.ds(H, T)],
+                                   z_o.at[:, pl.ds(s, T)], sems.at[6])
+        cw = pltpu.make_async_copy(w_s.at[:, pl.ds(H, T)],
+                                   w_o.at[:, pl.ds(s, T)], sems.at[7])
+        cz.start()
+        cw.start()
+        cz.wait()
+        cw.wait()
+
+    anyspec = pl.BlockSpec(memory_space=pl.ANY)
+    z_o, w_o = pl.pallas_call(
+        kernel,
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT, has_side_effects=True),
+        grid=(ntiles,),
+        in_specs=[anyspec] * 6,
+        out_specs=[anyspec] * 2,
+        out_shape=[jax.ShapeDtypeStruct((v, ntiles * T), dtype)] * 2,
+        scratch_shapes=[
+            pltpu.VMEM((kk * v * v, W), selp_e.dtype),
+            pltpu.VMEM((kk * v * v, W), selm_e.dtype),
+            pltpu.VMEM((v * v, W), dtype),
+            pltpu.VMEM((v * v, W), dtype),
+            pltpu.VMEM((masks_e.shape[0], W), dtype),
+            pltpu.VMEM((v, W), dtype),
+            pltpu.VMEM((v, W), dtype),
+            pltpu.VMEM((v, W), dtype),
+            pltpu.SemaphoreType.DMA((8,)),
+        ],
+    )(selp_e, selm_e, dinv_e, diag_e, masks_e, r_e)
+    return z_o, w_o
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "offsets", "v", "ncolor", "T", "H", "ntiles", "interpret"))
+def _tiled_sgs_call(sel_e, dinv_e, masks_e, r_e, *, offsets, v, ncolor, T,
+                    H, ntiles, interpret):
+    """Tiled preconditioner-only sweep (sel may be bf16)."""
+    W = T + 2 * H
+    dtype = r_e.dtype
+    kk = len(offsets)
+
+    def kernel(sel_h, dinv_h, masks_h, r_h, z_o,
+               sel_s, dinv_s, masks_s, r_s, z_s, sems):
+        i = pl.program_id(0)
+        s = i * T
+        cps = [
+            pltpu.make_async_copy(sel_h.at[:, pl.ds(s, W)], sel_s,
+                                  sems.at[0]),
+            pltpu.make_async_copy(dinv_h.at[:, pl.ds(s, W)], dinv_s,
+                                  sems.at[1]),
+            pltpu.make_async_copy(masks_h.at[:, pl.ds(s, W)], masks_s,
+                                  sems.at[2]),
+            pltpu.make_async_copy(r_h.at[:, pl.ds(s, W)], r_s, sems.at[3]),
+        ]
+        for c in cps:
+            c.start()
+        for c in cps:
+            c.wait()
+        z_s[...] = _sgs_body(sel_s[...], dinv_s[...], masks_s[...],
+                             r_s[...], offsets, v, ncolor)
+        cz = pltpu.make_async_copy(z_s.at[:, pl.ds(H, T)],
+                                   z_o.at[:, pl.ds(s, T)], sems.at[4])
+        cz.start()
+        cz.wait()
+
+    anyspec = pl.BlockSpec(memory_space=pl.ANY)
+    return pl.pallas_call(
+        kernel,
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT, has_side_effects=True),
+        grid=(ntiles,),
+        in_specs=[anyspec] * 4,
+        out_specs=anyspec,
+        out_shape=jax.ShapeDtypeStruct((v, ntiles * T), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((kk * v * v, W), sel_e.dtype),
+            pltpu.VMEM((v * v, W), dtype),
+            pltpu.VMEM((masks_e.shape[0], W), dtype),
+            pltpu.VMEM((v, W), dtype),
+            pltpu.VMEM((v, W), dtype),
+            pltpu.SemaphoreType.DMA((5,)),
+        ],
+    )(sel_e, dinv_e, masks_e, r_e)
+
+
+class TiledStencilOps:
+    """Streaming counterpart of StencilSolveOps for fields above the
+    VMEM-resident gates: per-application the operands are re-streamed in
+    overlapping windows, so sel is read ~(1 + 2H/T)x per call instead of
+    (2*ncolor-1)x as in the XLA roll fallback.
+
+    mixed=True keeps bf16 sweep blocks + f32 matvec blocks (the
+    linear-tolerance contract of the mixed tier); mixed=False uses the
+    f32/f64 blocks for both."""
+
+    def __init__(self, mesh, sel, dinv, diag, color_masks, plan,
+                 mixed: bool, sel_is_t: bool = False):
+        self.v = dinv.shape[-1]
+        self.n = dinv.shape[0]
+        self.offsets = tuple(mesh.stencil_offsets)
+        self.npad = _round128(self.n)
+        self.T, self.H, self.ntiles, self.E = plan
+        self.ncolor = len(color_masks)
+        self.mixed = mixed
+        v, n, npad = self.v, self.n, self.npad
+        ext = lambda x: _extend_lanes(_pad_lanes(x, npad), self.H, self.E)
+        tt = lambda b: ext(b.transpose(1, 2, 0).reshape(v * v, n))
+        sel_t = (sel if sel_is_t
+                 else sel.transpose(0, 2, 3, 1).reshape(
+                     len(self.offsets) * v * v, n))
+        self.selm_e = ext(sel_t)
+        self.selp_e = (self.selm_e.astype(jnp.bfloat16) if mixed
+                       else self.selm_e)
+        self.dinv_e = tt(dinv)
+        self.diag_e = tt(diag)
+        self.masks_e = ext(jnp.stack([m.astype(dinv.dtype)
+                                      for m in color_masks]))
+
+    def _to_e(self, x):
+        return _extend_lanes(_pad_lanes(x.T, self.npad), self.H, self.E)
+
+    def _from_o(self, x_o):
+        return x_o[:, :self.n].T
+
+    def precond_matvec(self, r):
+        kw = dict(offsets=self.offsets, v=self.v, ncolor=self.ncolor,
+                  T=self.T, H=self.H, ntiles=self.ntiles,
+                  interpret=_interpret())
+        if self.mixed:
+            z_o, w_o = _tiled_sgs_matvec_mixed_call(
+                self.selp_e, self.selm_e, self.dinv_e, self.diag_e,
+                self.masks_e, self._to_e(r), **kw)
+        else:
+            z_o, w_o = _tiled_sgs_matvec_call(
+                self.selm_e, self.dinv_e, self.diag_e, self.masks_e,
+                self._to_e(r), **kw)
+        return self._from_o(z_o), self._from_o(w_o)
+
+    def precond(self, r):
+        z_o = _tiled_sgs_call(
+            self.selp_e, self.dinv_e, self.masks_e, self._to_e(r),
+            offsets=self.offsets, v=self.v, ncolor=self.ncolor,
+            T=self.T, H=self.H, ntiles=self.ntiles, interpret=_interpret())
+        return self._from_o(z_o)
+
+
 class StencilSolveOps:
     """Per-solve fused operators: transpose/pad the block data once, then
     every application is a single kernel launch.

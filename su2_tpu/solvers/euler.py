@@ -930,13 +930,20 @@ def implicit_euler_update(lib, lay, mesh, prm, bcs, u, v, dt, lower, upper,
                           relax: float = 1.0, linear_solver: str = "FGMRES",
                           linear_iter: int = 5, linear_tol: float = 1e-6,
                           omega_turb=None, turb_ke=None,
-                          precond: str = "JACOBI", color_masks=None):
+                          precond: str = "JACOBI", color_masks=None,
+                          hb_src=None):
     """One implicit Euler step (ImplicitEuler_Iteration,
-    solver_direct_reactive.cpp:2336-2407): solve J dU = -R, clipped update."""
+    solver_direct_reactive.cpp:2336-2407): solve J dU = -R, clipped update.
+
+    hb_src: harmonic-balance spectral source (N, nvar), added to the
+    residual times Volume with NO Jacobian contribution (the reference's
+    explicit HB-source semantics, solver_direct_mean.cpp:5174-5193)."""
     from su2_tpu.linalg import blockcsr, krylov
 
     res, jac = assemble_system(lib, lay, mesh, prm, bcs, v, dt,
                                omega_turb, turb_ke)
+    if hb_src is not None:
+        res = res + hb_src * mesh.volume[:, None]
     rhs = -res
     mv, pc, pm, solve = blockcsr.make_solver_ops(mesh, jac, precond,
                                                  color_masks,

@@ -38,8 +38,14 @@ BETA_1 = 0.075
 BETA_2 = 0.0828
 BETA_STAR = 0.09
 A1 = 0.31
-ALFA_1 = BETA_1 / BETA_STAR - SIGMA_OM1 * 0.41 ** 2 / np.sqrt(BETA_STAR)
-ALFA_2 = BETA_2 / BETA_STAR - SIGMA_OM2 * 0.41 ** 2 / np.sqrt(BETA_STAR)
+# float() keeps these WEAK-typed python scalars: np.sqrt returns a strong
+# np.float64 that would promote the f32 source assembly to f64 under the
+# x64 validation tier (silently truncated on TPU, a scan-carry dtype
+# mismatch on CPU — caught by test_mesh_args)
+ALFA_1 = float(BETA_1 / BETA_STAR - SIGMA_OM1 * 0.41 ** 2
+               / np.sqrt(BETA_STAR))
+ALFA_2 = float(BETA_2 / BETA_STAR - SIGMA_OM2 * 0.41 ** 2
+               / np.sqrt(BETA_STAR))
 
 LOWER = np.array([1.0e-10, 1.0e-4])
 UPPER = np.array([1.0e10, 1.0e15])
@@ -143,7 +149,7 @@ def sst_step(lay: Layout, mesh: MeshArrays, scfg: SSTConfig, bcs,
              q, v, flow_grad, mu, mu_t_node, strain_mag, dist,
              rho_old, dt, kine_inf, omega_inf,
              lib=None, dpdu_e=None, tke_inf: float = 0.0, gq=None,
-             flow_fb=None, dense_bc=None, gq_prev=None):
+             flow_fb=None, dense_bc=None, gq_prev=None, hb_src=None):
     """One implicit Euler iteration of the SST system.
 
     q: (N, 2) primitive (k, omega); v: flow primitives; flow_grad: NS
@@ -188,7 +194,8 @@ def sst_step(lay: Layout, mesh: MeshArrays, scfg: SSTConfig, bcs,
         else (grad_k, grad_w)
     f1, f2, cdkw = blending(q[:, 0], q[:, 1], bk, bw, mu, rho, dist)
 
-    if (dense_bc is None and _ASSEMBLE_MODE == "pallas"
+    if (dense_bc is None and hb_src is None
+            and _ASSEMBLE_MODE == "pallas"
             and scfg.linear_solver == "FGMRES"
             and scfg.linear_prec in ("LU_SGS", "ILU0")
             and scfg.color_masks):
@@ -196,7 +203,7 @@ def sst_step(lay: Layout, mesh: MeshArrays, scfg: SSTConfig, bcs,
         # shipped cfgs use; other solver/preconditioner choices keep the
         # XLA path, which dispatches on both
         from su2_tpu.pallas import sst_assemble as sstasm
-        if sstasm.supported(mesh):
+        if sstasm.supported(mesh) or sstasm.tile_plan(mesh) is not None:
             return _sst_step_fused(lay, mesh, scfg, bcs, q, v, flow_grad,
                                    mu, mu_t_node, strain_mag, dist, rho_old,
                                    dt, kine_inf, omega_inf, lib, dpdu_e,
@@ -333,6 +340,12 @@ def sst_step(lay: Layout, mesh: MeshArrays, scfg: SSTConfig, bcs,
     sj11 = jnp.where(active, -2.0 * beta_b * w_ * vol, 0.0)
     diag = diag.at[:, 0, 0].add(-sj00)
     diag = diag.at[:, 1, 1].add(-sj11)
+    if hb_src is not None:
+        # harmonic-balance spectral source (N, 2): stored per node like
+        # the reference's SetHarmonicBalance_Source and added to the
+        # residual times Volume (solver_direct_turbulent.cpp:1590, no
+        # Jacobian contribution)
+        res = res + hb_src * vol[:, None]
 
     # ---- boundary conditions ----
     # walls (strong): k=0, w = 60 mu/(rho beta1 d^2) at nearest neighbor dist
@@ -628,6 +641,28 @@ def _sst_step_fused(lay, mesh, scfg, bcs, q, v, flow_grad, mu, mu_t_node,
             return stks._sgs_matvec_mixed_call(
                 selp_t, sel_t, dinv_t, diag_t, masks_t, r_t,
                 offsets=offsets, v=2, ncolor=ncolor, interpret=interpret)
+
+        x_t, _, _ = krylov.fgmres(None, None, b_t,
+                                  max_iter=scfg.linear_iter,
+                                  tol=scfg.linear_tol, precond_matvec=pm)
+    elif (dtype == jnp.float32
+          and (_plan := stks.tile_plan(mesh, 2, ncolor, 2, True))
+          is not None):
+        # round-4 streaming tier: fields past every VMEM-resident gate run
+        # the tiled mixed (z, A z) kernel — overlapping lane windows DMAed
+        # per tile, bitwise-identical owner results (stencil_solve.py)
+        selp_t = sel_t.astype(jnp.bfloat16)
+        T, H, ntiles, E = _plan
+        ext = lambda x: stks._extend_lanes(x, H, E)
+        selp_e, selm_e, dinv_e, diag_e, masks_e = (
+            ext(selp_t), ext(sel_t), ext(dinv_t), ext(diag_t), ext(masks_t))
+
+        def pm(r_t):
+            z_o, w_o = stks._tiled_sgs_matvec_mixed_call(
+                selp_e, selm_e, dinv_e, diag_e, masks_e, ext(r_t),
+                offsets=offsets, v=2, ncolor=ncolor, T=T, H=H,
+                ntiles=ntiles, interpret=interpret)
+            return z_o[:, :npad], w_o[:, :npad]
 
         x_t, _, _ = krylov.fgmres(None, None, b_t,
                                   max_iter=scfg.linear_iter,

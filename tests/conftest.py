@@ -22,7 +22,9 @@ jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_compilation_cache_dir",
                   os.environ.get("SU2_TPU_TEST_CACHE",
                                  "/root/.cache/jax_comp"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+# NOTE: a nonzero threshold silently stores nothing on this jax/XLA-CPU
+# build (verified: a 3.3 s compile was skipped at 2.0); cache everything
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 assert jax.devices()[0].platform == "cpu"
 
 import pytest  # noqa: E402

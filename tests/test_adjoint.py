@@ -242,47 +242,42 @@ def _solve_rans_primal(sim, step, coords, u, q, t, n=500):
     return u, q, t
 
 
-@pytest.mark.xfail(reason=(
-    "round-3 known issue: after the corrected-gradient turb diffusion fix "
-    "the COUPLED adjoint fixed-point iteration plateaus at ~0.27x of its "
-    "first update (1.18e-5, identical at 600 and 4000 iterations — a "
-    "neutrally-stable mode of the coupled map, not slow convergence). "
-    "The flow-only adjoint tests pass; diagnosing/preconditioning the "
-    "coupled map is a round-4 item (TODO.md)."), strict=False)
+@pytest.mark.slow
 def test_rans_coupled_adjoint_matches_fd(tmp_path, flatplate_dir):
     """Coupled turbulent discrete adjoint (flow + SST differentiated
     jointly, friction included in the objective) vs central FD of the
-    re-converged CD on a wall-node displacement (VERDICT round-2 item 5;
-    reference tapes the full system, solver_adjoint_discrete.cpp)."""
+    re-converged CD on a wall-node displacement (round-2 verdict item 5;
+    reference tapes the full system, solver_adjoint_discrete.cpp).
+
+    Round-4 fix (scripts/diag_adjoint2/3.py): at the production CFL the
+    coupled update map keeps every slow physical mode near-neutral (32
+    eigenvalues of dG within 1e-2 of 1, min |1-eig| 7e-7 — the Vol/dt
+    pseudo-time damping), which stalled both Picard and restarted GMRES.
+    The adjoint now solves on a CFL-scaled map (same fixed point, dG -> 0
+    on resolved modes): one 60-dim restart drops the linear residual
+    8+ orders and the sensitivity matches the dense-solve ground truth to
+    6e-5 and central FD to ~2e-6 relative."""
     sim = _setup_rans(tmp_path, flatplate_dir)
     step, _ = adj.make_rans_fixed_point_step(sim)
+    big_step, _ = adj.make_rans_fixed_point_step(sim, cfl_scale=1e6)
     coords0 = sim.mesh.coords
 
     # pre-converge with the production driver (robust SGS-preconditioned
-    # transient), then polish into the adjoint map's own fixed point (the
-    # residual operators are identical, only the preconditioner differs,
-    # so the fixed points coincide)
+    # transient), polish into the adjoint map's fixed point with the
+    # large-CFL near-Newton map: 60 steps reach production-map drift
+    # ~1.5e-10 (vs 1.4e-7 after 400 production polish steps, round 3)
     u0, _, _, turb0 = sim.run(800, quiet=True)
     u_star, q_star, t_star = _solve_rans_primal(
-        sim, step, coords0, u0, turb0[0], sim.t0, n=400)
+        sim, big_step, coords0, u0, turb0[0], sim.t0, n=60)
     un, qn = step(u_star, q_star, coords0, t_star)
     drift = float(jnp.abs(un - u_star).max() / jnp.abs(u_star).max())
-    # guard against a broken map (drift O(1)), not full Picard
-    # convergence: the map's asymptotic contraction on this case is
-    # ~0.9993/iter (measured round 3: drift 1.41e-7 after 400 polish
-    # iterations, 1.07e-7 after 800 — reaching 1e-10 would need ~10k
-    # more).  The REAL correctness gate is the FD-vs-adjoint comparison
-    # below, which holds at this polish level.
-    assert drift < 1e-6, drift
+    assert drift < 1e-8, drift
 
-    # the corrected turb diffusion (round 3) gave the coupled map a
-    # neutrally-stable mode that stalls the Picard reverse fixed point at
-    # 0.27x; the GMRES transposed-system solve (adjoint_sensitivity_rans
-    # method="gmres", the default) is insensitive to it
     out = adj.adjoint_sensitivity_rans(sim, u_star, q_star, t_star,
                                        tags=("lower_wall",), which="CD",
-                                       n_iter=900, tol=1e-14)
-    assert out["adj_hist"][-1] < 1e-4 * out["adj_hist"][0]
+                                       n_iter=240, tol=1e-13)
+    assert out["converged"], out["adj_hist"]
+    assert out["adj_hist"][-1] < 1e-7 * out["adj_hist"][0]
     # the turb adjoint is genuinely engaged (not frozen-mu_t)
     assert float(jnp.abs(out["lambda_turb"]).max()) > 0.0
 
@@ -294,10 +289,11 @@ def test_rans_coupled_adjoint_matches_fd(tmp_path, flatplate_dir):
 
     def j_at(delta):
         c = coords0.at[pick, 1].add(delta)
-        u, q, t = _solve_rans_primal(sim, step, c, u_star, q_star, t_star,
-                                     n=500)
+        u, q, t = _solve_rans_primal(sim, big_step, c, u_star, q_star,
+                                     t_star, n=60)
         return float(objective(u, c, t))
 
     fd = (j_at(eps) - j_at(-eps)) / (2 * eps)
     ad = float(out["sensitivity"][pick, 1])
-    assert abs(fd - ad) < 5e-3 * max(abs(fd), abs(ad), 1e-8), (fd, ad)
+    # observed 2e-6 relative (diag3); gate at 1e-3 for FD-noise headroom
+    assert abs(fd - ad) < 1e-3 * max(abs(fd), abs(ad), 1e-8), (fd, ad)

@@ -113,3 +113,138 @@ def test_hb_single_instance_matches_steady(tmp_path):
     # same equations; metrics evaluated by remesh vs the host builder agree
     # to rounding
     assert rel < 1e-9, rel
+
+
+def _build(tmp_path, cfg_text, raw):
+    cfg_path = tmp_path / "case.cfg"
+    cfg_path.write_text(cfg_text)
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        return Simulation(Config(str(cfg_path)), raw_mesh=raw)
+    finally:
+        os.chdir(cwd)
+
+
+CFG_IMPL = textwrap.dedent("""
+    PHYSICAL_PROBLEM= EULER
+    MACH_NUMBER= 0.3
+    FREESTREAM_TEMPERATURE= 288.15
+    FREESTREAM_PRESSURE= 101325.0
+    MARKER_EULER= ( lower_wall, upper_wall )
+    MARKER_INLET= ( inlet, 293.3, 107800.0, 1.0, 0.0, 0.0 )
+    MARKER_OUTLET= ( outlet, 101325.0 )
+    INLET_TYPE= TOTAL_CONDITIONS
+    CFL_NUMBER= 10.0
+    CONV_NUM_METHOD_FLOW= AUSM
+    TIME_DISCRE_FLOW= EULER_IMPLICIT
+    LINEAR_SOLVER= FGMRES
+    LINEAR_SOLVER_PREC= LU_SGS
+    LINEAR_SOLVER_ITER= 8
+    LINEAR_SOLVER_ERROR= 1e-6
+    SPATIAL_ORDER_FLOW= 1ST_ORDER
+    NUM_METHOD_GRAD= GREEN_GAUSS
+    MESH_FILENAME= unused.su2
+""")
+
+
+def test_hb_implicit_single_instance_matches_steady(tmp_path):
+    """Implicit HB (round 4) with N=1, Omega=(0,): D == 0 and the
+    vmapped implicit instance update must reproduce the production
+    implicit trajectory (same physics; edge-layout solver ops instead of
+    the family/pallas fast path, so agreement is to roundoff)."""
+    sim = _build(tmp_path, CFG_IMPL, channel_mesh(13, 9, lx=1.0, ly=0.4))
+    drv = hb.HBDriver(sim, n_inst=1, period=1.0, omegas=[0.0])
+    assert drv.implicit
+    u_all, _, _ = drv.run(40, quiet=True)
+    u_ref, _, _ = sim.run(40, quiet=True)
+    ua = np.asarray(u_all)[0]
+    ur = np.asarray(u_ref)
+    rel = np.abs(ua - ur).max() / np.abs(ur).max()
+    # the HB instance update strips the family/pallas fast paths (edge
+    # layout under vmap), so the UNDER-CONVERGED inner FGMRES iterates
+    # differ in summation order from the production path; 40 implicit
+    # steps accumulate ~5e-6 relative (observed) — gate with margin
+    assert rel < 5e-5, rel
+
+
+CFG_RANS_HB = textwrap.dedent("""
+    CONFIG_LIB_FILE = test_air.txt
+    FREESTREAM_MASS_FRAC = (0.2197, 0.0302, 0.7501)
+    SPECIES_ORDER = (O2, CO2, N2)
+    PHYSICAL_PROBLEM= REACTIVE_NAVIER_STOKES
+    KIND_TURB_MODEL= SST
+    MACH_NUMBER= 0.2
+    FREESTREAM_TEMPERATURE= 297.62
+    FREESTREAM_VELOCITY= (69.1687, 0.0, 0.0)
+    FREESTREAM_PRESSURE= 113303.0
+    REYNOLDS_LENGTH= 1.0
+    REYNOLDS_NUMBER= 50000
+    FREESTREAM_TURBULENCEINTENSITY = 0.05
+    FREESTREAM_TURB2LAMVISCRATIO = 10.0
+    MARKER_HEATFLUX = (lower_wall, 0.0)
+    MARKER_EULER= ( upper_wall )
+    MARKER_INLET= ( inlet, 300.0, 120000.0, 1.0, 0.0, 0.0 )
+    INLET_MASS_FRAC = (inlet, 0.2197, 0.0302, 0.7501)
+    MARKER_OUTLET= ( outlet, 113303.0 )
+    NUM_METHOD_GRAD= GREEN_GAUSS
+    CFL_NUMBER= 4.0
+    LINEAR_SOLVER= FGMRES
+    LINEAR_SOLVER_PREC= LU_SGS
+    LINEAR_SOLVER_ERROR= 1E-10
+    LINEAR_SOLVER_ITER= 20
+    CONV_NUM_METHOD_FLOW= AUSM
+    SPATIAL_ORDER_FLOW= 1ST_ORDER
+    TIME_DISCRE_FLOW= EULER_IMPLICIT
+    CONV_NUM_METHOD_TURB= SCALAR_UPWIND
+    TIME_DISCRE_TURB= EULER_IMPLICIT
+    MESH_FILENAME= unused.su2
+""")
+
+
+def test_hb_implicit_rans_converges(tmp_path):
+    """Implicit HB on the full turbulent (SST) viscous path: N=3 on a
+    steady RANS channel (all omegas 0 is degenerate; use the harmonic
+    set on a case whose physics is steady so every instance converges to
+    the SAME steady state and the spectral source vanishes).  Validates
+    the coupled flow+SST instance update with HB sources wired through
+    (reference: CHBDriver over the RANS iterate incl. the turbulence
+    spectral source, driver_structure.cpp:3950-3984)."""
+    flatplate_dir = "/root/reference/Test_Cases/TURBOLENT/TURBOLENT_FLAT_PLATE"
+    if not os.path.isdir(flatplate_dir):
+        pytest.skip("reference test cases not found")
+    cfg_path = tmp_path / "rans.cfg"
+    cfg_path.write_text(CFG_RANS_HB)
+    cwd = os.getcwd()
+    os.chdir(flatplate_dir)
+    try:
+        sim = Simulation(Config(str(cfg_path)),
+                         raw_mesh=channel_mesh(9, 5, lx=1.0, ly=0.4))
+    finally:
+        os.chdir(cwd)
+    # seed from a partially converged steady state (the HB validation
+    # targets the coupled instance update, not the startup transient);
+    # period chosen so w0*dt ~ 0.08 — the explicit spectral source is
+    # stable well below w*dt ~ 1 (hb.py's dt preconditioning note)
+    u0, t0, _, turb0 = sim.run(300, quiet=True)
+    drv = hb.HBDriver(sim, n_inst=3, period=1e-2)
+    assert drv.implicit and drv.turbulent
+    import jax.numpy as _jnp
+    u_all = _jnp.stack([u0] * 3)
+    t_all = _jnp.stack([t0] * 3)
+    q_all = _jnp.stack([turb0[0]] * 3)
+    r0 = None
+    for it in range(200):
+        u_all, q_all, t_all, rms = drv._step_implicit(u_all, q_all, t_all)
+        if r0 is None:
+            r0 = np.asarray(rms)
+    ua = np.asarray(u_all)
+    qa = np.asarray(q_all)
+    assert np.isfinite(ua).all() and np.isfinite(qa).all()
+    # steady physics: the three instances must agree (spectral source -> 0)
+    for i in (1, 2):
+        rel = np.abs(ua[i] - ua[0]).max() / np.abs(ua[0]).max()
+        assert rel < 1e-5, (i, rel)
+    # and the residual must have dropped substantially
+    rn = np.asarray(rms)
+    assert rn[sim.lay.RHOVX] < 1e-1 * r0[sim.lay.RHOVX], (r0, rn)

