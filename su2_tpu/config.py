@@ -169,6 +169,25 @@ def _parse_inlet_mass_frac(s: str) -> dict[str, list[float]]:
     return out
 
 
+def _parse_marker_riemann(s: str) -> dict:
+    """MARKER_RIEMANN = (name, KIND, var1, var2, fx, fy, fz, ...) —
+    groups of 7 (Riemann_Map kinds, option_structure.hpp: e.g.
+    TOTAL_CONDITIONS_PT, STATIC_SUPERSONIC_INFLOW_PT/PD, STATIC_PRESSURE,
+    DENSITY_VELOCITY).  Returns {marker: (kind, v1, v2, dir)}."""
+    toks = _split_list(s)
+    if toks == ["NONE"] or not toks:
+        return {}
+    out: dict = {}
+    i = 0
+    while i < len(toks):
+        name = toks[i]
+        kind = toks[i + 1].upper()
+        vals = [float(t) for t in toks[i + 2:i + 7]]
+        out[name] = (kind, vals[0], vals[1], tuple(vals[2:5]))
+        i += 7
+    return out
+
+
 def _parse_marker_supersonic_inlet(s: str) -> dict[str, tuple[float, float, tuple[float, ...]]]:
     """MARKER_SUPERSONIC_INLET = (name, T, P, vx, vy, vz, ...)."""
     toks = _split_list(s)
@@ -298,6 +317,7 @@ _REGISTRY: dict[str, _Opt] = {
     "MARKER_OUTLET": _Opt(_parse_marker_pairs, {}),
     "MARKER_SUPERSONIC_INLET": _Opt(_parse_marker_supersonic_inlet, {}),
     "MARKER_SUPERSONIC_OUTLET": _Opt(_parse_marker_names, []),
+    "MARKER_RIEMANN": _Opt(_parse_marker_riemann, {}),
     "MARKER_PERIODIC": _Opt(_parse_marker_periodic, {}),
     "MARKER_PLOTTING": _Opt(_parse_marker_names, []),
     "MARKER_MONITORING": _Opt(_parse_marker_names, []),

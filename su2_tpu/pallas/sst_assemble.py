@@ -216,7 +216,8 @@ def tile_plan(mesh):
     # same 2x temporaries model as the full-field gate
     rows = (17 + 4 * d) + k * (d + 1) + (4 + 4 * k) \
         + 2 * (30 + 4 * k + k * (d + 1))
-    W = (_VMEM_LIMIT // (rows * 4)) // 128 * 128
+    from su2_tpu.pallas.stencil_solve import _TILE_W_CAP
+    W = min(_TILE_W_CAP, (_VMEM_LIMIT // (rows * 4)) // 128 * 128)
     T = W - 2 * H
     if T < max(8 * 128, H):
         return None

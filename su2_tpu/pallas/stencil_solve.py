@@ -491,6 +491,13 @@ def _round128(x: int) -> int:
     return -(-int(x) // 128) * 128
 
 
+# Window-width cap for the tiled kernels: Mosaic compile time grows
+# superlinearly with the per-instance window (measured on the 420k-lane
+# v=2 mixed kernel: W=157k -> 1095 s, W=64k -> ~150 s; runtime at W=64k
+# beat the XLA roll fallback 1.32 vs 2.22 ms/apply, bitwise identical).
+_TILE_W_CAP = 65536
+
+
 def tile_plan(mesh, v: int, ncolor: int, sel_itemsize: int,
               with_f32_matvec_sel: bool):
     """(T, H, ntiles, E) for the tiled sweep kernels, or None when the
@@ -506,7 +513,7 @@ def tile_plan(mesh, v: int, ncolor: int, sel_itemsize: int,
         + (k * v * v * 4 if with_f32_matvec_sel else 0) \
         + 2 * v * v * 4 + ncolor * 4 + 4 * v * 4 \
         + 2 * (v * v + ncolor + 6 * v + k * v) * 4
-    W = (_VMEM_LIMIT // bpl) // 128 * 128
+    W = min(_TILE_W_CAP, (_VMEM_LIMIT // bpl) // 128 * 128)
     T = W - 2 * H
     if T < max(8 * 128, H):        # halo overhead > 2x: not worth it
         return None

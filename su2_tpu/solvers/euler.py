@@ -87,6 +87,14 @@ def build_bc_markers(cfg: Config, lib: ChemLib, mesh: MeshArrays,
                             **geom(tag)))
     for tag in cfg.marker_supersonic_outlet:
         out.append(BCMarker("supersonic_outlet", tag, "", params={}, **geom(tag)))
+    for tag, (kind, v1, v2, fdir) in cfg.marker_riemann.items():
+        # characteristic BC (BC_Riemann, solver_direct_mean.cpp:10550);
+        # kinds handled in solvers/riemann.py
+        ys = cfg.inlet_mass_frac.get(tag, cfg.freestream_mass_frac)
+        out.append(BCMarker(
+            "riemann", tag, "",
+            params={"riemann_kind": kind, "v1": f(v1), "v2": f(v2),
+                    "flow_dir": f(fdir), "ys": f(ys)}, **geom(tag)))
     for tag in cfg.marker_engine_inflow:
         # fuel-regression inflow (BC_Engine_Inflow,
         # solver_direct_reactive.cpp:5947; data options
@@ -629,7 +637,12 @@ def flux_bc_batch(lib, lay, bcs, v, dpdu_full, tke_inf, coords=None):
     dpdu_e = dpdu_full[:, lay.RHOE]
     nodes_l, nn_l, norm_l, vg_l, gam_l, vel2_l = [], [], [], [], [], []
     for bc in bcs:
-        if bc.kind in ("euler_wall", "isothermal_wall", "heatflux_wall"):
+        if bc.kind in ("euler_wall", "isothermal_wall", "heatflux_wall",
+                       "riemann"):
+            # riemann markers evaluate a DIRECT projected flux at the
+            # characteristic boundary state (solvers/riemann.py), not an
+            # upwind flux against a ghost state — handled separately in
+            # bc_residuals / bc_system
             continue
         if bc.kind == "inlet":
             v_ghost, gamma, vel2 = inlet_state(lib, lay, bc, v, dpdu_e,
@@ -700,6 +713,12 @@ def bc_residuals(lib, lay, mesh, prm, bcs, v, dpdu_full, turb_ke=None):
             flux = ausm.ausm_flux(lay, bg.rows(v, nodes), v_ghost, -normal,
                                   prm.m_infty)
         res = bg.add_rows(res, nodes, flux)
+    for bc in bcs:
+        if bc.kind == "riemann":
+            from su2_tpu.solvers import riemann as rie
+            rn, rflux, _ = rie.riemann_flux(lib, lay, bc, v, dpdu_full,
+                                            prm.tparams, prm.tke_inf)
+            res = bg.add_rows(res, rn, rflux)
     return res
 
 
@@ -856,6 +875,13 @@ def bc_system(lib, lay, mesh, prm, bcs, v, dpdu_full, turb_ke=None):
             bg.rows(dpdu_full, nodes), s_ghost)
         res = bg.add_rows(res, nodes, flux)
         diag = bg.add_rows(diag, nodes, jac_i)
+    for bc in bcs:
+        if bc.kind == "riemann":
+            from su2_tpu.solvers import riemann as rie
+            rn, rflux, rjac = rie.riemann_flux(lib, lay, bc, v, dpdu_full,
+                                               prm.tparams, prm.tke_inf)
+            res = bg.add_rows(res, rn, rflux)
+            diag = bg.add_rows(diag, rn, rjac)
     return res, diag
 
 

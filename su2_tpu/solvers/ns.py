@@ -445,6 +445,20 @@ def ns_assemble(lib: ChemLib, lay: Layout, mesh: MeshArrays, prm: NSParams,
                 -normal, tr_n, tr_n, **bargs)
         res = bg.add_rows(res, nodes, cf - vf)
 
+    # --- characteristic (Riemann) markers: convective contribution only
+    # (the reference adds a visc_numerics term too; far-field-like
+    # characteristic markers sit in near-inviscid flow, so the viscous
+    # face term is omitted here — documented deviation) ---
+    if dense_bc is None:
+        for bc in bcs:
+            if bc.kind == "riemann":
+                from su2_tpu.solvers import riemann as rie
+                rn, rflux, rjac = rie.riemann_flux(
+                    lib, lay, bc, v, dpdu_full, prm.tparams, prm.tke_inf)
+                res = bg.add_rows(res, rn, rflux)
+                if implicit:
+                    diag = bg.add_rows(diag, rn, rjac)
+
     # --- euler (slip) walls ---
     if dense_bc is not None:
         arange_n = np.arange(n)
