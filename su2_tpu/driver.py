@@ -1404,8 +1404,9 @@ class Simulation:
         t_guess = self.t0 if t_guess is None else t_guess
         if self.cfg.mglevel > 0:
             # FAS multigrid drive (reference: CMultiGridIntegration,
-            # integration_time.cpp:42-125).  The FAS cycle smooths with the
-            # explicit multistage scheme on every level; configurations it
+            # integration_time.cpp:42-125).  The FAS cycle smooths with
+            # the configured time integration (explicit multistage OR
+            # implicit Euler, round-4) on every level; configurations it
             # cannot honor fail loudly instead of silently running
             # single-grid (round-2 verdict item 4).
             if self.turbulent:
@@ -1413,11 +1414,9 @@ class Simulation:
                     "MGLEVEL> 0 runs the mean-flow FAS cycle only; RANS "
                     "cases must set MGLEVEL= 0 (turbulence transport is "
                     "smoothed single-grid in this framework)")
-            if self.cfg.time_discre_flow == "EULER_IMPLICIT":
-                raise ValueError(
-                    "MGLEVEL> 0 uses the explicit multistage smoother; "
-                    "set TIME_DISCRE_FLOW= EULER_EXPLICIT / "
-                    "RUNGE-KUTTA_EXPLICIT or MGLEVEL= 0")
+            # round-4: FAS under EULER_IMPLICIT smooths implicitly on
+            # every level (Multigrid._smooth_implicit) — the explicit-only
+            # restriction is lifted
             return self._run_multigrid(niter, u, t_guess, quiet, log_every,
                                        it0=it0, rms0=rms0)
         if self.turbulent:
