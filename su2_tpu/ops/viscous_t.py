@@ -333,8 +333,6 @@ def _viscous_jacobians_t(lay, sc, v_i, v_j, vmean, mu, ktr, ds, xs,
     (nVar, nVar) block held as a dict of (E,) lane rows and the sparse
     dV/dU applied analytically."""
     nd, ns, nvar = lay.ndim, lay.ns, lay.nvar
-    if nd != 2:
-        raise NotImplementedError("3D viscous Jacobians: edge-major path")
     mm_col = sc.mm_col
 
     def _rowsum(x):
@@ -371,11 +369,14 @@ def _viscous_jacobians_t(lay, sc, v_i, v_j, vmean, mu, ktr, ds, xs,
     djdr_i = djdr(xs_i, tot_mass_i, sigma_i, rho_i, -1.0)
 
     # ---- dF/dV as sparse dicts of (E,) lanes ------------------------------
+    # thin-shear tensor M = theta I + n (x) n / 3 (2D :912-918, 3D
+    # :981-995: diag theta + n_d^2/3, off-diag n_d n_e / 3), pi = M u
     theta = sum(unit[d] * unit[d] for d in range(nd))        # == 1
-    thetad = [theta + unit[d] * unit[d] / 3.0 for d in range(nd)]
-    etaz = unit[0] * unit[1] / 3.0
-    pix = vmean[lay.VX] * thetad[0] + vmean[lay.VX + 1] * etaz
-    piy = vmean[lay.VX] * etaz + vmean[lay.VX + 1] * thetad[1]
+    mrows = [[(theta + unit[d] * unit[d] / 3.0) if d == e
+              else unit[d] * unit[e] / 3.0 for e in range(nd)]
+             for d in range(nd)]
+    pi = [sum(vmean[lay.VX + e] * mrows[d][e] for e in range(nd))
+          for d in range(nd)]
     coef = mu / dist * area
 
     def emp():
@@ -385,12 +386,10 @@ def _viscous_jacobians_t(lay, sc, v_i, v_j, vmean, mu, ktr, ds, xs,
         m[a][b] = val if m[a][b] is None else m[a][b] + val
 
     dfdv_j = emp()
-    dadd(dfdv_j, lay.RHOVX, lay.RHOVX, coef * thetad[0])
-    dadd(dfdv_j, lay.RHOVX, lay.RHOVX + 1, coef * etaz)
-    dadd(dfdv_j, lay.RHOVX + 1, lay.RHOVX, coef * etaz)
-    dadd(dfdv_j, lay.RHOVX + 1, lay.RHOVX + 1, coef * thetad[1])
-    dadd(dfdv_j, lay.RHOE, lay.RHOVX, coef * pix)
-    dadd(dfdv_j, lay.RHOE, lay.RHOVX + 1, coef * piy)
+    for d in range(nd):
+        for e in range(nd):
+            dadd(dfdv_j, lay.RHOVX + d, lay.RHOVX + e, coef * mrows[d][e])
+        dadd(dfdv_j, lay.RHOE, lay.RHOVX + d, coef * pi[d])
     dadd(dfdv_j, lay.RHOE, lay.RHOE, ktr * theta / dist * area)
     dfdv_i = emp()
     for a in range(nvar):
@@ -417,26 +416,34 @@ def _viscous_jacobians_t(lay, sc, v_i, v_j, vmean, mu, ktr, ds, xs,
             dadd(side, lay.RHO, lay.RHOS + k, col_rho)
             dadd(side, lay.RHOE, lay.RHOS + k, col_e)
 
-    # ---- SST closure Jacobian (2D path, :911-983) -------------------------
+    # ---- SST closure Jacobian (2D :911-983, 3D :996-1090) -----------------
     coef_t = mu_t / dist * area
     add = emp()
-    dadd(add, lay.RHOVX, lay.RHOVX, coef_t * thetad[0])
-    dadd(add, lay.RHOVX, lay.RHOVX + 1, coef_t * etaz)
-    dadd(add, lay.RHOVX + 1, lay.RHOVX, coef_t * etaz)
-    dadd(add, lay.RHOVX + 1, lay.RHOVX + 1, coef_t * thetad[1])
-    dadd(add, lay.RHOE, lay.RHOVX, coef_t * pix)
-    dadd(add, lay.RHOE, lay.RHOVX + 1, coef_t * piy)
+    for d in range(nd):
+        for e in range(nd):
+            dadd(add, lay.RHOVX + d, lay.RHOVX + e, coef_t * mrows[d][e])
+        dadd(add, lay.RHOE, lay.RHOVX + d, coef_t * pi[d])
     cpy = _rowsum(cp_s * ys)
     dadd(add, lay.RHOE, lay.RHOE,
          mu_t / prandtl_turb * cpy * theta / dist * area)
     ce = cmt / dist * area * theta
-    for k in range(ns):
-        ek_j = ce * h_s[k] * ys[k] / rho_j
-        ek_i = ce * h_s[k] * ys[k] / rho_i
-        # dfdv_j += add (with the rho_j energy/species entry);
-        # dfdv_i -= sub (same block, rho_i entry)
-        dadd(dfdv_j, lay.RHOE, lay.RHOS + k, ek_j)
-        dadd(dfdv_i, lay.RHOE, lay.RHOS + k, -ek_i)
+    if nd == 2:
+        for k in range(ns):
+            # dfdv_j += add (with the rho_j energy/species entry);
+            # dfdv_i -= sub (same block, rho_i entry)
+            dadd(dfdv_j, lay.RHOE, lay.RHOS + k, ce * h_s[k] * ys[k] / rho_j)
+            dadd(dfdv_i, lay.RHOE, lay.RHOS + k, -ce * h_s[k] * ys[k] / rho_i)
+    else:
+        # the reference's 3D SST closure differs from its 2D branch
+        # (SST_Reactive_JacobianClosure :983-1075): the species-species
+        # mass-closure diagonal is ACTIVE (2D comments it out, :957-966)
+        # and the energy-species term drops the Ys factor (:1067)
+        ss_c = mu_t / (prandtl_turb * lewis_turb) / dist * area * theta
+        for k in range(ns):
+            dadd(dfdv_j, lay.RHOE, lay.RHOS + k, ce * h_s[k] / rho_j)
+            dadd(dfdv_i, lay.RHOE, lay.RHOS + k, -ce * h_s[k] / rho_i)
+            dadd(dfdv_j, lay.RHOS + k, lay.RHOS + k, ss_c * ys[k] / rho_j)
+            dadd(dfdv_i, lay.RHOS + k, lay.RHOS + k, -ss_c * ys[k] / rho_i)
     for a in range(nvar):
         for b in range(nvar):
             if add[a][b] is not None:

@@ -255,9 +255,11 @@ def ns_assemble(lib: ChemLib, lay: Layout, mesh: MeshArrays, prm: NSParams,
                    and prm.conv_method == "AUSM")
         # fused feature-major variant (pallas/edge_fused.py): MUSCL + AUSM
         # + viscous + both Jacobian pairs in one kernel per family, off
-        # blocks emitted straight in the stencil lane layout
-        fam_imp_fused = (fam_imp and ek.use_pallas() and turb is not None
-                         and nd == 2)
+        # blocks emitted straight in the stencil lane layout (3D since
+        # round 4: the edge-major viscous Jacobians generalize the
+        # thin-shear tensor to the reference's 3D branch,
+        # numerics_direct_reactive.cpp:981-1090)
+        fam_imp_fused = (fam_imp and ek.use_pallas() and turb is not None)
         # sharded explicit assembly: per-family rolls instead of edge
         # gathers, so GSPMD partitions every neighbor access into a
         # collective-permute slab exchange (dynamic gathers would force

@@ -83,9 +83,9 @@ def test_reference_option_surface_hardening():
     assert len(co.REFERENCE_OPTIONS) >= 450
     base = "PHYSICAL_PROBLEM= EULER\nMESH_FILENAME= x.su2\n"
     # enabled unsupported features fail loudly
-    # (GRID_MOVEMENT_KIND / ROTATION_RATE_* became SUPPORTED in round 3 —
-    # rigid motion & rotating frame, su2_tpu/motion.py)
-    for line in ("MARKER_RIEMANN= ( in, TOTAL_CONDITIONS_PT, 1e5, 300, 1, 0, 0 )",
+    # (GRID_MOVEMENT_KIND / ROTATION_RATE_* became SUPPORTED in round 3;
+    # MARKER_RIEMANN became SUPPORTED in round 4 — solvers/riemann.py)
+    for line in ("MARKER_NRBC= ( in, TOTAL_CONDITIONS_PT, 1e5, 300, 1, 0, 0 )",
                  "AXISYMMETRIC= YES",
                  "TIME_INSTANCES= 3"):
         with pytest.raises(ValueError):
@@ -93,6 +93,10 @@ def test_reference_option_surface_hardening():
     # disabled values and output/tooling options parse (with warnings)
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
-        Config(text=base + "MARKER_RIEMANN= ( NONE )\nAXISYMMETRIC= NO\n"
+        Config(text=base + "MARKER_NRBC= ( NONE )\nAXISYMMETRIC= NO\n"
                "WRT_HALO= YES\nVOLUME_WAVE_FILENAME= wave\n"
                "OPT_ITERATIONS= 100\n")
+    # the round-4 Riemann markers parse as active options
+    cfg = Config(text=base + "MARKER_RIEMANN= ( in, TOTAL_CONDITIONS_PT, "
+                 "1e5, 300, 1, 0, 0 )\n")
+    assert cfg.marker_riemann["in"][0] == "TOTAL_CONDITIONS_PT"

