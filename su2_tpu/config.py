@@ -432,6 +432,14 @@ _REGISTRY: dict[str, _Opt] = {
     "WRT_BINARY_RESTART": _b(False),
     "READ_BINARY_RESTART": _b(False),
     "GRID_MOVEMENT": _b(False),
+    # --- aeroelastic typical-section model (config_structure.cpp:1466-82) ---
+    "FLUTTER_SPEED_INDEX": _d(0.6),
+    "PLUNGE_NATURAL_FREQUENCY": _d(100.0),
+    "PITCH_NATURAL_FREQUENCY": _d(100.0),
+    "AIRFOIL_MASS_RATIO": _d(60.0),
+    "CG_LOCATION": _d(1.8),
+    "RADIUS_GYRATION_SQUARED": _d(3.48),
+    "AEROELASTIC_ITER": _i(3),
     # --- rigid mesh motion / rotating frame (su2_tpu/motion.py) ---
     "GRID_MOVEMENT_KIND": _enum("NO_MOVEMENT"),
     "MACH_MOTION": _d(0.0),

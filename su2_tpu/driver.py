@@ -285,10 +285,14 @@ class Simulation:
                     self.motion, self.mesh.coords).astype(dtype)
                 common["rotation_rate"] = self.motion.rotation_rate
                 common["rotating_source"] = True
+            elif self.motion.kind == "AEROELASTIC":
+                # typical-section aeroelastic coupling — driven through
+                # su2_tpu.aeroelastic.run_aeroelastic (round 4)
+                pass
             elif self.motion.kind != "RIGID_MOTION":
                 raise ValueError(
                     f"GRID_MOVEMENT_KIND= {self.motion.kind} not supported "
-                    "(ROTATING_FRAME and RIGID_MOTION are)")
+                    "(ROTATING_FRAME, RIGID_MOTION and AEROELASTIC are)")
         if cfg.viscous:
             self.params = ns.NSParams(
                 prandtl_lam=cfg.prandtl_lam, prandtl_turb=cfg.prandtl_turb,
