@@ -68,6 +68,7 @@ def _solve_primal(sim, step, coords, u, t, n=400):
     return u, t
 
 
+@pytest.mark.slow
 def test_adjoint_matches_finite_difference(tmp_path):
     sim = _setup(tmp_path)
     step, _ = adj.make_fixed_point_step(sim)
@@ -137,6 +138,7 @@ def test_adjoint_state_sensitivity_freestream(tmp_path):
     assert abs(fd - ad) < 1e-4 * max(abs(fd), 1e-12), (fd, ad)
 
 
+@pytest.mark.slow
 def test_shape_optimization_pipeline(tmp_path):
     """One SLSQP design step through deform -> primal -> adjoint -> project
     (SU2_PY shape_optimization.py capability)."""

@@ -62,6 +62,7 @@ def _assemble(pasr_state, fused: bool):
     return out
 
 
+@pytest.mark.slow
 def test_fused_residual_matches_xla(pasr_state):
     sim, v, turb, omega_t, sigma_k_edge = pasr_state
     res0, wm0, _, _, lams0 = _assemble(pasr_state, fused=False)
@@ -107,6 +108,7 @@ def flatplate_state(flatplate_dir):
     return sim, v, turb
 
 
+@pytest.mark.slow
 def test_fused_implicit_assembly_matches_xla(flatplate_state):
     """The fused implicit edge kernel (MUSCL + AUSM + viscous + Jacobians,
     pallas/edge_fused.fused_implicit_family_terms) pins to the XLA

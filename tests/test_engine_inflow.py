@@ -142,6 +142,7 @@ def test_engine_inflow_surface_system(tmp_path, combustion_dir, fuel_file):
     assert np.all(tg <= float(bc.params["tmax"]))
 
 
+@pytest.mark.slow
 def test_engine_inflow_step_runs(tmp_path, combustion_dir, fuel_file):
     """One implicit RANS-less NS step with the regression BC stays finite."""
     sim = _channel_sim(tmp_path, combustion_dir, fuel_file)

@@ -202,6 +202,7 @@ CFG_RANS_HB = textwrap.dedent("""
 """)
 
 
+@pytest.mark.slow
 def test_hb_implicit_rans_converges(tmp_path):
     """Implicit HB on the full turbulent (SST) viscous path: N=3 on a
     steady RANS channel (all omegas 0 is degenerate; use the harmonic

@@ -74,6 +74,7 @@ def test_multichip_real_combustion_case(combustion_dir):
         np.abs(q8n[:n] - q1n) / scq[None, :], 1e-12)
 
 
+@pytest.mark.slow
 def test_halo_ring_exchange():
     """shard_map + ppermute halo exchange moves the right values."""
     from jax.sharding import Mesh

@@ -54,6 +54,7 @@ CFG = textwrap.dedent("""
 """)
 
 
+@pytest.mark.slow
 def test_implicit_rans_3d_channel(flatplate_dir, tmp_path):
     cfg_path = tmp_path / "case3d.cfg"
     cfg_path.write_text(CFG)
@@ -76,6 +77,7 @@ def test_implicit_rans_3d_channel(flatplate_dir, tmp_path):
     assert np.isfinite(q).all()
 
 
+@pytest.mark.slow
 def test_fused_implicit_assembly_matches_xla_3d(flatplate_dir, tmp_path):
     """Round-4: the fused implicit edge kernel's 3D branch (edge-major
     viscous Jacobians generalized to the reference's 3D thin-shear tensor,
