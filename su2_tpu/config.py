@@ -432,6 +432,15 @@ _REGISTRY: dict[str, _Opt] = {
     "WRT_BINARY_RESTART": _b(False),
     "READ_BINARY_RESTART": _b(False),
     "GRID_MOVEMENT": _b(False),
+    # --- wind gust, Field Velocity Method (config_structure.cpp:1495-1509)
+    "WIND_GUST": _b(False),
+    "GUST_TYPE": _enum("NONE"),
+    "GUST_WAVELENGTH": _d(0.0),
+    "GUST_PERIODS": _d(1.0),
+    "GUST_AMPL": _d(0.0),
+    "GUST_BEGIN_TIME": _d(0.0),
+    "GUST_BEGIN_LOC": _d(0.0),
+    "GUST_DIR": _enum("Y_DIR"),
     # --- aeroelastic typical-section model (config_structure.cpp:1466-82) ---
     "FLUTTER_SPEED_INDEX": _d(0.6),
     "PLUNGE_NATURAL_FREQUENCY": _d(100.0),

@@ -201,6 +201,12 @@ class Simulation:
             # unaffected semantically.
             if self.mesh.npoint >= 200_000:
                 jax.config.update("jax_use_simplified_jaxpr_constants", True)
+                # NOTE: auto-enabling the tiled pallas SST assembly here
+                # was measured a net LOSS at 565k (29.2 vs 27.7 ms/iter —
+                # the input stacking + windowed-DMA overhead eats the
+                # fused-assembly gain, same wash as round 3's 9k
+                # full-field finding).  It stays available and tested
+                # behind SU2_TPU_SST_ASSEMBLE=pallas.
             # dense per-marker fields as setup-time device buffers (at 2M+
             # cells the trace-time numpy constants exceed the remote-compile
             # payload cap; see timestep.precompute_dense_markers)

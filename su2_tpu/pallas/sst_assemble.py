@@ -212,12 +212,14 @@ def tile_plan(mesh):
     d = mesh.coords.shape[1]
     maxoff = max(abs(int(o)) for o in mesh.stencil_offsets)
     H = -(-maxoff // 128) * 128
-    # resident rows: f (17 + 4d) + geo k(d+1) + outputs (4 + 4k) + the
-    # same 2x temporaries model as the full-field gate
-    rows = (17 + 4 * d) + k * (d + 1) + (4 + 4 * k) \
-        + 2 * (30 + 4 * k + k * (d + 1))
+    # measured VMEM demand: the Mosaic stack for the windowed assembly at
+    # W=64k, K=4, d=2 was 114 MB = 1.75 KB/lane (the windowed body keeps
+    # every per-offset rolled temporary live across the K-sweep).  Model
+    # conservatively at 2 KB/lane scaled by the offset count vs the
+    # measured K=4 shape.
+    bpl = 2048 * max(1, k) // 4
     from su2_tpu.pallas.stencil_solve import _TILE_W_CAP
-    W = min(_TILE_W_CAP, (_VMEM_LIMIT // (rows * 4)) // 128 * 128)
+    W = min(_TILE_W_CAP, (_VMEM_LIMIT // bpl) // 128 * 128)
     T = W - 2 * H
     if T < max(8 * 128, H):
         return None
@@ -245,6 +247,7 @@ def _assemble_tiled_call(f_e, geo_e, *, offsets, d, consts, T, H, ntiles,
     kk = len(offsets)
     fr = f_e.shape[0]
     gr = geo_e.shape[0]
+    sel_rows = kk * 4 + ((-(kk * 4)) % 8 if kk * 4 > 8 else 0)
 
     def kernel(f_h, g_h, res_o, dd_o, sel_o, f_s, g_s, res_s, dd_s, sel_s,
                sems):
@@ -281,6 +284,7 @@ def _assemble_tiled_call(f_e, geo_e, *, offsets, d, consts, T, H, ntiles,
             c.wait()
 
     anyspec = pl.BlockSpec(memory_space=pl.ANY)
+    hbmspec = pl.BlockSpec(memory_space=pltpu.HBM)
     return pl.pallas_call(
         kernel,
         interpret=interpret,
@@ -288,16 +292,16 @@ def _assemble_tiled_call(f_e, geo_e, *, offsets, d, consts, T, H, ntiles,
             vmem_limit_bytes=_VMEM_LIMIT, has_side_effects=True),
         grid=(ntiles,),
         in_specs=[anyspec] * 2,
-        out_specs=[anyspec] * 3,
+        out_specs=[hbmspec] * 3,
         out_shape=[jax.ShapeDtypeStruct((2, ntiles * T), dtype),
                    jax.ShapeDtypeStruct((2, ntiles * T), dtype),
-                   jax.ShapeDtypeStruct((kk * 4, ntiles * T), dtype)],
+                   jax.ShapeDtypeStruct((sel_rows, ntiles * T), dtype)],
         scratch_shapes=[
             pltpu.VMEM((fr, W), dtype),
             pltpu.VMEM((gr, W), dtype),
             pltpu.VMEM((2, W), dtype),
             pltpu.VMEM((2, W), dtype),
-            pltpu.VMEM((kk * 4, W), dtype),
+            pltpu.VMEM((sel_rows, W), dtype),
             pltpu.SemaphoreType.DMA((5,)),
         ],
     )(f_e, geo_e)
@@ -331,9 +335,11 @@ def sst_assemble(mesh, consts, q, rho, vel, gq, mu, mut, dist, strain,
     plan = tile_plan(mesh)
     assert plan is not None, "sst_assemble: no full-field or tiled plan"
     T, H, ntiles, E = plan
-    from su2_tpu.pallas.stencil_solve import _extend_lanes
+    from su2_tpu.pallas.stencil_solve import _extend_lanes, _pad_rows8
     res_o, dd_o, sel_o = _assemble_tiled_call(
-        _extend_lanes(f_t, H, E), _extend_lanes(geo_t, H, E),
+        _pad_rows8(_extend_lanes(f_t, H, E)),
+        _pad_rows8(_extend_lanes(geo_t, H, E)),
         offsets=tuple(mesh.stencil_offsets), d=d, consts=consts,
         T=T, H=H, ntiles=ntiles, interpret=interpret)
-    return res_o[:, :npad], dd_o[:, :npad], sel_o[:, :npad]
+    kk = len(mesh.stencil_offsets)
+    return res_o[:, :npad], dd_o[:, :npad], sel_o[:kk * 4, :npad]

@@ -531,6 +531,21 @@ def _extend_lanes(x_t, H: int, E: int):
     return jnp.concatenate([lo, x_t, hi], axis=-1)
 
 
+def _pad_rows8(x):
+    """Pad the ROW (sublane) dimension to a multiple of 8: Mosaic rejects
+    windowed DMAs whose row extent spans sublane tiles unevenly ("Slice
+    shape along dimension 0 must be aligned to tiling (8)").  Row padding
+    rides at the END, after every indexed block, so kernel row indexing
+    is unchanged; padded rows carry zeros (inputs) or garbage that the
+    caller slices off (outputs)."""
+    r = x.shape[0]
+    pad = (-r) % 8
+    if pad == 0 or r <= 8:
+        return x
+    return jnp.concatenate(
+        [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
+
+
 @functools.partial(jax.jit, static_argnames=(
     "offsets", "v", "ncolor", "T", "H", "ntiles", "interpret"))
 def _tiled_sgs_matvec_call(sel_e, dinv_e, diag_e, masks_e, r_e, *, offsets,
@@ -576,6 +591,7 @@ def _tiled_sgs_matvec_call(sel_e, dinv_e, diag_e, masks_e, r_e, *, offsets,
         cw.wait()
 
     anyspec = pl.BlockSpec(memory_space=pl.ANY)
+    hbmspec = pl.BlockSpec(memory_space=pltpu.HBM)
     z_o, w_o = pl.pallas_call(
         kernel,
         interpret=interpret,
@@ -583,12 +599,12 @@ def _tiled_sgs_matvec_call(sel_e, dinv_e, diag_e, masks_e, r_e, *, offsets,
             vmem_limit_bytes=_VMEM_LIMIT, has_side_effects=True),
         grid=(ntiles,),
         in_specs=[anyspec] * 5,
-        out_specs=[anyspec] * 2,
+        out_specs=[hbmspec] * 2,
         out_shape=[jax.ShapeDtypeStruct((v, ntiles * T), dtype)] * 2,
         scratch_shapes=[
-            pltpu.VMEM((kk * v * v, W), sel_e.dtype),
-            pltpu.VMEM((v * v, W), dtype),
-            pltpu.VMEM((v * v, W), dtype),
+            pltpu.VMEM((sel_e.shape[0], W), sel_e.dtype),
+            pltpu.VMEM((dinv_e.shape[0], W), dtype),
+            pltpu.VMEM((diag_e.shape[0], W), dtype),
             pltpu.VMEM((masks_e.shape[0], W), dtype),
             pltpu.VMEM((v, W), dtype),
             pltpu.VMEM((v, W), dtype),
@@ -647,6 +663,7 @@ def _tiled_sgs_matvec_mixed_call(selp_e, selm_e, dinv_e, diag_e, masks_e,
         cw.wait()
 
     anyspec = pl.BlockSpec(memory_space=pl.ANY)
+    hbmspec = pl.BlockSpec(memory_space=pltpu.HBM)
     z_o, w_o = pl.pallas_call(
         kernel,
         interpret=interpret,
@@ -654,13 +671,13 @@ def _tiled_sgs_matvec_mixed_call(selp_e, selm_e, dinv_e, diag_e, masks_e,
             vmem_limit_bytes=_VMEM_LIMIT, has_side_effects=True),
         grid=(ntiles,),
         in_specs=[anyspec] * 6,
-        out_specs=[anyspec] * 2,
+        out_specs=[hbmspec] * 2,
         out_shape=[jax.ShapeDtypeStruct((v, ntiles * T), dtype)] * 2,
         scratch_shapes=[
-            pltpu.VMEM((kk * v * v, W), selp_e.dtype),
-            pltpu.VMEM((kk * v * v, W), selm_e.dtype),
-            pltpu.VMEM((v * v, W), dtype),
-            pltpu.VMEM((v * v, W), dtype),
+            pltpu.VMEM((selp_e.shape[0], W), selp_e.dtype),
+            pltpu.VMEM((selm_e.shape[0], W), selm_e.dtype),
+            pltpu.VMEM((dinv_e.shape[0], W), dtype),
+            pltpu.VMEM((diag_e.shape[0], W), dtype),
             pltpu.VMEM((masks_e.shape[0], W), dtype),
             pltpu.VMEM((v, W), dtype),
             pltpu.VMEM((v, W), dtype),
@@ -705,6 +722,7 @@ def _tiled_sgs_call(sel_e, dinv_e, masks_e, r_e, *, offsets, v, ncolor, T,
         cz.wait()
 
     anyspec = pl.BlockSpec(memory_space=pl.ANY)
+    hbmspec = pl.BlockSpec(memory_space=pltpu.HBM)
     return pl.pallas_call(
         kernel,
         interpret=interpret,
@@ -712,11 +730,11 @@ def _tiled_sgs_call(sel_e, dinv_e, masks_e, r_e, *, offsets, v, ncolor, T,
             vmem_limit_bytes=_VMEM_LIMIT, has_side_effects=True),
         grid=(ntiles,),
         in_specs=[anyspec] * 4,
-        out_specs=anyspec,
+        out_specs=hbmspec,
         out_shape=jax.ShapeDtypeStruct((v, ntiles * T), dtype),
         scratch_shapes=[
-            pltpu.VMEM((kk * v * v, W), sel_e.dtype),
-            pltpu.VMEM((v * v, W), dtype),
+            pltpu.VMEM((sel_e.shape[0], W), sel_e.dtype),
+            pltpu.VMEM((dinv_e.shape[0], W), dtype),
             pltpu.VMEM((masks_e.shape[0], W), dtype),
             pltpu.VMEM((v, W), dtype),
             pltpu.VMEM((v, W), dtype),
@@ -750,13 +768,14 @@ class TiledStencilOps:
         sel_t = (sel if sel_is_t
                  else sel.transpose(0, 2, 3, 1).reshape(
                      len(self.offsets) * v * v, n))
-        self.selm_e = ext(sel_t)
+        # _pad_rows8: Mosaic windowed DMAs need sublane-aligned rows
+        self.selm_e = _pad_rows8(ext(sel_t))
         self.selp_e = (self.selm_e.astype(jnp.bfloat16) if mixed
                        else self.selm_e)
-        self.dinv_e = tt(dinv)
-        self.diag_e = tt(diag)
-        self.masks_e = ext(jnp.stack([m.astype(dinv.dtype)
-                                      for m in color_masks]))
+        self.dinv_e = _pad_rows8(tt(dinv))
+        self.diag_e = _pad_rows8(tt(diag))
+        self.masks_e = _pad_rows8(ext(jnp.stack([
+            m.astype(dinv.dtype) for m in color_masks])))
 
     def _to_e(self, x):
         return _extend_lanes(_pad_lanes(x.T, self.npad), self.H, self.E)

@@ -790,9 +790,19 @@ def convective_system(lib, lay, mesh, prm, v, grad, lim, dpdu_full):
             lay, v_i, v_j, mesh.edge_normal, prm.m_infty, s_i, s_j)
     if prm.conv_method == "ROE":
         # Roe residual with the AUSM approximate linearization (defect
-        # correction: the outer Newton converges to the Roe solution)
+        # correction: the outer Newton converges to the Roe solution).
+        # ALE face speed rides the Roe flux exactly like the explicit
+        # path (round-4 fix: the implicit assembly previously dropped
+        # grid_vel on interior edges, so implicit moving-grid runs —
+        # gust FVM, aeroelastic, implicit HB pitching — saw the mesh
+        # displacement but not the mesh velocity)
         from su2_tpu.ops import roe
-        flux = roe.roe_flux(lay, v_i, v_j, mesh.edge_normal)
+        qg = None
+        if prm.grid_vel is not None:
+            ug = prm.grid_vel
+            qg = 0.5 * jnp.einsum("ed,ed->e", ug[i] + ug[j],
+                                  mesh.edge_normal) / mesh.edge_area
+        flux = roe.roe_flux(lay, v_i, v_j, mesh.edge_normal, qg=qg)
     elif prm.conv_method == "HLLC":
         # HLLC residual, AUSM linearization (same defect-correction idea)
         from su2_tpu.ops import hllc
@@ -862,7 +872,8 @@ def bc_system(lib, lay, mesh, prm, bcs, v, dpdu_full, turb_ke=None):
         wn, wnorm = wb
         res = bg.add_rows(res, wn,
                           euler_wall_residual(lib, lay, wn, wnorm, v,
-                                              turb_ke))
+                                              turb_ke,
+                                              grid_vel=prm.grid_vel))
         diag = bg.add_rows(diag, wn,
                            euler_wall_jacobian(lib, lay, wn, wnorm, v,
                                                dpdu_full))
@@ -873,6 +884,15 @@ def bc_system(lib, lay, mesh, prm, bcs, v, dpdu_full, turb_ke=None):
         flux, jac_i, _ = ausm.ausm_flux(
             lay, bg.rows(v, nodes), v_ghost, -normal, prm.m_infty,
             bg.rows(dpdu_full, nodes), s_ghost)
+        if prm.grid_vel is not None:
+            # moving grids: ALE Roe residual on the boundary faces (same
+            # as bc_residuals' explicit path); AUSM linearization kept
+            from su2_tpu.ops import roe
+            area_b = jnp.linalg.norm(normal, axis=1)
+            qg_b = jnp.einsum("ed,ed->e", bg.rows(prm.grid_vel, nodes),
+                              -normal) / area_b
+            flux = roe.roe_flux(lay, bg.rows(v, nodes), v_ghost, -normal,
+                                qg=qg_b)
         res = bg.add_rows(res, nodes, flux)
         diag = bg.add_rows(diag, nodes, jac_i)
     for bc in bcs:

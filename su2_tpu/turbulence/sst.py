@@ -653,7 +653,7 @@ def _sst_step_fused(lay, mesh, scfg, bcs, q, v, flow_grad, mu, mu_t_node,
         # per tile, bitwise-identical owner results (stencil_solve.py)
         selp_t = sel_t.astype(jnp.bfloat16)
         T, H, ntiles, E = _plan
-        ext = lambda x: stks._extend_lanes(x, H, E)
+        ext = lambda x: stks._pad_rows8(stks._extend_lanes(x, H, E))
         selp_e, selm_e, dinv_e, diag_e, masks_e = (
             ext(selp_t), ext(sel_t), ext(dinv_t), ext(diag_t), ext(masks_t))
 

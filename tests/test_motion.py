@@ -178,3 +178,53 @@ def test_pitching_naca_tracks_quasi_steady_lift(tmp_path):
     err = np.abs(cls[sel] - cl_qs[sel]).max()
     assert err < 0.35 * np.abs(cl_qs).max() + 0.02, (
         list(zip(alphas[sel], cls[sel], cl_qs[sel])))
+
+
+def test_implicit_ale_preserves_freestream(tmp_path):
+    """Round-4 regression: the IMPLICIT assembly carries the ALE face
+    speed (convective_system / bc_system previously dropped grid_vel, so
+    implicit moving-grid runs saw displacements but not mesh velocity).
+    Uniform freestream on a translating mesh must stay exact under the
+    implicit update with far-field everywhere."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    import su2_tpu.state as st
+    from su2_tpu.ops import timestep
+    from su2_tpu.solvers import euler as es
+
+    cfg_text = textwrap.dedent("""
+        PHYSICAL_PROBLEM= EULER
+        MACH_NUMBER= 0.3
+        FREESTREAM_TEMPERATURE= 288.15
+        FREESTREAM_PRESSURE= 101325.0
+        MARKER_FAR= ( lower_wall, upper_wall, inlet, outlet )
+        CFL_NUMBER= 5.0
+        CONV_NUM_METHOD_FLOW= ROE
+        TIME_DISCRE_FLOW= EULER_IMPLICIT
+        LINEAR_SOLVER= FGMRES
+        LINEAR_SOLVER_PREC= LU_SGS
+        LINEAR_SOLVER_ITER= 8
+        LINEAR_SOLVER_ERROR= 1e-8
+        SPATIAL_ORDER_FLOW= 1ST_ORDER
+        NUM_METHOD_GRAD= GREEN_GAUSS
+        MESH_FILENAME= unused.su2
+    """)
+    from su2_tpu.geometry.structured import channel_mesh
+    sim = _build(tmp_path, cfg_text, channel_mesh(13, 9, lx=1.0, ly=0.4))
+    lib, lay, prm, tparams = sim.lib, sim.lay, sim.params, sim.tparams
+
+    # constant translation velocity: rigid translation of the whole mesh
+    gvel = jnp.full_like(sim.mesh.coords, 3.0)
+    prm_t = dataclasses.replace(prm, grid_vel=gvel)
+    u, t_guess = sim.u0, sim.t0
+    for _ in range(5):
+        u2, v, _ = st.cons2prim(lib, lay, u, t_guess, tparams)
+        t_guess = v[:, lay.T]
+        dt, _, _ = timestep.local_time_step(sim.mesh, lay, v, prm.cfl,
+                                            prm.max_dt, grid_vel=gvel)
+        u, _, _, _ = es.implicit_euler_update(
+            lib, lay, sim.mesh, prm_t, sim.bcs, u2, v, dt, sim.lower,
+            sim.upper, linear_iter=8, linear_tol=1e-8)
+    rel = float(jnp.abs(u - sim.u0).max() / jnp.abs(sim.u0).max())
+    assert rel < 1e-10, rel
