@@ -656,15 +656,19 @@ def _sst_step_fused(lay, mesh, scfg, bcs, q, v, flow_grad, mu, mu_t_node,
         ext = lambda x: stks._pad_rows8(stks._extend_lanes(x, H, E))
         selp_e, selm_e, dinv_e, diag_e, masks_e = (
             ext(selp_t), ext(sel_t), ext(dinv_t), ext(diag_t), ext(masks_t))
+        # the Krylov loop runs at the padded tile width: r rides
+        # UNEXTENDED (kernel repositions a clamped DMA window), so no
+        # per-iteration halo concat / output slice
+        npad_t = ntiles * T
+        b_w = stks._pad_lanes(b_t, npad_t)
 
         def pm(r_t):
-            z_o, w_o = stks._tiled_sgs_matvec_mixed_call(
-                selp_e, selm_e, dinv_e, diag_e, masks_e, ext(r_t),
+            return stks._tiled_sgs_matvec_mixed_call(
+                selp_e, selm_e, dinv_e, diag_e, masks_e, r_t,
                 offsets=offsets, v=2, ncolor=ncolor, T=T, H=H,
-                ntiles=ntiles, interpret=interpret)
-            return z_o[:, :npad], w_o[:, :npad]
+                ntiles=ntiles, interpret=interpret, r_unext=True)
 
-        x_t, _, _ = krylov.fgmres(None, None, b_t,
+        x_t, _, _ = krylov.fgmres(None, None, b_w,
                                   max_iter=scfg.linear_iter,
                                   tol=scfg.linear_tol, precond_matvec=pm)
     else:

@@ -108,3 +108,32 @@ def test_tiled_mixed_matches_full_mixed():
                                   np.asarray(z_full[:, :n]))
     np.testing.assert_array_equal(np.asarray(w_t[:, :n]),
                                   np.asarray(w_full[:, :n]))
+
+
+def test_tiled_mixed_unextended_r_matches_extended():
+    """r_unext=True (clamped-window DMA + dynamic roll + range mask) must
+    reproduce the extended-r path bitwise on the owner regions."""
+    v, offsets, n, ncolor = 2, (-9, -8, -7, -1, 1, 7, 8, 9), 1000, 4
+    sel_t, dinv_t, diag_t, masks_t, r_t = _synthetic(
+        n, v, offsets, ncolor, dtype=jnp.float32)
+    selp_t = sel_t.astype(jnp.bfloat16)
+    maxoff = max(abs(o) for o in offsets)
+    H = stks._round128((2 * ncolor) * maxoff)
+    T = 256
+    npad = r_t.shape[-1]
+    ntiles = -(-npad // T)
+    E = ntiles * T + 2 * H
+    ext = lambda x: stks._extend_lanes(x, H, E)
+    kw = dict(offsets=offsets, v=v, ncolor=ncolor, T=T, H=H,
+              ntiles=ntiles, interpret=True)
+    z_a, w_a = stks._tiled_sgs_matvec_mixed_call(
+        ext(selp_t), ext(sel_t), ext(dinv_t), ext(diag_t), ext(masks_t),
+        ext(r_t), **kw)
+    r_w = stks._pad_lanes(r_t, ntiles * T)
+    z_b, w_b = stks._tiled_sgs_matvec_mixed_call(
+        ext(selp_t), ext(sel_t), ext(dinv_t), ext(diag_t), ext(masks_t),
+        r_w, r_unext=True, **kw)
+    np.testing.assert_array_equal(np.asarray(z_b[:, :n]),
+                                  np.asarray(z_a[:, :n]))
+    np.testing.assert_array_equal(np.asarray(w_b[:, :n]),
+                                  np.asarray(w_a[:, :n]))
