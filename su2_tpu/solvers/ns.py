@@ -460,6 +460,10 @@ def ns_assemble(lib: ChemLib, lay: Layout, mesh: MeshArrays, prm: NSParams,
                 res = bg.add_rows(res, rn, rflux)
                 if implicit:
                     diag = bg.add_rows(diag, rn, rjac)
+    elif any(bc.kind == "riemann" for bc in bcs):
+        raise NotImplementedError(
+            "MARKER_RIEMANN on sharded (dense-BC) runs: no dense masked "
+            "pass yet — run single-device or use the standard BC pair")
 
     # --- euler (slip) walls ---
     if dense_bc is not None:
