@@ -93,6 +93,7 @@ def test_linelet_exact_on_line_tridiagonal(setup):
     np.testing.assert_allclose(z, z_ref, rtol=1e-10, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_linelet_solver_ops_route(setup):
     mesh, lines = setup
     n = mesh.npoint

@@ -180,6 +180,7 @@ def test_pitching_naca_tracks_quasi_steady_lift(tmp_path):
         list(zip(alphas[sel], cls[sel], cl_qs[sel])))
 
 
+@pytest.mark.slow
 def test_implicit_ale_preserves_freestream(tmp_path):
     """Round-4 regression: the IMPLICIT assembly carries the ALE face
     speed (convective_system / bc_system previously dropped grid_vel, so

@@ -143,6 +143,7 @@ MGLEVEL= 1
         os.chdir(cwd)
 
 
+@pytest.mark.slow
 def test_fas_implicit_smoother_accelerates_naca(tmp_path):
     """FAS with the implicit Euler smoother (round-4 verdict item 7):
     MGLEVEL= 2 implicit on the NACA O-mesh converges measurably further

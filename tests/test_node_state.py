@@ -110,6 +110,7 @@ def test_node_state_nonphys_flags(pasr_sim):
     _compare(sim.lib, sim.lay, sim.tparams, jnp.asarray(u), sim.t0, q[:, 0])
 
 
+@pytest.mark.slow
 def test_node_state_f32_split_tables(pasr_sim):
     """f32 path uses 3-level bf16 table splits (node_state._split3); the
     recovered spline values must match the f32 XLA chain to f32 roundoff."""

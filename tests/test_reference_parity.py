@@ -265,6 +265,7 @@ MESH_FILENAME= unused.su2
 """
 
 
+@pytest.mark.slow
 def test_3d_rans_residual_history_matches_reference(flatplate_dir, tmp_path):
     """3D REACTIVE_RANS residual trajectory matches the reference binary to
     printed digits (flow) / ~1e-4 (turb) — pins the 3D viscous Jacobians,

@@ -50,6 +50,7 @@ BASE = textwrap.dedent("""
 PTOT, TTOT, PBACK = 107800.0, 293.3, 101325.0
 
 
+@pytest.mark.slow
 def test_riemann_duct_matches_standard_bcs(tmp_path):
     cfg_r = BASE + textwrap.dedent(f"""
         MARKER_RIEMANN= ( inlet, TOTAL_CONDITIONS_PT, {PTOT}, {TTOT}, 1.0, 0.0, 0.0, outlet, STATIC_PRESSURE, {PBACK}, 0.0, 1.0, 0.0, 0.0 )

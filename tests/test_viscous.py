@@ -122,6 +122,7 @@ def _random_state(lib, lay, n, seed=3):
                             h[:, None], a[:, None], ys], axis=1)
 
 
+@pytest.mark.slow
 def test_viscous_jacobians_t_match_edge_major(airlib):
     """Feature-major viscous flux + Jacobians (ops/viscous_t.py, the fused
     implicit edge kernel math) pin to the edge-major XLA source of truth on
