@@ -64,6 +64,11 @@ def build_bc_markers(cfg: Config, lib: ChemLib, mesh: MeshArrays,
 
     for tag in cfg.marker_euler:
         out.append(BCMarker("euler_wall", tag, "", params={}, **geom(tag)))
+    for tag in cfg.marker_sym:
+        # symmetry plane == slip wall in this FV scheme (BC_Sym_Plane
+        # forwards to BC_Euler_Wall, solver_direct_mean.cpp:13194-13201);
+        # previously parsed but silently untreated
+        out.append(BCMarker("euler_wall", tag, "", params={}, **geom(tag)))
     for tag, temp in cfg.marker_isothermal.items():
         out.append(BCMarker("isothermal_wall", tag, "",
                             params={"twall": f(temp)}, **geom(tag)))
