@@ -270,6 +270,7 @@ class Simulation:
                          else "AUSM"),
             jst_coeff=(cfg.ad_coeff_flow[1], cfg.ad_coeff_flow[2]),
             lax_coeff=cfg.ad_coeff_flow[0],
+            entropy_fix=cfg.entropy_fix_coeff,
             reactive_sources=self.lib.nreactions > 0,
             pasr=cfg.kind_turb_model == "SST",
             pasr_lb=cfg.pasr_lb,

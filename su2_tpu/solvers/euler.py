@@ -458,6 +458,7 @@ class EulerParams:
     tke_inf: float = 0.0
     jst_coeff: tuple = (0.5, 0.02)   # JST_SENSOR_COEFF (kappa_2, kappa_4)
     lax_coeff: float = 0.15          # LAX_SENSOR_COEFF (kappa_0)
+    entropy_fix: float = 0.001       # ENTROPY_FIX_COEFF (Roe Harten fix)
     # moving grids (ALE / rotating frame, su2_tpu/motion.py): per-node grid
     # velocity (N, d) entering the ROE fluxes, wall BCs, and the time step;
     # rotating_source adds the absolute-velocity-form momentum source
@@ -577,7 +578,8 @@ def convective_residual(lib, lay, mesh, prm, v, grad, lim):
             ug = prm.grid_vel
             qg = 0.5 * jnp.einsum("ed,ed->e", ug[i] + ug[j],
                                   mesh.edge_normal) / mesh.edge_area
-        flux = roe.roe_flux(lay, v_i, v_j, mesh.edge_normal, qg=qg)
+        flux = roe.roe_flux(lay, v_i, v_j, mesh.edge_normal, qg=qg,
+                            entropy_fix=prm.entropy_fix)
     elif prm.conv_method == "HLLC":
         from su2_tpu.ops import hllc
         flux = hllc.hllc_flux(lay, v_i, v_j, mesh.edge_normal)
@@ -712,7 +714,7 @@ def bc_residuals(lib, lay, mesh, prm, bcs, v, dpdu_full, turb_ke=None):
             qg_b = jnp.einsum("ed,ed->e", bg.rows(prm.grid_vel, nodes),
                               -normal) / area_b
             flux = roe.roe_flux(lay, bg.rows(v, nodes), v_ghost, -normal,
-                                qg=qg_b)
+                                qg=qg_b, entropy_fix=prm.entropy_fix)
         else:
             # flux BCs: AUSM between domain and ghost over -vertex normal
             flux = ausm.ausm_flux(lay, bg.rows(v, nodes), v_ghost, -normal,
@@ -807,7 +809,8 @@ def convective_system(lib, lay, mesh, prm, v, grad, lim, dpdu_full):
             ug = prm.grid_vel
             qg = 0.5 * jnp.einsum("ed,ed->e", ug[i] + ug[j],
                                   mesh.edge_normal) / mesh.edge_area
-        flux = roe.roe_flux(lay, v_i, v_j, mesh.edge_normal, qg=qg)
+        flux = roe.roe_flux(lay, v_i, v_j, mesh.edge_normal, qg=qg,
+                            entropy_fix=prm.entropy_fix)
     elif prm.conv_method == "HLLC":
         # HLLC residual, AUSM linearization (same defect-correction idea)
         from su2_tpu.ops import hllc
@@ -897,7 +900,7 @@ def bc_system(lib, lay, mesh, prm, bcs, v, dpdu_full, turb_ke=None):
             qg_b = jnp.einsum("ed,ed->e", bg.rows(prm.grid_vel, nodes),
                               -normal) / area_b
             flux = roe.roe_flux(lay, bg.rows(v, nodes), v_ghost, -normal,
-                                qg=qg_b)
+                                qg=qg_b, entropy_fix=prm.entropy_fix)
         res = bg.add_rows(res, nodes, flux)
         diag = bg.add_rows(diag, nodes, jac_i)
     for bc in bcs:
