@@ -18,6 +18,18 @@ from su2_tpu.geometry.mesh_data import MeshArrays
 EPS = 1e-16
 
 
+def _use_tiled(mesh) -> bool:
+    """Opt-in tiled gradient sweep (pallas/gradients_tiled.py): env knob,
+    TPU f32 stencil meshes only, pending a measured production win."""
+    import os
+    import jax
+    if not os.environ.get("SU2_TPU_TILED_GRAD"):
+        return False
+    if mesh.n_shards != 1 or mesh.stencil_offsets is None:
+        return False
+    return True
+
+
 def pg_fix(mesh: MeshArrays, grad: jnp.ndarray,
            vel_rows=None) -> jnp.ndarray:
     """Overwrite rotational-periodic ghost gradient rows with the rotated
@@ -43,6 +55,9 @@ def green_gauss(mesh: MeshArrays, q: jnp.ndarray) -> jnp.ndarray:
     where n_bnd,i is the accumulated (inward) vertex normal.
     """
     if mesh.gg_snormal is not None:
+        if _use_tiled(mesh):
+            from su2_tpu.pallas import gradients_tiled as gt
+            return gt.gradient_tiled(mesh, q, "GG")
         # stencil meshes: per-offset signed dual normals make the whole
         # edge sweep K rolls + FMAs (no gather, no scatter) — each edge's
         # two side contributions are enumerated by the +-o offset pair
@@ -68,6 +83,9 @@ def weighted_least_squares(mesh: MeshArrays, q: jnp.ndarray) -> jnp.ndarray:
     singular-matrix guards (gradient = 0 if R is singular).
     """
     if mesh.wls_coeff is not None:
+        if _use_tiled(mesh):
+            from su2_tpu.pallas import gradients_tiled as gt
+            return gt.gradient_tiled(mesh, q, "WLS")
         # stencil meshes: the normal-equation inverse is pure geometry and
         # is folded into per-offset coefficient vectors at setup
         # (mesh_data._stencil_grad_geometry) — runtime is K rolls + FMAs.

@@ -1,0 +1,168 @@
+"""Tiled (windowed-DMA) gradient sweeps for static-stencil meshes.
+
+The stencil-mesh GG/WLS gradients are K rolls + FMAs over the whole field
+(ops/gradients.py).  At million-cell sizes each full-field `jnp.roll` is a
+slice+concat pair that XLA moves at a fraction of HBM peak (2.26M profile:
+~1.3-1.5 ms per roll op — the dominant data-movement tail, BASELINE.md
+round 4).  This kernel streams the same arithmetic through overlapping
+lane windows (halo = max|offset|, single pass) with the feature rows
+resident in VMEM, reading q and the per-offset geometry coefficients once.
+
+Opt-in: SU2_TPU_TILED_GRAD=1 routes ops/gradients through it on TPU
+stencil meshes (kept off by default pending a measured win — the tiled
+SST assembly taught that windowed DMA + input stacking can eat the fused
+gain).  Ulp-pinned against the roll path in interpret mode
+(tests/test_gradients_tiled.py)."""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from su2_tpu.pallas.stencil_solve import (_VMEM_LIMIT, _TILE_W_CAP,
+                                          _extend_lanes, _pad_lanes,
+                                          _pad_rows8, _roll, _round128)
+
+
+def tile_plan(mesh, ng: int):
+    """(T, H, ntiles, E) for the tiled gradient sweep, or None."""
+    if mesh.stencil_offsets is None or mesh.n_shards != 1:
+        return None
+    k = len(mesh.stencil_offsets)
+    d = mesh.coords.shape[1]
+    maxoff = max(abs(int(o)) for o in mesh.stencil_offsets)
+    H = _round128(maxoff)
+    # resident rows: q (ng) + coeff (k*d) + out (ng*d) + aux (d + 1) with
+    # a 4x temporaries allowance (the K-sweep keeps rolled dq's live)
+    rows = ng + k * d + ng * d + d + 1 + 4 * (ng + ng * d)
+    W = min(_TILE_W_CAP, (_VMEM_LIMIT // (rows * 4)) // 128 * 128)
+    T = W - 2 * H
+    if T < max(8 * 128, H):
+        return None
+    npad = _round128(mesh.npoint)
+    ntiles = -(-npad // T)
+    E = ntiles * T + 2 * H
+    return T, H, ntiles, E
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "offsets", "ng", "d", "mode", "T", "H", "ntiles", "interpret"))
+def _grad_tiled_call(q_e, coef_e, aux_e, *, offsets, ng, d, mode, T, H,
+                     ntiles, interpret):
+    """mode="WLS":  grad[g,dd] = sum_k coef[k,dd] * (q(p+o_k) - q(p))
+       mode="GG":   acc[g,dd]  = sum_k 0.5 (q + q(p+o_k)) * coef[k,dd];
+                    grad = (acc - q * aux[dd]) / aux[d]   (bnd normal, vol)
+    q_e (ng, E); coef_e (k*d, E); aux_e (d+1, E) [GG only, zeros for WLS].
+    Output (ng*d, ntiles*T)."""
+    W = T + 2 * H
+    dtype = q_e.dtype
+    kk = len(offsets)
+
+    def kernel(q_h, c_h, a_h, g_o, q_s, c_s, a_s, g_s, sems):
+        i = pl.program_id(0)
+        s = i * T
+        cps = [
+            pltpu.make_async_copy(q_h.at[:, pl.ds(s, W)], q_s, sems.at[0]),
+            pltpu.make_async_copy(c_h.at[:, pl.ds(s, W)], c_s, sems.at[1]),
+            pltpu.make_async_copy(a_h.at[:, pl.ds(s, W)], a_s, sems.at[2]),
+        ]
+        for c in cps:
+            c.start()
+        for c in cps:
+            c.wait()
+        q = q_s[...]
+        coef = c_s[...]
+        out = [None] * (ng * d)
+        for k, o in enumerate(offsets):
+            qr = _roll(q, o)
+            if mode == "WLS":
+                dq = qr - q
+                for dd in range(d):
+                    crow = coef[k * d + dd]
+                    for g in range(ng):
+                        t = crow * dq[g]
+                        idx = g * d + dd
+                        out[idx] = t if out[idx] is None else out[idx] + t
+            else:
+                avg = 0.5 * (q + qr)
+                for dd in range(d):
+                    crow = coef[k * d + dd]
+                    for g in range(ng):
+                        t = avg[g] * crow
+                        idx = g * d + dd
+                        out[idx] = t if out[idx] is None else out[idx] + t
+        if mode == "GG":
+            aux = a_s[...]
+            vol = aux[d]
+            safe_vol = jnp.where(vol > 0.0, vol, 1.0)
+            for dd in range(d):
+                for g in range(ng):
+                    idx = g * d + dd
+                    out[idx] = (out[idx] - q[g] * aux[dd]) / safe_vol
+        rows = [o[None] for o in out]
+        for _ in range(_pad8(ng * d) - ng * d):
+            rows.append(jnp.zeros_like(rows[0]))
+        g_s[...] = jnp.concatenate(rows, axis=0)
+        cg = pltpu.make_async_copy(g_s.at[:, pl.ds(H, T)],
+                                   g_o.at[:, pl.ds(s, T)], sems.at[3])
+        cg.start()
+        cg.wait()
+
+    anyspec = pl.BlockSpec(memory_space=pl.ANY)
+    hbmspec = pl.BlockSpec(memory_space=pltpu.HBM)
+    return pl.pallas_call(
+        kernel,
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT, has_side_effects=True),
+        grid=(ntiles,),
+        in_specs=[anyspec] * 3,
+        out_specs=hbmspec,
+        out_shape=jax.ShapeDtypeStruct((_pad8(ng * d), ntiles * T),
+                                       dtype),
+        scratch_shapes=[
+            pltpu.VMEM((q_e.shape[0], W), dtype),
+            pltpu.VMEM((coef_e.shape[0], W), dtype),
+            pltpu.VMEM((aux_e.shape[0], W), dtype),
+            pltpu.VMEM((_pad8(ng * d), W), dtype),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )(q_e, coef_e, aux_e)
+
+
+def _pad8(r: int) -> int:
+    return r + ((-r) % 8 if r > 8 else 0)
+
+
+def gradient_tiled(mesh, q, mode: str):
+    """(nP, nG) -> (nP, nG, d): the tiled form of the stencil GG/WLS
+    sweep.  Caller guarantees mesh.stencil_offsets (and gg_snormal /
+    wls_coeff per mode)."""
+    n, ng = q.shape
+    d = mesh.coords.shape[1]
+    plan = tile_plan(mesh, ng)
+    assert plan is not None
+    T, H, ntiles, E = plan
+    npad = _round128(n)
+    ext = lambda x: _pad_rows8(_extend_lanes(_pad_lanes(x, npad), H, E))
+    q_e = ext(q.T)
+    if mode == "WLS":
+        coef = mesh.wls_coeff.astype(q.dtype)       # (K, nP, d)
+        aux = jnp.zeros((1, n), q.dtype)
+    else:
+        coef = mesh.gg_snormal.astype(q.dtype)      # (K, nP, d)
+        aux = jnp.concatenate(
+            [mesh.bnd_accum_normal.T, mesh.volume[None]],
+            axis=0).astype(q.dtype)
+    k = coef.shape[0]
+    coef_e = ext(coef.transpose(0, 2, 1).reshape(k * d, n))
+    aux_e = ext(aux)
+    from su2_tpu.pallas.stencil_solve import _interpret
+    g_o = _grad_tiled_call(
+        q_e, coef_e, aux_e, offsets=tuple(mesh.stencil_offsets), ng=ng,
+        d=d, mode=mode, T=T, H=H, ntiles=ntiles, interpret=_interpret())
+    return g_o[:ng * d, :n].reshape(ng, d, n).transpose(2, 0, 1)
