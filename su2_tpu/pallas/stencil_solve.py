@@ -547,13 +547,16 @@ def _pad_rows8(x):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "offsets", "v", "ncolor", "T", "H", "ntiles", "interpret"))
+    "offsets", "v", "ncolor", "T", "H", "ntiles", "interpret", "r_unext"))
 def _tiled_sgs_matvec_call(sel_e, dinv_e, diag_e, masks_e, r_e, *, offsets,
-                           v, ncolor, T, H, ntiles, interpret):
+                           v, ncolor, T, H, ntiles, interpret,
+                           r_unext: bool = False):
     """Tiled fused (z, A z): one sel array serves sweep and matvec (f32
     path).  Inputs are lane-extended (see _extend_lanes); outputs are
-    (v, ntiles*T) — caller slices [:, :npad]."""
+    (v, ntiles*T) — caller slices [:, :npad].  r_unext: r rides at the
+    padded output width, repositioned in-kernel (see the mixed call)."""
     W = T + 2 * H
+    npad_t = ntiles * T
     dtype = r_e.dtype
     kk = len(offsets)
 
@@ -570,14 +573,27 @@ def _tiled_sgs_matvec_call(sel_e, dinv_e, diag_e, masks_e, r_e, *, offsets,
                                   sems.at[2]),
             pltpu.make_async_copy(masks_h.at[:, pl.ds(s, W)], masks_s,
                                   sems.at[3]),
-            pltpu.make_async_copy(r_h.at[:, pl.ds(s, W)], r_s, sems.at[4]),
         ]
+        if r_unext:
+            sc = jnp.clip(s - H, 0, npad_t - W)
+            cps.append(pltpu.make_async_copy(
+                r_h.at[:, pl.ds(sc, W)], r_s, sems.at[4]))
+        else:
+            cps.append(pltpu.make_async_copy(
+                r_h.at[:, pl.ds(s, W)], r_s, sems.at[4]))
         for c in cps:
             c.start()
         for c in cps:
             c.wait()
+        r_w = r_s[...]
+        if r_unext:
+            delta = sc - (s - H)
+            r_w = pltpu.roll(r_w, jnp.int32(delta % W), axis=1)
+            gidx = jax.lax.broadcasted_iota(jnp.int32, (v, W), 1) \
+                + (s - H)
+            r_w = jnp.where((gidx >= 0) & (gidx < npad_t), r_w, 0.0)
         sel = sel_s[...]
-        z = _sgs_body(sel, dinv_s[...], masks_s[...], r_s[...],
+        z = _sgs_body(sel, dinv_s[...], masks_s[...], r_w,
                       offsets, v, ncolor)
         z_s[...] = z
         w_s[...] = _bapply(diag_s[...], z, v) + _offdiag(sel, z, offsets, v)
@@ -809,15 +825,16 @@ class TiledStencilOps:
     def precond_matvec(self, r):
         kw = dict(offsets=self.offsets, v=self.v, ncolor=self.ncolor,
                   T=self.T, H=self.H, ntiles=self.ntiles,
-                  interpret=_interpret())
+                  interpret=_interpret(), r_unext=True)
+        r_w = _pad_lanes(r.T, self.ntiles * self.T)
         if self.mixed:
             z_o, w_o = _tiled_sgs_matvec_mixed_call(
                 self.selp_e, self.selm_e, self.dinv_e, self.diag_e,
-                self.masks_e, self._to_e(r), **kw)
+                self.masks_e, r_w, **kw)
         else:
             z_o, w_o = _tiled_sgs_matvec_call(
                 self.selm_e, self.dinv_e, self.diag_e, self.masks_e,
-                self._to_e(r), **kw)
+                r_w, **kw)
         return self._from_o(z_o), self._from_o(w_o)
 
     def precond(self, r):

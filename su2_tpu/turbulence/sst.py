@@ -442,9 +442,19 @@ def sst_step(lay: Layout, mesh: MeshArrays, scfg: SSTConfig, bcs,
             pc = lambda r: pce(diag, off_ij, off_ji, r)
         pm, solve = None, None
     elif fam_off is not None:
-        sel = fam_off[:, :, :, None] * eye2                  # (K, nP, 2, 2)
-        mv, pc, pm, solve = blockcsr.make_solver_ops_fam(
-            mesh, diag, sel, scfg.linear_prec, scfg.color_masks,
+        # off-diagonal 2x2 blocks are diagonal: hand the solver the LANE
+        # layout directly (rows [m00, 0, 0, m11] per offset) instead of
+        # materializing + relayouting a (K, nP, 2, 2) tensor — at 2.26M
+        # that round trip was several full-field passes per iteration
+        zrow = jnp.zeros_like(fam_off[0, :, 0])[None]
+        sel_rows = []
+        for k in range(fam_off.shape[0]):
+            sel_rows += [fam_off[k, :, 0][None], zrow, zrow,
+                         fam_off[k, :, 1][None]]
+        jac_t = blockcsr.StencilJacobianT(
+            diag=diag, sel_t=jnp.concatenate(sel_rows, axis=0))
+        mv, pc, pm, solve = blockcsr.make_solver_ops(
+            mesh, jac_t, scfg.linear_prec, scfg.color_masks,
             linear_iter=scfg.linear_iter,
             allow_pallas=scfg.allow_pallas)
     else:
