@@ -575,7 +575,11 @@ def _tiled_sgs_matvec_call(sel_e, dinv_e, diag_e, masks_e, r_e, *, offsets,
                                   sems.at[3]),
         ]
         if r_unext:
-            sc = jnp.clip(s - H, 0, npad_t - W)
+            # all terms are 128-multiples; the //128*128 is an identity
+            # that makes the divisibility PROVABLE to Mosaic (needed when
+            # XLA places r_h in VMEM — dynamic vmem slices must prove
+            # 128-alignment, and it can't see through clip)
+            sc = jnp.clip((s - H) // 128, 0, (npad_t - W) // 128) * 128
             cps.append(pltpu.make_async_copy(
                 r_h.at[:, pl.ds(sc, W)], r_s, sems.at[4]))
         else:
@@ -669,8 +673,10 @@ def _tiled_sgs_matvec_mixed_call(selp_e, selm_e, dinv_e, diag_e, masks_e,
         if r_unext:
             # clamped window from the unextended buffer; reposition by a
             # dynamic roll and zero the out-of-range halo lanes.  delta =
-            # sc - (s - H) in [-(W - T), H]; roll is mod-W.
-            sc = jnp.clip(s - H, 0, npad_t - W)
+            # sc - (s - H) in [-(W - T), H]; roll is mod-W.  The //128*128
+            # is an identity (all terms are 128-multiples) that makes the
+            # slice alignment PROVABLE to Mosaic for VMEM-resident r_h.
+            sc = jnp.clip((s - H) // 128, 0, (npad_t - W) // 128) * 128
             cps.append(pltpu.make_async_copy(
                 r_h.at[:, pl.ds(sc, W)], r_s, sems.at[5]))
         else:
