@@ -24,7 +24,7 @@ from su2_tpu.geometry.dual_grid import build_dual_grid
 from su2_tpu.geometry.mesh_data import mesh_arrays
 from dataclasses import replace as dataclasses_replace
 
-from su2_tpu.ops import timestep
+from su2_tpu.ops import gradients, timestep
 from su2_tpu.solvers import euler as es
 from su2_tpu.solvers import ns
 from su2_tpu.turbulence import sst
@@ -758,15 +758,32 @@ class Simulation:
             # ride the (k, omega) gradients in the same WLS/GG sweep when
             # the methods match (per-variable math is independent)
             merge_gq = is_sst and scfg.grad_method == cfg.num_method_grad
+            gvel_t = None
             if merge_gq:
                 nq = qgrad.shape[1]
-                gall = es.compute_gradients(
-                    mesh, prm, jnp.concatenate([qgrad, q], axis=1))
-                grad_new, gq_turb = gall[:, :nq, :], gall[:, nq:, :]
+                qcat = jnp.concatenate([qgrad, q], axis=1)
+                # feature-major rows fast path (tiled stencil sweeps): the
+                # turb phase reads only the velocity-gradient block and the
+                # (k, omega) block — convert those 6 rows instead of
+                # retiling the whole (nP, nq+2, d) array
+                gall_rows = es.compute_gradient_rows(mesh, prm, qcat)
+                if gall_rows is not None:
+                    ndm = mesh.ndim
+                    gvel_t = gradients.rows_to_grad(
+                        gall_rows[ndm:(1 + ndm) * ndm], ndm, ndm)
+                    gq_turb = gradients.rows_to_grad(
+                        gall_rows[nq * ndm:], 2, ndm)
+                    grad_new = None
+                else:
+                    gall = es.compute_gradients(mesh, prm, qcat)
+                    grad_new, gq_turb = gall[:, :nq, :], gall[:, nq:, :]
             else:
                 grad_new = es.compute_gradients(mesh, prm, qgrad)
                 gq_turb = None
-            strain, vort = sst.strain_and_vorticity(lay, grad_new)
+            if gvel_t is not None:
+                strain, vort = sst.strain_and_vorticity_g(gvel_t)
+            else:
+                strain, vort = sst.strain_and_vorticity(lay, grad_new)
             trans_new = vis.Transport(mu=nsd2.mu, kappa=None, dij=None)
             if cfg.kind_turb_model == "SA":
                 from su2_tpu.turbulence import sa
@@ -799,7 +816,7 @@ class Simulation:
                 self.kine_inf, self.omega_inf,
                 lib=lib, dpdu_e=nsd2.gm1, tke_inf=prm.tke_inf,
                 gq=gq_turb, flow_fb=flow_fb, dense_bc=self.dense_bc,
-                gq_prev=grad_k)
+                gq_prev=grad_k, gvel=gvel_t)
             return (u_new, v_new[:, lay.T], q_new, outs["mu_t"],
                     outs["gq"], outs["sigma_k"], rms_scale * rms, rmax,
                     rms_scale * turb_rms,

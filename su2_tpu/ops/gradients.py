@@ -55,6 +55,30 @@ def pg_fix(mesh: MeshArrays, grad: jnp.ndarray,
     return grad.at[mesh.pg_start:].set(g2)
 
 
+def gradient_rows(mesh: MeshArrays, q: jnp.ndarray, method: str):
+    """(nP, nG) -> (nG*d, nP) feature-major gradient rows, or None when
+    the rows fast path does not apply (non-tiled mesh, periodic ghosts).
+
+    Row g*d + dd holds d(q_g)/dx_dd.  This is the tiled sweep's NATIVE
+    layout (pallas/gradients_tiled.gradient_tiled_rows); handing it to
+    feature-major consumers (the fused edge kernels' f_all stack) skips
+    the T(8,128)->T(2,128) node-major retiling that cost ~1.4 ms/iter at
+    565k.  Bitwise-identical values to green_gauss/weighted_least_squares
+    (same kernel, no relayout)."""
+    if not _use_tiled(mesh) or mesh.pg_src is not None:
+        return None
+    from su2_tpu.pallas import gradients_tiled as gt
+    mode = "GG" if method == "GREEN_GAUSS" else "WLS"
+    return gt.gradient_tiled_rows(mesh, q, mode)
+
+
+def rows_to_grad(rows: jnp.ndarray, ng: int, d: int) -> jnp.ndarray:
+    """(nG*d, nP) rows -> (nP, nG, d) node-major gradient (the layout
+    green_gauss/weighted_least_squares return)."""
+    n = rows.shape[1]
+    return rows.reshape(ng, d, n).transpose(2, 0, 1)
+
+
 def green_gauss(mesh: MeshArrays, q: jnp.ndarray) -> jnp.ndarray:
     """(nP, nG) -> (nP, nG, d) gradient.
 

@@ -303,7 +303,7 @@ def fused_edge_flux_pallas(lay, m_infty, prandtl_turb, lewis_turb,
 
 
 def fused_interior_terms(lib, lay, mesh, prm, v, grad, trans, turb,
-                         sigma_k, dpdu_e):
+                         sigma_k, dpdu_e, grad_rows=None):
     """Stack all per-node inputs feature-major, gather both edge endpoints
     in one gather each, and run the fused kernel.
 
@@ -318,13 +318,23 @@ def fused_interior_terms(lib, lay, mesh, prm, v, grad, trans, turb,
     npoints = v.shape[0]
 
     # gradient rows of the AVGGRAD set [T, u.., X..] (pressure row dropped)
-    sel = np.concatenate([np.arange(0, 1 + nd),
-                          np.arange(2 + nd, 2 + nd + ns)])
-    gsel = grad[:, sel, :].reshape(npoints, (1 + nd + ns) * nd)
-    f_all = jnp.concatenate([
-        v, gsel, trans.mu[:, None], trans.kappa[:, None],
-        turb.mu_t[:, None], turb.tke[:, None], turb.grad_tke,
-        (dpdu_e + 1.0)[:, None], sigma_k[:, None]], axis=1).T   # (48, nP)
+    if grad_rows is not None:
+        # feature-major fast path: row-slice the (nG*d, nP) rows and build
+        # the stack directly in lane layout — no node-major retiling
+        gsel_t = jnp.concatenate([grad_rows[:(1 + nd) * nd],
+                                  grad_rows[(2 + nd) * nd:]], axis=0)
+        f_all = jnp.concatenate([
+            v.T, gsel_t, trans.mu[None], trans.kappa[None],
+            turb.mu_t[None], turb.tke[None], turb.grad_tke.T,
+            (dpdu_e + 1.0)[None], sigma_k[None]], axis=0)        # (48, nP)
+    else:
+        sel = np.concatenate([np.arange(0, 1 + nd),
+                              np.arange(2 + nd, 2 + nd + ns)])
+        gsel = grad[:, sel, :].reshape(npoints, (1 + nd + ns) * nd)
+        f_all = jnp.concatenate([
+            v, gsel, trans.mu[:, None], trans.kappa[:, None],
+            turb.mu_t[:, None], turb.tke[:, None], turb.grad_tke,
+            (dpdu_e + 1.0)[:, None], sigma_k[:, None]], axis=1).T  # (48, nP)
 
     sc = viscous_t.species_consts(np.asarray(lib.mm),
                                   np.asarray(lib.diff_vol), v.dtype)
@@ -552,7 +562,8 @@ def fused_edge_implicit_pallas(lay, m_infty, prandtl_turb, lewis_turb,
 
 
 def fused_implicit_family_terms(lib, lay, mesh, prm, v, grad, lim,
-                                dpdu_full, dtdu_full, trans, turb, sigma_k):
+                                dpdu_full, dtdu_full, trans, turb, sigma_k,
+                                grad_rows=None):
     """Family-major fused implicit assembly on a static-stencil mesh.
 
     Returns (res (nP, nVar), diag (nP, nVar, nVar), sel_t (K*nVar^2, nP))
@@ -564,14 +575,22 @@ def fused_implicit_family_terms(lib, lay, mesh, prm, v, grad, lim,
     npoints = v.shape[0]
     ng = 2 + nd + ns
 
-    gflat = grad.reshape(npoints, ng * nd)
     if lim is None:
         lim = jnp.ones((npoints, 2 + nd), dtype=v.dtype)
-    f_all = jnp.concatenate([
-        v, gflat, lim, trans.mu[:, None], trans.kappa[:, None],
-        turb.mu_t[:, None], turb.tke[:, None], turb.grad_tke,
-        sigma_k[:, None], dtdu_full,
-        dpdu_full], axis=1).T
+    if grad_rows is not None:
+        # feature-major fast path: the tiled gradient rows ride straight
+        # into the lane-layout stack — no node-major retiling round trip
+        f_all = jnp.concatenate([
+            v.T, grad_rows, lim.T, trans.mu[None], trans.kappa[None],
+            turb.mu_t[None], turb.tke[None], turb.grad_tke.T,
+            sigma_k[None], dtdu_full.T, dpdu_full.T], axis=0)
+    else:
+        gflat = grad.reshape(npoints, ng * nd)
+        f_all = jnp.concatenate([
+            v, gflat, lim, trans.mu[:, None], trans.kappa[:, None],
+            turb.mu_t[:, None], turb.tke[:, None], turb.grad_tke,
+            sigma_k[:, None], dtdu_full,
+            dpdu_full], axis=1).T
 
     sc = viscous_t.species_consts(np.asarray(lib.mm),
                                   np.asarray(lib.diff_vol), v.dtype)

@@ -138,10 +138,17 @@ def _pad8(r: int) -> int:
     return r + ((-r) % 8 if r > 8 else 0)
 
 
-def gradient_tiled(mesh, q, mode: str):
-    """(nP, nG) -> (nP, nG, d): the tiled form of the stencil GG/WLS
-    sweep.  Caller guarantees mesh.stencil_offsets (and gg_snormal /
-    wls_coeff per mode)."""
+def gradient_tiled_rows(mesh, q, mode: str):
+    """(nP, nG) -> (nG*d, nP) feature-major gradient rows (row g*d + dd
+    holds d(q_g)/dx_dd), the tiled stencil GG/WLS sweep WITHOUT the
+    node-major relayout.
+
+    The kernel's natural output is lane-major; transposing it to the
+    (nP, nG, d) logical form forces XLA into a T(8,128)->T(2,128)
+    retiling copy (~1.4 ms/iter for the two sweeps at 565k).  Feature-
+    major consumers (the fused edge kernels' f_all stack, the tiled SST
+    assembly) take these rows as-is; node-major consumers convert just
+    the rows they need (ops/gradients.rows_to_grad)."""
     n, ng = q.shape
     d = mesh.coords.shape[1]
     plan = tile_plan(mesh, ng)
@@ -165,4 +172,14 @@ def gradient_tiled(mesh, q, mode: str):
     g_o = _grad_tiled_call(
         q_e, coef_e, aux_e, offsets=tuple(mesh.stencil_offsets), ng=ng,
         d=d, mode=mode, T=T, H=H, ntiles=ntiles, interpret=_interpret())
-    return g_o[:ng * d, :n].reshape(ng, d, n).transpose(2, 0, 1)
+    return g_o[:ng * d, :n]
+
+
+def gradient_tiled(mesh, q, mode: str):
+    """(nP, nG) -> (nP, nG, d): the tiled form of the stencil GG/WLS
+    sweep.  Caller guarantees mesh.stencil_offsets (and gg_snormal /
+    wls_coeff per mode)."""
+    n, ng = q.shape
+    d = mesh.coords.shape[1]
+    rows = gradient_tiled_rows(mesh, q, mode)
+    return rows.reshape(ng, d, n).transpose(2, 0, 1)

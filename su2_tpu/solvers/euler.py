@@ -489,6 +489,14 @@ def compute_gradients(mesh, prm: EulerParams, q, vel_rows="flow"):
         vel_rows=(1, 1 + mesh.ndim) if vel_rows == "flow" else None)
 
 
+def compute_gradient_rows(mesh, prm: EulerParams, q):
+    """Feature-major (nG*d, nP) gradient rows when the tiled fast path
+    applies (ops/gradients.gradient_rows), else None.  Values are
+    bitwise-identical to compute_gradients; periodic-ghost meshes return
+    None (pg_fix needs the node-major form)."""
+    return gradients.gradient_rows(mesh, q, prm.grad_method)
+
+
 def _muscl_rows(lib, lay, prm, vrow, qrow, gradrow, limrow, dx):
     """MUSCL-reconstructed face state from pre-gathered node rows.
 

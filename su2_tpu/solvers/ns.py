@@ -200,10 +200,19 @@ def ns_assemble(lib: ChemLib, lay: Layout, mesh: MeshArrays, prm: NSParams,
     # gradients of the NS variable set [T, u.., P, X..]
     q = viscous.ns_gradient_vars(lib, lay, v,
                                  xs=None if nsd is None else nsd.xs)
-    grad = es.compute_gradients(mesh, prm, q)
+    ngv = q.shape[1]
+    # feature-major rows fast path (tiled stencil sweeps): the fused
+    # kernels consume the (nG*d, nP) rows directly; node-major views are
+    # materialized only where a consumer needs them (limiter slice,
+    # boundary gathers, non-fused fallback branches)
+    grad_rows = es.compute_gradient_rows(mesh, prm, q)
+    grad = None if grad_rows is not None \
+        else es.compute_gradients(mesh, prm, q)
     if prm.use_limiter:
         qlim = es.gradient_vars(lay, v)
-        glim = grad[:, :2 + nd, :]
+        glim = grad[:, :2 + nd, :] if grad is not None \
+            else gradients.rows_to_grad(grad_rows[:(2 + nd) * nd],
+                                        2 + nd, nd)
         if prm.limiter_kind == "BARTH_JESPERSEN":
             lim = limiters.barth_jespersen(mesh, qlim, glim)
         else:
@@ -240,12 +249,11 @@ def ns_assemble(lib: ChemLib, lay: Layout, mesh: MeshArrays, prm: NSParams,
         from su2_tpu.pallas import edge_fused
         res, lam_c, lam_v = edge_fused.fused_interior_terms(
             lib, lay, mesh, prm, v, grad, trans, turb, turb.sigma_k,
-            dpdu_full[:, lay.RHOE])
+            dpdu_full[:, lay.RHOE], grad_rows=grad_rows)
         lambdas = (lam_c, lam_v)
         diag = off_ij = off_ji = None
     else:
         lambdas = None
-        grad_euler = grad[:, :2 + nd, :]
         # family-major implicit assembly: the off-diagonal Jacobian blocks
         # land directly in the static-stencil layout (blockcsr.
         # FamilyJacobian), skipping the edge gathers and the
@@ -267,12 +275,17 @@ def ns_assemble(lib: ChemLib, lay: Layout, mesh: MeshArrays, prm: NSParams,
         fam_exp = (not implicit and mesh.fam_offsets is not None
                    and mesh.stencil_sel is not None and mesh.n_shards > 1
                    and prm.conv_method == "AUSM")
+        if grad is None and not fam_imp_fused:
+            # non-fused fallback branches consume node-major gradients
+            grad = gradients.rows_to_grad(grad_rows, ngv, nd)
+        grad_euler = None if grad is None else grad[:, :2 + nd, :]
         if fam_imp_fused:
             from su2_tpu.pallas import edge_fused
             res, diag, sel_t = edge_fused.fused_implicit_family_terms(
                 lib, lay, mesh, prm, v, grad,
                 lim if prm.use_limiter else None,
-                dpdu_full, dtdu_full, trans, turb, turb.sigma_k)
+                dpdu_full, dtdu_full, trans, turb, turb.sigma_k,
+                grad_rows=grad_rows)
             off_ij = off_ji = None
         elif fam_imp:
             gi, gj = mesh.fam_gather_i, mesh.fam_gather_j
@@ -373,6 +386,9 @@ def ns_assemble(lib: ChemLib, lay: Layout, mesh: MeshArrays, prm: NSParams,
     if dense_bc is not None:
         from su2_tpu.solvers import bc_dense as bcd
 
+        if grad is None:
+            # dense masked BC passes run full-field on node-major grads
+            grad = gradients.rows_to_grad(grad_rows, ngv, nd)
         ghost_layers = bcd.flux_ghost_layers(lib, lay, dense_bc, v,
                                              dpdu_full, prm.tke_inf)
         fb = ("dense", ghost_layers)
@@ -433,7 +449,11 @@ def ns_assemble(lib: ChemLib, lay: Layout, mesh: MeshArrays, prm: NSParams,
                      if turb is not None else None),
             prandtl_turb=prm.prandtl_turb, lewis_turb=prm.lewis_turb)
         tr_n = _trans_rows(trans, nodes, lib, lay, v)
-        g_n = bg.rows(grad, nodes)
+        # boundary-row gradients: gather the boundary columns from the
+        # feature-major rows when the rows fast path is active (avoids
+        # materializing the full node-major relayout for a few k rows)
+        g_n = bg.rows(grad, nodes) if grad is not None \
+            else bg.rows(grad_rows.T, nodes).reshape(-1, ngv, nd)
         if implicit:
             vf, vj_i, _ = viscous.viscous_flux(
                 lib, lay, bg.rows(v, nodes), v_ghost, g_n, g_n,
@@ -587,6 +607,12 @@ def ns_assemble(lib: ChemLib, lay: Layout, mesh: MeshArrays, prm: NSParams,
     if mesh.pg_src is not None:
         # rotational-periodic ghost rows carry no equations
         res = res.at[mesh.pg_start:].set(0.0)
+
+    if grad is None:
+        # API compatibility: callers get the node-major form; XLA dead-code
+        # eliminates this conversion whenever the caller discards it (the
+        # production rans step recomputes gradients for the turb phase)
+        grad = gradients.rows_to_grad(grad_rows, ngv, nd)
 
     if not implicit:
         if want_lambdas:

@@ -66,8 +66,14 @@ def strain_and_vorticity(lay: Layout, grad: jnp.ndarray):
     """StrainMag and vorticity magnitude from the velocity gradient rows of
     the NS gradient set (rows 1..nd) (SetStrainMag/SetVorticity,
     variable_direct_reactive.cpp:1038-1095)."""
-    nd = lay.ndim
-    g = grad[:, 1:1 + nd, :]                 # (N, comp, dim)
+    return strain_and_vorticity_g(grad[:, 1:1 + lay.ndim, :])
+
+
+def strain_and_vorticity_g(gvel: jnp.ndarray):
+    """strain_and_vorticity from the (N, nd, nd) velocity-gradient block
+    directly (the gradient-rows fast path hands just these rows)."""
+    nd = gvel.shape[1]
+    g = gvel                                 # (N, comp, dim)
     div = jnp.einsum("ndd->n", g)
     diag = sum((g[:, d, d] - div / 3.0) ** 2 for d in range(nd))
     off = sum(2.0 * (0.5 * (g[:, a, b] + g[:, b, a])) ** 2
@@ -149,7 +155,8 @@ def sst_step(lay: Layout, mesh: MeshArrays, scfg: SSTConfig, bcs,
              q, v, flow_grad, mu, mu_t_node, strain_mag, dist,
              rho_old, dt, kine_inf, omega_inf,
              lib=None, dpdu_e=None, tke_inf: float = 0.0, gq=None,
-             flow_fb=None, dense_bc=None, gq_prev=None, hb_src=None):
+             flow_fb=None, dense_bc=None, gq_prev=None, hb_src=None,
+             gvel=None):
     """One implicit Euler iteration of the SST system.
 
     q: (N, 2) primitive (k, omega); v: flow primitives; flow_grad: NS
@@ -208,7 +215,7 @@ def sst_step(lay: Layout, mesh: MeshArrays, scfg: SSTConfig, bcs,
                                    mu, mu_t_node, strain_mag, dist, rho_old,
                                    dt, kine_inf, omega_inf, lib, dpdu_e,
                                    tke_inf, gq, grad_k, grad_w, flow_fb,
-                                   f1, f2, cdkw)
+                                   f1, f2, cdkw, gvel=gvel)
     sigma_k_blend = f1 * SIGMA_K1 + (1.0 - f1) * SIGMA_K2
     sigma_w_blend = f1 * SIGMA_OM1 + (1.0 - f1) * SIGMA_OM2
 
@@ -320,7 +327,8 @@ def sst_step(lay: Layout, mesh: MeshArrays, scfg: SSTConfig, bcs,
         off_ji = -jac_ci - vji
 
     # ---- source (CSourcePieceWise_TurbSST) ----
-    gvel = flow_grad[:, 1:1 + lay.ndim, :]
+    if gvel is None:
+        gvel = flow_grad[:, 1:1 + lay.ndim, :]
     diverg = jnp.einsum("ndd->n", gvel)
     k_, w_ = q[:, 0], q[:, 1]
     alfa_b = f1 * ALFA_1 + (1.0 - f1) * ALFA_2
@@ -580,7 +588,7 @@ _CONSTS = (SIGMA_K1, SIGMA_K2, SIGMA_OM1, SIGMA_OM2, BETA_1, BETA_2,
 def _sst_step_fused(lay, mesh, scfg, bcs, q, v, flow_grad, mu, mu_t_node,
                     strain_mag, dist, rho_old, dt, kine_inf, omega_inf,
                     lib, dpdu_e, tke_inf, gq, grad_k, grad_w, flow_fb,
-                    f1, f2, cdkw):
+                    f1, f2, cdkw, gvel=None):
     """sst_step body on the fused-assembly path: ONE pallas launch builds
     (res, diag, sel) in the lane layout (pallas/sst_assemble.py), the weak
     BCs add in lane space (bg.add_cols), and the system feeds the
@@ -607,7 +615,8 @@ def _sst_step_fused(lay, mesh, scfg, bcs, q, v, flow_grad, mu, mu_t_node,
             wall_mask = bg.set_rows(wall_mask, nodes, True)
             q_wall = bg.set_col_rows(q_wall, nodes, 1, w_wall)
 
-    gvel = flow_grad[:, 1:1 + lay.ndim, :]
+    if gvel is None:
+        gvel = flow_grad[:, 1:1 + lay.ndim, :]
     diverg = jnp.einsum("ndd->n", gvel)
     consts = _CONSTS + (float(scfg.cfl_red),)
     res_t, dd_t, sel_t = sstasm.sst_assemble(
