@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from su2_tpu.ops import ausm_t, viscous_t
 from su2_tpu.ops.viscous_t import SpeciesConsts
@@ -234,6 +235,157 @@ def fused_edge_flux_pallas_multi(lay, m_infty, prandtl_turb, lewis_turb,
     return fluxes, outs[kh][:, :ne], outs[kh + 1][:, :ne]
 
 
+def _edge_win_plan(mesh):
+    """(T, H, ntiles) for the windowed explicit family kernel, or None.
+
+    Windowed form of fused_edge_flux_pallas_multi: instead of 4 host-side
+    rolls of the 48-row f_all (slice+DUS pairs, ~2.3 ms/iter at 565k) plus
+    the flux/lambda roll-subtract scatter (~1 ms), the kernel DMAs one
+    halo window per tile, forms f_j by in-VMEM lane rotation, and emits
+    the NODE-accumulated residual directly.  Default on for single-shard
+    TPU stencil meshes >= 200k nodes (the tiled tier); SU2_TPU_WIN_EDGE=1
+    forces it anywhere (tests), =0 disables."""
+    import os
+    env = os.environ.get("SU2_TPU_WIN_EDGE", "")
+    if env == "0":
+        return None
+    if mesh.fam_offsets is None or mesh.n_shards != 1:
+        return None
+    if env != "1":
+        if mesh.npoint < 200_000 or jax.devices()[0].platform != "tpu":
+            return None
+    from su2_tpu.pallas.stencil_solve import _round128
+    maxoff = max(int(o) for o in mesh.fam_offsets)
+    H = _round128(maxoff)
+    npad = _round128(mesh.npoint)
+    T = min(16384, npad)
+    if T <= H:
+        return None
+    ntiles = -(-npad // T)
+    return T, H, ntiles
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "lay", "m_infty", "prandtl_turb", "lewis_turb", "prandtl_lam",
+    "nt_meta", "mm_sum", "offsets", "T", "H", "ntiles", "interpret"))
+def _edge_win_call(f_e, nm_e, ev_e, b_hcp, mm_col, sm_den, *, lay, m_infty,
+                   prandtl_turb, lewis_turb, prandtl_lam, nt_meta, mm_sum,
+                   offsets, T, H, ntiles, interpret):
+    """Windowed multi-family explicit kernel: f_e (48, ntiles*T) unextended;
+    nm_e/ev_e (kh*nd, ntiles*T) stacked per-family normals (ZERO-padded
+    beyond nP — invalid-edge slots carry zero area) / edge vectors.
+    Returns (res (16, ntiles*T) rows [0:nvar], lclv (8, ntiles*T) rows
+    [lc, lv]) — node-accumulated over all families: res[p] = sum_k
+    flux_k[p] - flux_k[p - o_k]."""
+    from su2_tpu.pallas.stencil_solve import _roll
+
+    W = T + 2 * H
+    # lane buffers are padded up to the window width on small meshes so
+    # the clamped DMA always fits (extra lanes carry zero normals)
+    npad_t = max(ntiles * T, W)
+    nd, nvar, nprim = lay.ndim, lay.nvar, lay.nprim
+    gd = (1 + nd + lay.ns) * nd
+    kh = len(offsets)
+    dtype = f_e.dtype
+
+    r_g = nprim
+    r_mu = r_g + gd
+    rows = dict(g=r_g, mu=r_mu, ka=r_mu + 1, mut=r_mu + 2, tke=r_mu + 3,
+                gk=r_mu + 4, gam=r_mu + 4 + nd, sk=r_mu + 5 + nd, gd=gd)
+    consts = (lay, m_infty, prandtl_turb, lewis_turb, prandtl_lam,
+              nt_meta, mm_sum, W)
+
+    def kernel(f_h, nm_h, ev_h, tab_ref, mmr, denr, res_o, lclv_o,
+               f_s, nm_s, ev_s, res_s, lclv_s, sems):
+        i = pl.program_id(0)
+        s = i * T
+        # clamped 128-aligned window start (provable to Mosaic; see
+        # stencil_solve unextended-r notes)
+        sc0 = jnp.clip((s - H) // 128, 0, (npad_t - W) // 128) * 128
+        cps = [
+            pltpu.make_async_copy(f_h.at[:, pl.ds(sc0, W)], f_s,
+                                  sems.at[0]),
+            pltpu.make_async_copy(nm_h.at[:, pl.ds(sc0, W)], nm_s,
+                                  sems.at[1]),
+            pltpu.make_async_copy(ev_h.at[:, pl.ds(sc0, W)], ev_s,
+                                  sems.at[2]),
+        ]
+        for c in cps:
+            c.start()
+        for c in cps:
+            c.wait()
+        delta = jnp.int32((sc0 - (s - H)) % W)
+        fw = pltpu.roll(f_s[...], delta, axis=1)
+        nmw = pltpu.roll(nm_s[...], delta, axis=1)
+        evw = pltpu.roll(ev_s[...], delta, axis=1)
+        # out-of-field lanes (window clamp) must carry ZERO normals so
+        # their flux is exactly zero (the legacy path's wrapped-roll lanes
+        # relied on the same zero-area guard); f/ev lanes stay real values
+        # from the clamp, so everything is finite
+        gidx = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1) + (s - H)
+        nmw = jnp.where((gidx >= 0) & (gidx < npad_t), nmw, 0.0)
+
+        trow = fw[lay.T:lay.T + 1]                    # 2-D (1, W): Mosaic
+        hcps = _hcp_pair(consts, tab_ref, mmr,        # has no 1-D rotate
+                         tuple((0.5 * (trow + _roll(trow, o)))[0]
+                               for o in offsets))
+        res = None
+        lc_n = None
+        lv_n = None
+        for k, o in enumerate(offsets):
+            fj = _roll(fw, o)
+            flux, lck, lvk = _explicit_side(
+                consts, rows, fw, fj, nmw[k * nd:(k + 1) * nd],
+                evw[k * nd:(k + 1) * nd], mmr, denr, hcps[k])
+            # keep the lambda rows 2-D: Mosaic's dynamic_rotate has no 1-D
+            # vector form
+            lv2 = jnp.concatenate([lck[None], lvk[None]], axis=0)
+            rt = flux - _roll(flux, -o)
+            lvn = lv2 + _roll(lv2, -o)
+            res = rt if res is None else res + rt
+            lc_n = lvn if lc_n is None else lc_n + lvn
+        lc_n, lv_n = lc_n[0], lc_n[1]
+        res_s[...] = jnp.concatenate(
+            [res, jnp.zeros((16 - nvar, W), dtype)], axis=0)
+        lclv_s[...] = jnp.concatenate(
+            [lc_n[None], lv_n[None], jnp.zeros((6, W), dtype)], axis=0)
+        cr = pltpu.make_async_copy(res_s.at[:, pl.ds(H, T)],
+                                   res_o.at[:, pl.ds(s, T)], sems.at[3])
+        cl = pltpu.make_async_copy(lclv_s.at[:, pl.ds(H, T)],
+                                   lclv_o.at[:, pl.ds(s, T)], sems.at[4])
+        cr.start()
+        cl.start()
+        cr.wait()
+        cl.wait()
+
+    from su2_tpu.pallas.stencil_solve import _VMEM_LIMIT
+    anyspec = pl.BlockSpec(memory_space=pl.ANY)
+    hbmspec = pl.BlockSpec(memory_space=pltpu.HBM)
+    fb = lambda a, b: pl.BlockSpec((a, b), lambda i: (0, 0))
+    res_o, lclv_o = pl.pallas_call(
+        kernel,
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT, has_side_effects=True),
+        grid=(ntiles,),
+        in_specs=[anyspec] * 3
+        + [fb(b_hcp.shape[0], b_hcp.shape[1]), fb(lay.ns, 1),
+           fb(lay.ns, lay.ns)],
+        out_specs=[hbmspec] * 2,
+        out_shape=[jax.ShapeDtypeStruct((16, npad_t), dtype),
+                   jax.ShapeDtypeStruct((8, npad_t), dtype)],
+        scratch_shapes=[
+            pltpu.VMEM((f_e.shape[0], W), dtype),
+            pltpu.VMEM((nm_e.shape[0], W), dtype),
+            pltpu.VMEM((ev_e.shape[0], W), dtype),
+            pltpu.VMEM((16, W), dtype),
+            pltpu.VMEM((8, W), dtype),
+            pltpu.SemaphoreType.DMA((5,)),
+        ],
+    )(f_e, nm_e, ev_e, b_hcp, mm_col, sm_den)
+    return res_o, lclv_o
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
 def fused_edge_flux_pallas(lay, m_infty, prandtl_turb, lewis_turb,
                            prandtl_lam, nt_meta, sc,
@@ -353,6 +505,34 @@ def fused_interior_terms(lib, lay, mesh, prm, v, grad, trans, turb,
         # contraction pairs across families — per-family f_j rolls stay
         # separate operands (a Kh-wide stacked concatenation materialized
         # 2x Kh x 54 MB at 142k cells).
+        win = _edge_win_plan(mesh)
+        if win is not None:
+            # windowed form: no host-side f_j rolls, no flux roll-subtract
+            # — the kernel emits the node-accumulated residual directly
+            T, H, ntiles = win
+            npad_t = max(ntiles * T, T + 2 * H)
+            n = npoints
+            zpad = lambda x: jnp.pad(x, ((0, 0), (0, npad_t - n)))
+            f_e = _pad_cols(f_all, npad_t)
+            nm_e = zpad(jnp.concatenate(
+                [mesh.fam_normal[k].T for k in range(len(mesh.fam_offsets))],
+                axis=0).astype(v.dtype))
+            # evecs pad with column-0 copies (legacy behavior): zero edge
+            # vectors would hit the |e|^2 division in the corrected
+            # gradient; the zero NORMALS on those lanes gate the flux
+            ev_e = _pad_cols(jnp.concatenate(
+                [mesh.fam_evec[k].T for k in range(len(mesh.fam_offsets))],
+                axis=0).astype(v.dtype), npad_t)
+            lay_, m_inf, pr_t, le_t, pr_l, ntm, sc_ = kernel_args
+            interpret = jax.devices()[0].platform != "tpu"
+            res16, lclv = _edge_win_call(
+                f_e, nm_e, ev_e, tabs[0], sc_.mm_col, sc_.sm_den,
+                lay=lay_, m_infty=m_inf, prandtl_turb=pr_t,
+                lewis_turb=le_t, prandtl_lam=pr_l, nt_meta=ntm,
+                mm_sum=sc_.mm_sum, offsets=tuple(int(o) for o in
+                                                 mesh.fam_offsets),
+                T=T, H=H, ntiles=ntiles, interpret=interpret)
+            return (res16[:lay.nvar, :n].T, lclv[0, :n], lclv[1, :n])
         f_js = tuple(jnp.roll(f_all, -o, axis=1) for o in mesh.fam_offsets)
         normals = tuple(mesh.fam_normal[k].T
                         for k in range(len(mesh.fam_offsets)))
