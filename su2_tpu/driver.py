@@ -740,11 +740,38 @@ class Simulation:
             u_new = ns.enforce_wall_velocity(lay, u_new, wall_mask)
 
             # ---------- turbulence system on the updated flow ----------
-            # (empirically pinned vs the rebuilt reference binary: the turb
-            # stage sees the POST-update flow — 1-iteration turb fields
-            # match to <2e-8 except documented wall-omega rows; an
-            # all-pre-update variant was tested and REGRESSES iteration-0
-            # parity, see BASELINE.md round-3 notes)
+            return turb_phase(u_new, v, tke, q, mu_t, grad_k, sigma_k,
+                              dt, flow_fb, rms, rmax, nonphys.sum(),
+                              min_dt)
+
+        turb_phase = self._make_turb_phase()
+        return step
+
+    # ------------------------------------------------------------------
+    def _make_turb_phase(self):
+        """Single-grid turbulence phase of the segregated outer iteration
+        (CSingleGridIntegration, integration_time.cpp:777), on the
+        post-update flow state.  Shared by the plain RANS step and the
+        RANS FAS-multigrid drive (where the flow ran the MG cycle first,
+        integration_time.cpp:42-125 with the finest-grid handoff :111).
+
+        (Empirically pinned vs the rebuilt reference binary: the turb
+        stage sees the POST-update flow — 1-iteration turb fields match
+        to <2e-8 except documented wall-omega rows; an all-pre-update
+        variant was tested and REGRESSES iteration-0 parity, see
+        BASELINE.md round-3 notes.)"""
+        from su2_tpu.ops import viscous as vis
+
+        lib, lay, mesh, prm = self.lib, self.lay, self.mesh, self.params
+        bcs = self.bcs
+        cfg, scfg = self.cfg, self.scfg
+        dist = self.wall_dist
+        tparams = self.tparams
+        rms_scale = float(np.sqrt(self.mesh.npoint / self.raw.npoint))
+        is_sst = cfg.kind_turb_model == "SST"
+
+        def turb_phase(u_new, v, tke, q, mu_t, grad_k, sigma_k, dt,
+                       flow_fb, rms, rmax, nonphys0, min_dt):
             if mesh.pg_src is not None:
                 u_new = self._pg_refresh_u(u_new)
             rho_old = v[:, lay.PRHO]
@@ -809,7 +836,7 @@ class Simulation:
                 return (u_new, v_new[:, lay.T], q_new, mu_t_new,
                         lm_state, sigma_k, rms_scale * rms, rmax,
                         rms_scale * turb_rms,
-                        nonphys.sum() + nonphys2.sum(), min_dt)
+                        nonphys0 + nonphys2.sum(), min_dt)
             q_new, turb_rms, outs = sst.sst_step(
                 lay, mesh, scfg, bcs, q, v_new, grad_new,
                 trans_new.mu, mu_t, strain, dist, rho_old, dt,
@@ -820,9 +847,9 @@ class Simulation:
             return (u_new, v_new[:, lay.T], q_new, outs["mu_t"],
                     outs["gq"], outs["sigma_k"], rms_scale * rms, rmax,
                     rms_scale * turb_rms,
-                    nonphys.sum() + nonphys2.sum(), min_dt)
+                    nonphys0 + nonphys2.sum(), min_dt)
 
-        return step
+        return turb_phase
 
     # ------------------------------------------------------------------
     # million-cell compile payload: jit closure constants (the per-node
@@ -1420,6 +1447,95 @@ class Simulation:
                     break
         return u, t_guess, np.array(hist)
 
+    def _run_multigrid_rans(self, niter, u, t_guess, turb_state, quiet,
+                            log_every, it0=0, rms0=None):
+        """MGLEVEL>0 RANS drive: mean-flow FAS V/W cycle with the
+        turbulence closure FROZEN during the cycle and restricted
+        volume-weighted to every coarse level (SetRestricted_EddyVisc,
+        integration_time.cpp:875-896), followed by the single-grid
+        turbulence phase on the finest mesh (the reference's
+        CSingleGridIntegration with the finest-grid flow handoff,
+        integration_time.cpp:42-125, :111).  The turb BC ghost states are
+        rebuilt from the post-cycle flow state (flow_fb=None) — under MG
+        there is no single flow-BC evaluation whose ghost batch spans the
+        whole cycle."""
+        from su2_tpu.multigrid import Multigrid
+        from su2_tpu.ops import viscous as vis
+
+        if getattr(self, "_mg", None) is None:
+            pre = self.cfg.mg_pre_smooth
+            post = self.cfg.mg_post_smooth
+            self._mg = Multigrid(
+                self, n_levels=self.cfg.mglevel + 1,
+                pre_smooth=max(1, int(pre[0])) if pre else 2,
+                post_smooth=int(post[0]) if post else 0,
+                damp_restriction=self.cfg.mg_damp_restriction,
+                damp_prolongation=self.cfg.mg_damp_prolongation,
+                cycle="W" if self.cfg.mgcycle == "W_CYCLE" else "V",
+                turbulent=True)
+        if getattr(self, "_mg_rans_step", None) is None:
+            lib, lay, mesh, prm = self.lib, self.lay, self.mesh, self.params
+            tparams = self.tparams
+            is_sst = self.cfg.kind_turb_model == "SST"
+            cycle = self._mg.cycle_fn
+            turb_phase = self._make_turb_phase()
+
+            def mg_step(u, t_guess, q, mu_t, grad_k, sigma_k):
+                tke = q[:, 0] if is_sst else jnp.zeros_like(q[:, 0])
+                omega_t = q[:, 1]
+                nsd = st.node_state(lib, lay, u, t_guess, tparams,
+                                    turb_ke=tke)
+                u2, v, nonphys = nsd.u, nsd.v, nsd.nonphys
+                turbfd = vis.TurbFlowData(
+                    tke=tke, mu_t=mu_t,
+                    grad_tke=grad_k[:, 0, :] if is_sst else grad_k,
+                    sigma_k=sigma_k)
+                trans0 = vis.Transport(mu=nsd.mu, kappa=nsd.kappa, dij=None)
+                lam_v = ns.viscous_lambda(lib, mesh, lay, prm, v, trans0,
+                                          nsd.dpdu, turbfd)
+                dt, min_dt, _ = timestep.local_time_step(
+                    mesh, lay, v, prm.cfl, prm.max_dt, lam_visc=lam_v)
+                u_new, t_new, rms = cycle(u2, t_guess, turbfd, omega_t)
+                # per-equation max residual is not tracked inside the MG
+                # cycle; reuse the RMS row (only CFL adaptation reads it,
+                # which the MG drive does not run)
+                return turb_phase(u_new, v, tke, q, mu_t, grad_k, sigma_k,
+                                  dt, None, rms, rms, nonphys.sum(),
+                                  min_dt)
+
+            self._mg_rans_step = jax.jit(mg_step)
+
+        q, mu_t, grad_k, sigma_k = turb_state
+        hist = []
+        start = time.time()
+        for it_rel in range(niter):
+            it = it0 + it_rel
+            (u, t_guess, q, mu_t, grad_k, sigma_k, rms, _rmax, turb_rms,
+             nerr, _mdt) = self._mg_rans_step(u, t_guess, q, mu_t, grad_k,
+                                              sigma_k)
+            rms_np = np.asarray(rms)
+            if np.isnan(rms_np).any():
+                raise RuntimeError(f"NaN residual at MG cycle {it}")
+            log_rms = np.log10(np.maximum(rms_np, 1e-300))
+            log_trms = np.log10(np.maximum(np.asarray(turb_rms), 1e-300))
+            hist.append(log_rms)
+            if self.history is not None and it % self.cfg.wrt_con_freq == 0:
+                self.history.write(it, log_rms, log_trms,
+                                   lin_iters=self.cfg.linear_solver_iter)
+            if rms0 is None:
+                rms0 = log_rms.copy()
+            if not quiet and it % log_every == 0:
+                print(f"{it:6d}  MG Res[Rho]: {log_rms[self.lay.RHO]: .6f}"
+                      f"  Res[kine]: {log_trms[0]: .6f}"
+                      f"  ({time.time()-start:.1f}s)")
+            if (self.cfg.conv_criteria == "RESIDUAL"
+                    and it > self.cfg.startconv_iter):
+                if (log_rms[self.lay.RHO] < self.cfg.residual_minval or
+                        rms0[self.lay.RHO] - log_rms[self.lay.RHO]
+                        > self.cfg.residual_reduction):
+                    break
+        return u, t_guess, np.array(hist)
+
     def run(self, niter: int | None = None, log_every: int = 1,
             u=None, t_guess=None, turb_state=None, quiet=False,
             chunk: int = 1, it0: int = 0, rms0=None):
@@ -1438,10 +1554,20 @@ class Simulation:
             # cannot honor fail loudly instead of silently running
             # single-grid (round-2 verdict item 4).
             if self.turbulent:
-                raise ValueError(
-                    "MGLEVEL> 0 runs the mean-flow FAS cycle only; RANS "
-                    "cases must set MGLEVEL= 0 (turbulence transport is "
-                    "smoothed single-grid in this framework)")
+                # round-5: mean-flow FAS inside RANS cases — turbulence
+                # frozen+restricted on coarse levels, single-grid turb
+                # phase on the finest mesh (integration_time.cpp:42-125,
+                # SetRestricted_EddyVisc :875, turb handoff :111)
+                if self.cfg.ignition:
+                    raise ValueError(
+                        "MGLEVEL> 0 with IGNITION= YES is not supported: "
+                        "the ignition T-override is a finest-grid forcing "
+                        "the FAS cycle cannot honor; set MGLEVEL= 0")
+                ts = (turb_state if turb_state is not None
+                      else self.initial_turb_state())
+                return self._run_multigrid_rans(
+                    niter, u, t_guess, ts, quiet, log_every,
+                    it0=it0, rms0=rms0)
             # round-4: FAS under EULER_IMPLICIT smooths implicitly on
             # every level (Multigrid._smooth_implicit) — the explicit-only
             # restriction is lifted

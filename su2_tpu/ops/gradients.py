@@ -17,6 +17,17 @@ from su2_tpu.geometry.mesh_data import MeshArrays
 
 EPS = 1e-16
 
+# Single cfg-method -> kernel-mode mapping shared by BOTH the node-major
+# dispatch (solvers.euler.compute_gradients) and the feature-major rows
+# fast path (gradient_rows below): a method missing here falls back to the
+# node-major path on every mesh size, so the two paths can never diverge
+# on large TPU meshes only.
+GRAD_METHOD_MODE = {
+    "GREEN_GAUSS": "GG",
+    "WEIGHTED_LEAST_SQUARES": "WLS",
+    "LEAST_SQUARES": "WLS",
+}
+
 
 def _use_tiled(mesh) -> bool:
     """Tiled gradient sweep (pallas/gradients_tiled.py).  Default ON for
@@ -67,8 +78,10 @@ def gradient_rows(mesh: MeshArrays, q: jnp.ndarray, method: str):
     (same kernel, no relayout)."""
     if not _use_tiled(mesh) or mesh.pg_src is not None:
         return None
+    mode = GRAD_METHOD_MODE.get(method)
+    if mode is None:          # unknown method: node-major dispatch decides
+        return None
     from su2_tpu.pallas import gradients_tiled as gt
-    mode = "GG" if method == "GREEN_GAUSS" else "WLS"
     return gt.gradient_tiled_rows(mesh, q, mode)
 
 

@@ -274,16 +274,26 @@ def _edge_win_call(f_e, nm_e, ev_e, b_hcp, mm_col, sm_den, *, lay, m_infty,
     """Windowed multi-family explicit kernel: f_e (48, ntiles*T) unextended;
     nm_e/ev_e (kh*nd, ntiles*T) stacked per-family normals (ZERO-padded
     beyond nP — invalid-edge slots carry zero area) / edge vectors.
-    Returns (res (16, ntiles*T) rows [0:nvar], lclv (8, ntiles*T) rows
+    Returns (res (r_res, ntiles*T) rows [0:nvar], lclv (8, ntiles*T) rows
     [lc, lv]) — node-accumulated over all families: res[p] = sum_k
-    flux_k[p] - flux_k[p - o_k]."""
-    from su2_tpu.pallas.stencil_solve import _roll
+    flux_k[p] - flux_k[p - o_k].  r_res = nvar rounded up to the sublane
+    multiple of 8."""
+    from su2_tpu.pallas.stencil_solve import _roll, _pad_rows8
 
     W = T + 2 * H
     # lane buffers are padded up to the window width on small meshes so
     # the clamped DMA always fits (extra lanes carry zero normals)
     npad_t = max(ntiles * T, W)
     nd, nvar, nprim = lay.ndim, lay.nvar, lay.nprim
+    # Mosaic windowed DMAs need sublane-aligned row extents (see
+    # stencil_solve._pad_rows8): pad every HBM operand's row dimension to
+    # a multiple of 8.  Padding rides at the END, after every indexed
+    # block (rows dict offsets, per-family k*nd slices), so kernel row
+    # indexing is unchanged; padded rows carry zeros.
+    f_e = _pad_rows8(f_e)
+    nm_e = _pad_rows8(nm_e)
+    ev_e = _pad_rows8(ev_e)
+    r_res = max(8, -(-nvar // 8) * 8)
     gd = (1 + nd + lay.ns) * nd
     kh = len(offsets)
     dtype = f_e.dtype
@@ -345,8 +355,8 @@ def _edge_win_call(f_e, nm_e, ev_e, b_hcp, mm_col, sm_den, *, lay, m_infty,
             res = rt if res is None else res + rt
             lc_n = lvn if lc_n is None else lc_n + lvn
         lc_n, lv_n = lc_n[0], lc_n[1]
-        res_s[...] = jnp.concatenate(
-            [res, jnp.zeros((16 - nvar, W), dtype)], axis=0)
+        res_s[...] = res if r_res == nvar else jnp.concatenate(
+            [res, jnp.zeros((r_res - nvar, W), dtype)], axis=0)
         lclv_s[...] = jnp.concatenate(
             [lc_n[None], lv_n[None], jnp.zeros((6, W), dtype)], axis=0)
         cr = pltpu.make_async_copy(res_s.at[:, pl.ds(H, T)],
@@ -372,13 +382,13 @@ def _edge_win_call(f_e, nm_e, ev_e, b_hcp, mm_col, sm_den, *, lay, m_infty,
         + [fb(b_hcp.shape[0], b_hcp.shape[1]), fb(lay.ns, 1),
            fb(lay.ns, lay.ns)],
         out_specs=[hbmspec] * 2,
-        out_shape=[jax.ShapeDtypeStruct((16, npad_t), dtype),
+        out_shape=[jax.ShapeDtypeStruct((r_res, npad_t), dtype),
                    jax.ShapeDtypeStruct((8, npad_t), dtype)],
         scratch_shapes=[
             pltpu.VMEM((f_e.shape[0], W), dtype),
             pltpu.VMEM((nm_e.shape[0], W), dtype),
             pltpu.VMEM((ev_e.shape[0], W), dtype),
-            pltpu.VMEM((16, W), dtype),
+            pltpu.VMEM((r_res, W), dtype),
             pltpu.VMEM((8, W), dtype),
             pltpu.SemaphoreType.DMA((5,)),
         ],

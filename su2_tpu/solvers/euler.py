@@ -480,7 +480,8 @@ def compute_gradients(mesh, prm: EulerParams, q, vel_rows="flow"):
     Set_MPI_Solution_Gradient rotation).  vel_rows: "flow" treats rows
     1..1+ndim as vector components (the [T, u.., ...] sets); None for
     scalar-only sets (turbulence variables)."""
-    if prm.grad_method == "GREEN_GAUSS":
+    mode = gradients.GRAD_METHOD_MODE.get(prm.grad_method, "WLS")
+    if mode == "GG":
         grad = gradients.green_gauss(mesh, q)
     else:
         grad = gradients.weighted_least_squares(mesh, q)
