@@ -277,6 +277,11 @@ _REGISTRY: dict[str, _Opt] = {
     "RESTART_SOL": _b(False),
     "SYSTEM_MEASUREMENTS": _enum("SI"),
     "REGIME_TYPE": _enum("COMPRESSIBLE"),
+    # AXISYMMETRIC / GRAVITY_FORCE point sources
+    # (config_structure.cpp:631-632, :663; CSourceAxisymmetric_Flow +
+    # CSourceGravity in solvers/euler.py)
+    "AXISYMMETRIC": _b(False),
+    "GRAVITY_FORCE": _b(False),
     # --- freestream ---
     "MACH_NUMBER": _d(0.0),
     "AOA": _d(0.0),

@@ -275,7 +275,12 @@ class Simulation:
             pasr=cfg.kind_turb_model == "SST",
             pasr_lb=cfg.pasr_lb,
             c_mu=cfg.c_mu,
+            axisymmetric=cfg.axisymmetric,
+            gravity=cfg.gravity_force,
         )
+        if cfg.axisymmetric and self.grid.ndim != 2:
+            raise ValueError("AXISYMMETRIC= YES requires a 2D mesh "
+                             "(x = axial, y = radial coordinate)")
         # moving grids (motion.py): ROTATING_FRAME is a steady static grid
         # velocity wired into the params here; RIGID_MOTION runs through
         # run_rigid_motion (coords/grid_vel as runtime args via remesh)
@@ -868,17 +873,15 @@ class Simulation:
     def _use_mesh_args(self) -> bool:
         env = os.environ.get("SU2_TPU_MESH_ARGS", "")
         if env == "1":
-            # the sharded-mesh guard still applies: binding sharded
-            # buffers through _bind_buffers is unsupported
-            if self.dmesh is not None:
-                raise ValueError(
-                    "SU2_TPU_MESH_ARGS=1 is incompatible with a sharded "
-                    "simulation (dmesh is set)")
             return True
         if env == "0":
             return False
-        return (self.mesh.npoint >= self._MESH_ARGS_MIN_NODES
-                and self.dmesh is None)
+        # round-5: sharded simulations compose with the mesh-as-arguments
+        # tier — the buffers from shard_mesh_arrays are committed with
+        # NamedShardings, so jit infers the in_shardings and GSPMD
+        # partitions the traced rolls exactly as in the constant-closure
+        # form (pinned by tests/test_parallel.py sharded mesh-args tests)
+        return self.mesh.npoint >= self._MESH_ARGS_MIN_NODES
 
     def _big_buffers(self):
         """The per-node device buffers passed as jit arguments (pytree)."""

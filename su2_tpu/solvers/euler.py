@@ -465,6 +465,10 @@ class EulerParams:
     grid_vel: object = None
     rotation_rate: tuple = (0.0, 0.0, 0.0)
     rotating_source: bool = False
+    # AXISYMMETRIC / GRAVITY_FORCE point sources (CSourceAxisymmetric_Flow
+    # numerics_direct_mean.cpp:4104, CSourceGravity :4166)
+    axisymmetric: bool = False
+    gravity: bool = False
 
 
 def gradient_vars(lay: Layout, v: jnp.ndarray) -> jnp.ndarray:
@@ -595,6 +599,104 @@ def convective_residual(lib, lay, mesh, prm, v, grad, lim):
     else:
         flux = ausm.ausm_flux(lay, v_i, v_j, mesh.edge_normal, prm.m_infty)
     return mesh.scatter_edges(flux)
+
+
+def axisymmetric_source(lay, mesh, v, dpdu_full=None):
+    """AXISYMMETRIC= YES point source (CSourceAxisymmetric_Flow,
+    numerics_direct_mean.cpp:4104-4166, applied at
+    solver_direct_mean.cpp:5121-5152: residual ADDED to LinSysRes,
+    Jacobian ADDED to the diagonal block when implicit).
+
+    S_i = (Vol_i / y_i) * v_y * [rho, rho u, rho v, rho H, rho_s]
+    with 1/y := 0 on the axis (Coord_i[1] <= 0).  The species rows are the
+    natural multispecies generalization (rho_s v/y); the reference only
+    registers this source for the standard solver, where ns == 1.
+
+    Returns res (N, nvar); with dpdu_full also the analytic diagonal
+    Jacobian (N, nvar, nvar).  NOTE the reference's energy-row Jacobian
+    drops a whole term through C++ integer division (`1/2*(Gamma-1)*...`
+    == 0, numerics_direct_mean.cpp:4156) — a miscompiled preconditioner
+    quality bug we deliberately do not copy (TODO.md "known reference
+    bugs"); the residual (and so the converged solution) is unaffected.
+    """
+    nd, ns = lay.ndim, lay.ns
+    y = mesh.coords[:, 1]
+    yinv = jnp.where(y > 0.0, 1.0 / jnp.where(y > 0.0, y, 1.0), 0.0)
+    w = yinv * mesh.volume                               # (N,)
+    rho = v[:, lay.PRHO]
+    vel = v[:, lay.VX:lay.VX + nd]
+    vy = vel[:, 1]
+    h_tot = v[:, lay.H]
+    ys = v[:, lay.YS:lay.YS + ns]
+    res = jnp.zeros((v.shape[0], lay.nvar), v.dtype)
+    res = res.at[:, lay.RHO].set(rho * vy)
+    for d in range(nd):
+        res = res.at[:, lay.RHOVX + d].set(rho * vel[:, d] * vy)
+    res = res.at[:, lay.RHOE].set(rho * h_tot * vy)
+    res = res.at[:, lay.RHOS:].set(ys * (rho * vy)[:, None])
+    res = res * w[:, None]
+    if dpdu_full is None:
+        return res
+    # analytic dS/dU (rows scaled by w at the end); im = rho*v_y slot
+    im = lay.RHOVX + 1
+    n = v.shape[0]
+    jac = jnp.zeros((n, lay.nvar, lay.nvar), v.dtype)
+    jac = jac.at[:, lay.RHO, im].set(1.0)
+    for d in range(nd):
+        r = lay.RHOVX + d
+        if d == 1:
+            jac = jac.at[:, r, lay.RHO].add(-vy * vy)
+            jac = jac.at[:, r, im].add(2.0 * vy)
+        else:
+            ud = vel[:, d]
+            jac = jac.at[:, r, lay.RHO].add(-ud * vy)
+            jac = jac.at[:, r, lay.RHOVX + d].add(vy)
+            jac = jac.at[:, r, im].add(ud)
+    # d(rho H v_y)/dU = v_y*(e_E + dP/dU) + H*(e_im - v_y e_RHO)
+    jac = jac.at[:, lay.RHOE, :].add(vy[:, None] * dpdu_full)
+    jac = jac.at[:, lay.RHOE, lay.RHOE].add(vy)
+    jac = jac.at[:, lay.RHOE, im].add(h_tot)
+    jac = jac.at[:, lay.RHOE, lay.RHO].add(-h_tot * vy)
+    for s in range(ns):
+        r = lay.RHOS + s
+        jac = jac.at[:, r, lay.RHO].add(-ys[:, s] * vy)
+        jac = jac.at[:, r, im].add(ys[:, s])
+        jac = jac.at[:, r, r].add(vy)
+    return res, jac * w[:, None, None]
+
+
+def gravity_source(lay, mesh, v):
+    """GRAVITY_FORCE= YES body force (CSourceGravity,
+    numerics_direct_mean.cpp:4166-4190): Vol * rho * g added to the LAST
+    momentum row (y in 2D, z in 3D), no Jacobian contribution — the
+    reference adds none (solver_direct_mean.cpp:5154-5173)."""
+    STANDARD_GRAVITY = 9.80665          # option_structure.hpp:132
+    rho = v[:, lay.PRHO]
+    res = jnp.zeros((v.shape[0], lay.nvar), v.dtype)
+    row = lay.RHOVX + lay.ndim - 1
+    return res.at[:, row].set(mesh.volume * rho * STANDARD_GRAVITY)
+
+
+def body_source_residual(lay, mesh, prm, v):
+    """Sum of the enabled point sources (axisymmetric + gravity)."""
+    res = None
+    if prm.axisymmetric:
+        res = axisymmetric_source(lay, mesh, v)
+    if prm.gravity:
+        g = gravity_source(lay, mesh, v)
+        res = g if res is None else res + g
+    return res
+
+
+def body_source_system(lay, mesh, prm, v, dpdu_full):
+    """(res, diag) of the enabled point sources for the implicit path."""
+    res = diag = None
+    if prm.axisymmetric:
+        res, diag = axisymmetric_source(lay, mesh, v, dpdu_full)
+    if prm.gravity:
+        g = gravity_source(lay, mesh, v)
+        res = g if res is None else res + g
+    return res, diag
 
 
 def chemistry_source_residual(lib, lay, mesh, prm, v, omega_turb=None):
@@ -758,6 +860,8 @@ def total_residual(lib, lay, mesh, prm, bcs, v, omega_turb=None, turb_ke=None):
         from su2_tpu import motion as mo
         res = res + mo.rotating_frame_source(lay, v, prm.rotation_rate,
                                              mesh.volume)
+    if prm.axisymmetric or prm.gravity:
+        res = res + body_source_residual(lay, mesh, prm, v)
     if mesh.pg_src is not None:
         # rotational-periodic ghost rows carry no equations (their state is
         # refreshed from the donors every iteration)
@@ -979,6 +1083,11 @@ def assemble_system(lib, lay, mesh, prm, bcs, v, dt, omega_turb=None,
             lib, lay, mesh, prm, v, dtdu_full, omega_turb)
         res = res + sres
         diag = diag + sdiag
+    if prm.axisymmetric or prm.gravity:
+        bres, bsdiag = body_source_system(lay, mesh, prm, v, dpdu_full)
+        res = res + bres
+        if bsdiag is not None:
+            diag = diag + bsdiag
     # time term: Vol/dt on the diagonal; frozen rows where dt ~ 0
     ok = dt > EPS
     delta = jnp.where(ok, mesh.volume / jnp.where(ok, dt, 1.0), 0.0)

@@ -516,6 +516,17 @@ def ns_assemble(lib: ChemLib, lay: Layout, mesh: MeshArrays, prm: NSParams,
             sres = es.chemistry_source_residual(lib, lay, mesh, prm, v, omega_turb)
         res = res + sres
 
+    # --- axisymmetric / gravity point sources ---
+    if prm.axisymmetric or prm.gravity:
+        if implicit:
+            bres, bsdiag = es.body_source_system(lay, mesh, prm, v,
+                                                 dpdu_full)
+            if bsdiag is not None:
+                diag = diag + bsdiag
+        else:
+            bres = es.body_source_residual(lay, mesh, prm, v)
+        res = res + bres
+
     # --- strong no-slip walls (isothermal / heatflux) ---
     if dense_bc is not None:
         # dense per marker: the nn access is a stencil roll

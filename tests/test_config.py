@@ -84,9 +84,10 @@ def test_reference_option_surface_hardening():
     base = "PHYSICAL_PROBLEM= EULER\nMESH_FILENAME= x.su2\n"
     # enabled unsupported features fail loudly
     # (GRID_MOVEMENT_KIND / ROTATION_RATE_* became SUPPORTED in round 3;
-    # MARKER_RIEMANN became SUPPORTED in round 4 — solvers/riemann.py)
+    # MARKER_RIEMANN became SUPPORTED in round 4 — solvers/riemann.py;
+    # AXISYMMETRIC / GRAVITY_FORCE became SUPPORTED in round 5 —
+    # solvers/euler.py body sources)
     for line in ("MARKER_NRBC= ( in, TOTAL_CONDITIONS_PT, 1e5, 300, 1, 0, 0 )",
-                 "AXISYMMETRIC= YES",
                  "TIME_INSTANCES= 3"):
         with pytest.raises(ValueError):
             Config(text=base + line + "\n")
