@@ -40,8 +40,11 @@ def _use_tiled(mesh) -> bool:
     env = os.environ.get("SU2_TPU_TILED_GRAD", "")
     if env == "0":
         return False
-    if mesh.n_shards != 1 or mesh.stencil_offsets is None:
+    if mesh.stencil_offsets is None:
         return False
+    # sharded meshes since round 5: the tiled sweep runs under shard_map
+    # with a ppermute halo-slab exchange (gradients_tiled.
+    # _gradient_tiled_rows_sharded) — same owner-region arithmetic
     if env == "1":
         return True
     return (mesh.npoint >= 200_000
@@ -101,7 +104,9 @@ def green_gauss(mesh: MeshArrays, q: jnp.ndarray) -> jnp.ndarray:
     if mesh.gg_snormal is not None:
         if _use_tiled(mesh):
             from su2_tpu.pallas import gradients_tiled as gt
-            return gt.gradient_tiled(mesh, q, "GG")
+            out = gt.gradient_tiled(mesh, q, "GG")
+            if out is not None:
+                return out
         # stencil meshes: per-offset signed dual normals make the whole
         # edge sweep K rolls + FMAs (no gather, no scatter) — each edge's
         # two side contributions are enumerated by the +-o offset pair
@@ -129,7 +134,9 @@ def weighted_least_squares(mesh: MeshArrays, q: jnp.ndarray) -> jnp.ndarray:
     if mesh.wls_coeff is not None:
         if _use_tiled(mesh):
             from su2_tpu.pallas import gradients_tiled as gt
-            return gt.gradient_tiled(mesh, q, "WLS")
+            out = gt.gradient_tiled(mesh, q, "WLS")
+            if out is not None:
+                return out
         # stencil meshes: the normal-equation inverse is pure geometry and
         # is folded into per-offset coefficient vectors at setup
         # (mesh_data._stencil_grad_geometry) — runtime is K rolls + FMAs.

@@ -138,6 +138,63 @@ def _pad8(r: int) -> int:
     return r + ((-r) % 8 if r > 8 else 0)
 
 
+def _grad_operands(mesh, q, mode):
+    """Lane-major (q_t, coef_t, aux_t) for the tiled sweep."""
+    n, ng = q.shape
+    d = mesh.coords.shape[1]
+    if mode == "WLS":
+        coef = mesh.wls_coeff.astype(q.dtype)       # (K, nP, d)
+        aux = jnp.zeros((1, n), q.dtype)
+    else:
+        coef = mesh.gg_snormal.astype(q.dtype)      # (K, nP, d)
+        aux = jnp.concatenate(
+            [mesh.bnd_accum_normal.T, mesh.volume[None]],
+            axis=0).astype(q.dtype)
+    k = coef.shape[0]
+    return q.T, coef.transpose(0, 2, 1).reshape(k * d, n), aux
+
+
+def _gradient_tiled_rows_sharded(mesh, q, mode: str):
+    """shard_map form of the tiled gradient sweep (verdict r5 item 1b):
+    each shard runs the extended-lanes kernel on its contiguous lane
+    block; the halo columns become a ppermute neighbor-slab exchange
+    (parallel/tiled_shard.py).  Owner-region arithmetic is IDENTICAL to
+    the single-shard kernel, so 8-dev == 1-dev to roll-path precision."""
+    from su2_tpu.parallel import tiled_shard as tsh
+    from su2_tpu.pallas.stencil_solve import _interpret
+
+    n, ng = q.shape
+    d = mesh.coords.shape[1]
+    nsh = mesh.n_shards
+    assert n % nsh == 0, (n, nsh)
+    loc = n // nsh
+    # per-shard plan: same VMEM-driven T/H sizing, local tile count
+    k = len(mesh.stencil_offsets)
+    maxoff = max(abs(int(o)) for o in mesh.stencil_offsets)
+    H = _round128(maxoff)
+    rows = ng + k * d + ng * d + d + 1 + 4 * (ng + ng * d)
+    W = min(_TILE_W_CAP, (_VMEM_LIMIT // (rows * 4)) // 128 * 128)
+    T = W - 2 * H
+    if T < max(8 * 128, H):
+        return None
+    ntiles = -(-loc // T)
+    E = ntiles * T + 2 * H
+    q_t, coef_t, aux_t = _grad_operands(mesh, q, mode)
+    offsets = tuple(mesh.stencil_offsets)
+    interpret = _interpret()
+
+    def local(q_l, c_l, a_l):
+        ext = lambda x: _pad_rows8(tsh.halo_extend(x, H, E))
+        g_o = _grad_tiled_call(
+            ext(q_l), ext(c_l), ext(a_l), offsets=offsets, ng=ng, d=d,
+            mode=mode, T=T, H=H, ntiles=ntiles, interpret=interpret)
+        return g_o[:, :loc]
+
+    g = tsh.sharded_lane_call(nsh, local, _pad8(ng * d),
+                              q_t, coef_t, aux_t)
+    return g[:ng * d]
+
+
 def gradient_tiled_rows(mesh, q, mode: str):
     """(nP, nG) -> (nG*d, nP) feature-major gradient rows (row g*d + dd
     holds d(q_g)/dx_dd), the tiled stencil GG/WLS sweep WITHOUT the
@@ -151,26 +208,18 @@ def gradient_tiled_rows(mesh, q, mode: str):
     the rows they need (ops/gradients.rows_to_grad)."""
     n, ng = q.shape
     d = mesh.coords.shape[1]
+    if mesh.n_shards > 1:
+        return _gradient_tiled_rows_sharded(mesh, q, mode)
     plan = tile_plan(mesh, ng)
     assert plan is not None
     T, H, ntiles, E = plan
     npad = _round128(n)
     ext = lambda x: _pad_rows8(_extend_lanes(_pad_lanes(x, npad), H, E))
-    q_e = ext(q.T)
-    if mode == "WLS":
-        coef = mesh.wls_coeff.astype(q.dtype)       # (K, nP, d)
-        aux = jnp.zeros((1, n), q.dtype)
-    else:
-        coef = mesh.gg_snormal.astype(q.dtype)      # (K, nP, d)
-        aux = jnp.concatenate(
-            [mesh.bnd_accum_normal.T, mesh.volume[None]],
-            axis=0).astype(q.dtype)
-    k = coef.shape[0]
-    coef_e = ext(coef.transpose(0, 2, 1).reshape(k * d, n))
-    aux_e = ext(aux)
+    q_t, coef_t, aux_t = _grad_operands(mesh, q, mode)
     from su2_tpu.pallas.stencil_solve import _interpret
     g_o = _grad_tiled_call(
-        q_e, coef_e, aux_e, offsets=tuple(mesh.stencil_offsets), ng=ng,
+        ext(q_t), ext(coef_t), ext(aux_t),
+        offsets=tuple(mesh.stencil_offsets), ng=ng,
         d=d, mode=mode, T=T, H=H, ntiles=ntiles, interpret=_interpret())
     return g_o[:ng * d, :n]
 
@@ -182,4 +231,6 @@ def gradient_tiled(mesh, q, mode: str):
     n, ng = q.shape
     d = mesh.coords.shape[1]
     rows = gradient_tiled_rows(mesh, q, mode)
+    if rows is None:
+        return None
     return rows.reshape(ng, d, n).transpose(2, 0, 1)

@@ -128,3 +128,79 @@ def test_sharded_step_uses_neighbor_collectives():
     ags = re.findall(r"all-gather(?:-start)?\(", txt)
     assert n_cp > 0, "no collective-permutes: halo exchange path not engaged"
     assert len(ags) == 0, f"{len(ags)} all-gathers in sharded step HLO"
+
+
+# ---------------------------------------------------------------------------
+# Round 5: multi-chip composition with the production tiers
+# ---------------------------------------------------------------------------
+
+def test_sharded_tiled_gradient_matches_roll_path(combustion_dir,
+                                                  monkeypatch):
+    """The shard_map'd tiled gradient sweep (gradients_tiled.
+    _gradient_tiled_rows_sharded, ppermute halo slabs) matches the GSPMD
+    roll path on the SHIPPED combustion mesh over 8 virtual devices —
+    multi-tile per shard (forced small window)."""
+    import os
+    from su2_tpu.config import Config
+    from su2_tpu.driver import Simulation
+    from su2_tpu.ops import gradients
+    from su2_tpu.pallas import gradients_tiled as gt
+
+    cfg = Config(os.path.join(combustion_dir, "my_combustion_no_chem.cfg"))
+    sim = Simulation(cfg, dtype=jnp.float64, ndevices=8)
+    ma = sim.mesh
+    assert ma.n_shards == 8 and ma.stencil_offsets is not None
+    rng = np.random.default_rng(17)
+    q = jnp.asarray(rng.standard_normal((ma.npoint, 4)))
+    from su2_tpu.parallel import sharding as shd
+    (q,) = shd.shard_state(sim.dmesh, q)
+
+    monkeypatch.setenv("SU2_TPU_TILED_GRAD", "0")
+    ref = np.asarray(gradients.weighted_least_squares(ma, q))
+    ref_gg = np.asarray(gradients.green_gauss(ma, q))
+
+    monkeypatch.setenv("SU2_TPU_TILED_GRAD", "1")
+    # force several tiles per 1126-lane shard
+    monkeypatch.setattr(gt, "_TILE_W_CAP", 1024 + 2 * 128)
+    out = np.asarray(gradients.weighted_least_squares(ma, q))
+    out_gg = np.asarray(gradients.green_gauss(ma, q))
+    for a, b in ((out, ref), (out_gg, ref_gg)):
+        sc = max(np.abs(b).max(), 1.0)
+        np.testing.assert_allclose(a, b, rtol=1e-11, atol=1e-13 * sc)
+    # rows form too (the production fast path at >= 200k nodes)
+    rows = gradients.gradient_rows(ma, q, "WEIGHTED_LEAST_SQUARES")
+    assert rows is not None
+    np.testing.assert_allclose(
+        np.asarray(gradients.rows_to_grad(rows, 4, 2)), ref,
+        rtol=1e-11, atol=1e-13 * max(np.abs(ref).max(), 1.0))
+
+
+def test_sharded_mesh_args_multistep_matches_constant_closure(
+        combustion_dir, monkeypatch):
+    """Round-5 verdict item 1(a): the mesh-as-arguments tier composes with
+    sharding — SU2_TPU_MESH_ARGS=1 on an 8-device sim must match the
+    sharded constant-closure multistep (the buffers are committed with
+    NamedShardings, so jit infers in_shardings and GSPMD partitions the
+    traced rolls identically)."""
+    import os
+    from su2_tpu.config import Config
+    from su2_tpu.driver import Simulation
+
+    cfg = Config(os.path.join(combustion_dir, "my_combustion_no_chem.cfg"))
+
+    def run(mode):
+        monkeypatch.setenv("SU2_TPU_MESH_ARGS", mode)
+        sim = Simulation(cfg, dtype=jnp.float64, ndevices=8)
+        q = sim.initial_turb_state()
+        ig = jnp.zeros((2,), bool)
+        carry, ys = sim.rans_multistep(sim.u0, sim.t0, *q, ig)
+        assert sim._multistep_args == (mode == "1")
+        return np.asarray(carry[0]), np.asarray(ys[0])
+
+    u_c, rms_c = run("0")
+    u_a, rms_a = run("1")
+    sc = np.abs(u_c).max(axis=0)
+    sc[sc == 0] = 1.0
+    # f64 path: the two program forms differ only in constant folding
+    assert (np.abs(u_a - u_c) / sc[None, :]).max() < 1e-9
+    assert np.abs(rms_a - rms_c).max() < 1e-9
