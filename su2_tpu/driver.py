@@ -43,9 +43,20 @@ class Simulation:
         self.cfg = cfg
         self.dtype = dtype
         self.ndevices = ndevices
-        if (dtype == jnp.float32 and ndevices is None
+        if (dtype == jnp.float32
                 and jax.devices()[0].platform == "tpu"):
-            cl.set_enthalpy_mode("pallas")
+            # round-5: multi-chip runs keep the pallas production tiers —
+            # pointwise kernels run per-shard under shard_map, the
+            # windowed/tiled kernels exchange ppermute halo slabs
+            # (pallas/context.py, parallel/tiled_shard.py); the driver
+            # records the shard count for the dispatchers below
+            from su2_tpu.pallas.context import set_pallas_shards
+            set_pallas_shards(ndevices or 1)
+            if ndevices is None:
+                # enthalpy-table kernel: invoked on arbitrary (incl.
+                # full-field) arrays from BC/library call sites that are
+                # not shard-aware — single-chip only
+                cl.set_enthalpy_mode("pallas")
             # fused node-state kernel: Cons2Prim secant/bisection + dT/dU +
             # dP/dU + Wilke transport in one pallas pass (pallas/node_state)
             st.set_node_state_mode("pallas")
@@ -65,9 +76,11 @@ class Simulation:
             # lookup in one pass, pallas/chem_source.py)
             from su2_tpu.pallas import chem_source as _pcs
             _pcs.set_chem_source_mode(True)
-            # fused TOTAL_CONDITIONS inlet secant (pallas/inlet_tc.py)
-            from su2_tpu.pallas import inlet_tc as _itc
-            _itc.set_inlet_tc_mode(True)
+            # fused TOTAL_CONDITIONS inlet secant (pallas/inlet_tc.py) —
+            # marker-batch kernel, not shard-aware: single-chip only
+            if ndevices is None:
+                from su2_tpu.pallas import inlet_tc as _itc
+                _itc.set_inlet_tc_mode(True)
             # NOTE: the (nE, 13, 13) block kernel in pallas/edge_kernels.py
             # (implicit path) stays opt-out: lane padding makes it slower
             # than the XLA chain on v5e; the implicit AUSM+Jacobian path
@@ -1537,7 +1550,7 @@ class Simulation:
                         rms0[self.lay.RHO] - log_rms[self.lay.RHO]
                         > self.cfg.residual_reduction):
                     break
-        return u, t_guess, np.array(hist)
+        return u, t_guess, np.array(hist), (q, mu_t, grad_k, sigma_k)
 
     def run(self, niter: int | None = None, log_every: int = 1,
             u=None, t_guess=None, turb_state=None, quiet=False,

@@ -448,6 +448,15 @@ def _tiled_tier(mesh, sel, dinv, diag, color_masks, sel_is_t: bool):
         return None
     from su2_tpu.pallas import stencil_solve as stks
     v = diag.shape[-1]
+    if mesh.n_shards > 1:
+        # round-5: shard_map'd tiled sweeps (ppermute halo slabs) — the
+        # tiled tier now composes with multi-chip
+        plan = stks.tile_plan_sharded(mesh, v, len(color_masks), 2, True)
+        if plan is None:
+            return None
+        return stks.ShardedTiledStencilOps(mesh, sel, dinv, diag,
+                                           color_masks, plan, mixed=True,
+                                           sel_is_t=sel_is_t)
     plan = stks.tile_plan(mesh, v, len(color_masks), 2, True)
     if plan is None:
         return None

@@ -195,5 +195,20 @@ def chem_source(lib, prm, t, rho, ys, omega_turb=None):
     meta = (float(lib.t0), float(lib.dt), int(lib.nt), ns, nr,
             float(prm.c_mu), float(prm.pasr_lb), pasr_on, consts)
     omt = omega_turb if pasr_on else jnp.zeros_like(t)
-    om = _chem_source_call(t, rho, ys.T, omt, tab, meta=meta)
+    from su2_tpu.pallas.context import pallas_shards
+    nsh = pallas_shards()
+    if nsh > 1:
+        # multi-chip: pointwise over cells — per-shard kernel under
+        # shard_map, zero communication (round-5 verdict item 1)
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+        from su2_tpu.parallel.tiled_shard import cells_axis_mesh
+        lane, vec, rep = P(None, "cells"), P("cells"), P()
+        f = lambda *a: _chem_source_call(*a, meta=meta)
+        om = shard_map(f, mesh=cells_axis_mesh(nsh),
+                       in_specs=(vec, vec, lane, vec, rep),
+                       out_specs=lane, check_vma=False)(
+                           t, rho, ys.T, omt, tab)
+    else:
+        om = _chem_source_call(t, rho, ys.T, omt, tab, meta=meta)
     return om.T

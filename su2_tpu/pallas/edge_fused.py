@@ -235,6 +235,80 @@ def fused_edge_flux_pallas_multi(lay, m_infty, prandtl_turb, lewis_turb,
     return fluxes, outs[kh][:, :ne], outs[kh + 1][:, :ne]
 
 
+def _edge_win_plan_sharded(mesh):
+    """(T, H, ntiles, loc) for the shard_map'd windowed explicit family
+    kernel, or None.  Default ON for multi-chip TPU stencil meshes (the
+    host-roll legacy kernel is single-shard by construction);
+    SU2_TPU_WIN_EDGE=1 forces it anywhere (CPU interpret tests), =0
+    disables (XLA roll path under GSPMD)."""
+    import os
+    env = os.environ.get("SU2_TPU_WIN_EDGE", "")
+    if env == "0":
+        return None
+    if mesh.fam_offsets is None or mesh.n_shards <= 1:
+        return None
+    if mesh.npoint % mesh.n_shards != 0:
+        return None
+    if env != "1" and jax.devices()[0].platform != "tpu":
+        return None
+    from su2_tpu.pallas.stencil_solve import _round128
+    maxoff = max(int(o) for o in mesh.fam_offsets)
+    H = _round128(maxoff)
+    loc = mesh.npoint // mesh.n_shards
+    T = min(16384, _round128(loc))
+    if T <= H:
+        return None
+    ntiles = -(-loc // T)
+    return T, H, ntiles, loc
+
+
+def _edge_win_sharded(mesh, f_all, nm_all, ev_all, b_hcp, mm_col, sm_den,
+                      *, lay, m_infty, prandtl_turb, lewis_turb,
+                      prandtl_lam, nt_meta, mm_sum, plan):
+    """shard_map form of the windowed explicit family kernel: per-shard
+    extended lane blocks with ppermute halo slabs
+    (parallel/tiled_shard.py).  f_all (48, nP); nm_all/ev_all
+    (kh*nd, nP) stacked per-family dual normals / edge vectors (global).
+
+    The halo sanitation mirrors the legacy _pad_cols tricks: lanes whose
+    halo state is the ppermute zero-fill (global array ends) get the
+    shard's own lane-0 f/ev values (finite arithmetic) while their
+    normals stay zero, which gates the flux to exactly zero."""
+    from su2_tpu.parallel import tiled_shard as tsh
+
+    T, H, ntiles, loc = plan
+    E = ntiles * T + 2 * H
+    nsh = mesh.n_shards
+    offsets = tuple(int(o) for o in mesh.fam_offsets)
+    interpret = jax.devices()[0].platform != "tpu"
+    rho_row = lay.ndim + 2          # PRHO row of the v.T block in f_all
+
+    def local(f_l, nm_l, ev_l, b_hcp_r, mm_r, den_r):
+        ext = lambda x: tsh.halo_extend(x, H, E)
+        f_x, nm_x, ev_x = ext(f_l), ext(nm_l), ext(ev_l)
+        dead = f_x[rho_row] <= 0.0
+        f_x = jnp.where(dead[None, :], f_x[:, H:H + 1], f_x)
+        ev_dead = jnp.sum(ev_x * ev_x, axis=0) <= 0.0
+        ev_x = jnp.where(ev_dead[None, :], ev_x[:, H:H + 1], ev_x)
+        res, lclv = _edge_win_call(
+            f_x, nm_x, ev_x, b_hcp_r, mm_r, den_r, lay=lay,
+            m_infty=m_infty, prandtl_turb=prandtl_turb,
+            lewis_turb=lewis_turb, prandtl_lam=prandtl_lam,
+            nt_meta=nt_meta, mm_sum=mm_sum, offsets=offsets, T=T, H=H,
+            ntiles=ntiles, interpret=interpret, ext_loc=loc)
+        return res[:, :loc], lclv[:, :loc]
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    lane, rep = P(None, "cells"), P()
+    res, lclv = shard_map(
+        local, mesh=tsh.cells_axis_mesh(nsh),
+        in_specs=(lane, lane, lane, rep, rep, rep),
+        out_specs=lane, check_vma=False)(
+            f_all, nm_all, ev_all, b_hcp, mm_col, sm_den)
+    return res, lclv
+
+
 def _edge_win_plan(mesh):
     """(T, H, ntiles) for the windowed explicit family kernel, or None.
 
@@ -267,17 +341,26 @@ def _edge_win_plan(mesh):
 
 @functools.partial(jax.jit, static_argnames=(
     "lay", "m_infty", "prandtl_turb", "lewis_turb", "prandtl_lam",
-    "nt_meta", "mm_sum", "offsets", "T", "H", "ntiles", "interpret"))
+    "nt_meta", "mm_sum", "offsets", "T", "H", "ntiles", "interpret",
+    "ext_loc"))
 def _edge_win_call(f_e, nm_e, ev_e, b_hcp, mm_col, sm_den, *, lay, m_infty,
                    prandtl_turb, lewis_turb, prandtl_lam, nt_meta, mm_sum,
-                   offsets, T, H, ntiles, interpret):
+                   offsets, T, H, ntiles, interpret, ext_loc=None):
     """Windowed multi-family explicit kernel: f_e (48, ntiles*T) unextended;
     nm_e/ev_e (kh*nd, ntiles*T) stacked per-family normals (ZERO-padded
     beyond nP — invalid-edge slots carry zero area) / edge vectors.
     Returns (res (r_res, ntiles*T) rows [0:nvar], lclv (8, ntiles*T) rows
     [lc, lv]) — node-accumulated over all families: res[p] = sum_k
     flux_k[p] - flux_k[p - o_k].  r_res = nvar rounded up to the sublane
-    multiple of 8."""
+    multiple of 8.
+
+    ext_loc (static, sharded form): inputs are EXTENDED lane arrays
+    [halo(H) | field(loc..ntiles*T pad) | halo(H)] of width
+    E = ntiles*T + 2H; windows sit at [i*T, i*T + W) with no clamp, the
+    left halo carries REAL neighbor values (kept: normals NOT zeroed for
+    gidx in [-H, 0)), and normals are zeroed for local lanes >= ext_loc
+    (the zero-pad/right-halo garbage region — owner residuals only read
+    flux lanes <= loc-1, see parallel/tiled_shard.py)."""
     from su2_tpu.pallas.stencil_solve import _roll, _pad_rows8
 
     W = T + 2 * H
@@ -309,9 +392,13 @@ def _edge_win_call(f_e, nm_e, ev_e, b_hcp, mm_col, sm_den, *, lay, m_infty,
                f_s, nm_s, ev_s, res_s, lclv_s, sems):
         i = pl.program_id(0)
         s = i * T
-        # clamped 128-aligned window start (provable to Mosaic; see
-        # stencil_solve unextended-r notes)
-        sc0 = jnp.clip((s - H) // 128, 0, (npad_t - W) // 128) * 128
+        if ext_loc is None:
+            # clamped 128-aligned window start (provable to Mosaic; see
+            # stencil_solve unextended-r notes)
+            sc0 = jnp.clip((s - H) // 128, 0, (npad_t - W) // 128) * 128
+        else:
+            # extended inputs: window [i*T, i*T+W) always in range
+            sc0 = s
         cps = [
             pltpu.make_async_copy(f_h.at[:, pl.ds(sc0, W)], f_s,
                                   sems.at[0]),
@@ -324,16 +411,23 @@ def _edge_win_call(f_e, nm_e, ev_e, b_hcp, mm_col, sm_den, *, lay, m_infty,
             c.start()
         for c in cps:
             c.wait()
-        delta = jnp.int32((sc0 - (s - H)) % W)
-        fw = pltpu.roll(f_s[...], delta, axis=1)
-        nmw = pltpu.roll(nm_s[...], delta, axis=1)
-        evw = pltpu.roll(ev_s[...], delta, axis=1)
+        if ext_loc is None:
+            delta = jnp.int32((sc0 - (s - H)) % W)
+            fw = pltpu.roll(f_s[...], delta, axis=1)
+            nmw = pltpu.roll(nm_s[...], delta, axis=1)
+            evw = pltpu.roll(ev_s[...], delta, axis=1)
+        else:
+            fw, nmw, evw = f_s[...], nm_s[...], ev_s[...]
         # out-of-field lanes (window clamp) must carry ZERO normals so
         # their flux is exactly zero (the legacy path's wrapped-roll lanes
         # relied on the same zero-area guard); f/ev lanes stay real values
-        # from the clamp, so everything is finite
+        # from the clamp, so everything is finite.  Extended (sharded)
+        # form: the left halo [-H, 0) keeps its real neighbor normals and
+        # only lanes >= ext_loc are zeroed.
         gidx = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1) + (s - H)
-        nmw = jnp.where((gidx >= 0) & (gidx < npad_t), nmw, 0.0)
+        lo = 0 if ext_loc is None else -H
+        hi = npad_t if ext_loc is None else ext_loc
+        nmw = jnp.where((gidx >= lo) & (gidx < hi), nmw, 0.0)
 
         trow = fw[lay.T:lay.T + 1]                    # 2-D (1, W): Mosaic
         hcps = _hcp_pair(consts, tab_ref, mmr,        # has no 1-D rotate
@@ -515,6 +609,26 @@ def fused_interior_terms(lib, lay, mesh, prm, v, grad, trans, turb,
         # contraction pairs across families — per-family f_j rolls stay
         # separate operands (a Kh-wide stacked concatenation materialized
         # 2x Kh x 54 MB at 142k cells).
+        if mesh.n_shards > 1:
+            # multi-chip: shard_map'd windowed kernel (ppermute halo
+            # slabs); the host-roll legacy kernel is single-shard only
+            plan = _edge_win_plan_sharded(mesh)
+            assert plan is not None, "fused gate requires the sharded plan"
+            n = npoints
+            kh = len(mesh.fam_offsets)
+            nm_all = jnp.concatenate(
+                [mesh.fam_normal[k].T for k in range(kh)],
+                axis=0).astype(v.dtype)
+            ev_all = jnp.concatenate(
+                [mesh.fam_evec[k].T for k in range(kh)],
+                axis=0).astype(v.dtype)
+            lay_, m_inf, pr_t, le_t, pr_l, ntm, sc_ = kernel_args
+            res, lclv = _edge_win_sharded(
+                mesh, f_all, nm_all, ev_all, tabs[0], sc_.mm_col,
+                sc_.sm_den, lay=lay_, m_infty=m_inf, prandtl_turb=pr_t,
+                lewis_turb=le_t, prandtl_lam=pr_l, nt_meta=ntm,
+                mm_sum=sc_.mm_sum, plan=plan)
+            return (res[:lay.nvar].T, lclv[0], lclv[1])
         win = _edge_win_plan(mesh)
         if win is not None:
             # windowed form: no host-side f_j rolls, no flux roll-subtract

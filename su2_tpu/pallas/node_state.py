@@ -566,12 +566,30 @@ def node_state(lib, lay, tp, u, t_guess, turb_ke=None, lite=False):
         b_wk = b_wk[:3 * s]
     b_h, b_all = _tables(lib, u.dtype, lite=lite)
     tke = jnp.zeros_like(t_guess) if turb_ke is None else turb_ke
-    outs = cons2prim_fused(
-        lay, tp, (float(lib.t0), float(lib.dt), int(lib.nt)), lite,
-        u.T, t_guess, tke, b_h, b_all,
-        jnp.asarray(lib.mm, u.dtype)[:, None],
-        jnp.asarray(lib.ri, u.dtype)[:, None],
-        jnp.asarray(b_wk, u.dtype))
+    nt_meta = (float(lib.t0), float(lib.dt), int(lib.nt))
+    args = (u.T, t_guess, tke, b_h, b_all,
+            jnp.asarray(lib.mm, u.dtype)[:, None],
+            jnp.asarray(lib.ri, u.dtype)[:, None],
+            jnp.asarray(b_wk, u.dtype))
+    from su2_tpu.pallas.context import pallas_shards
+    nsh = pallas_shards()
+    if nsh > 1:
+        # multi-chip: the kernel is pointwise over nodes — run it
+        # per-shard under shard_map (zero communication; round-5 verdict
+        # item 1: every pallas fast path composes with sharding)
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+        from su2_tpu.parallel.tiled_shard import cells_axis_mesh
+        lane, vec, rep = P(None, "cells"), P("cells"), P()
+        out_specs = ((lane, lane, vec, vec, vec, lane) if lite
+                     else (lane, lane, vec, lane, lane, vec, vec, lane))
+        f = lambda *a: cons2prim_fused(lay, tp, nt_meta, lite, *a)
+        outs = shard_map(
+            f, mesh=cells_axis_mesh(nsh),
+            in_specs=(lane, vec, vec, rep, rep, rep, rep, rep),
+            out_specs=out_specs, check_vma=False)(*args)
+    else:
+        outs = cons2prim_fused(lay, tp, nt_meta, lite, *args)
     if lite:
         uc, v, nonp, gm1, mu, xs = outs
         return (uc.T, v.T, nonp > 0.5, gm1, mu, xs.T)

@@ -851,6 +851,127 @@ class TiledStencilOps:
         return self._from_o(z_o)
 
 
+def tile_plan_sharded(mesh, v: int, ncolor: int, sel_itemsize: int,
+                      with_f32_matvec_sel: bool):
+    """Per-SHARD (T, H, ntiles, E, loc) for the shard_map'd tiled sweeps,
+    or None.  Same VMEM-driven T/H sizing as tile_plan; tile count covers
+    the local contiguous lane block.
+
+    Default ON for multi-chip TPU runs (the resident one-launch tiers are
+    single-shard by construction, so tiled is the multi-chip production
+    solve tier); SU2_TPU_TILED_SOLVE=1 forces it anywhere (CPU interpret
+    tests), =0 disables (XLA roll fallback under GSPMD)."""
+    import os
+    if mesh.stencil_offsets is None or mesh.n_shards <= 1:
+        return None
+    if mesh.npoint % mesh.n_shards != 0:
+        return None
+    env = os.environ.get("SU2_TPU_TILED_SOLVE", "")
+    if env == "0":
+        return None
+    if env != "1" and jax.devices()[0].platform != "tpu":
+        return None
+    loc = mesh.npoint // mesh.n_shards
+    k = len(mesh.stencil_offsets)
+    maxoff = max(abs(int(o)) for o in mesh.stencil_offsets)
+    npass = 2 * ncolor - 1
+    H = _round128((npass + 1) * maxoff)
+    bpl = k * v * v * sel_itemsize \
+        + (k * v * v * 4 if with_f32_matvec_sel else 0) \
+        + 2 * v * v * 4 + ncolor * 4 + 4 * v * 4 \
+        + 2 * (v * v + ncolor + 6 * v + k * v) * 4
+    W = min(_TILE_W_CAP, (_VMEM_LIMIT // bpl) // 128 * 128)
+    T = W - 2 * H
+    if T < max(8 * 128, H):
+        return None
+    ntiles = -(-loc // T)
+    E = ntiles * T + 2 * H
+    return T, H, ntiles, E, loc
+
+
+class ShardedTiledStencilOps:
+    """shard_map composition of the tiled sweep kernels (round-5 verdict
+    item 1b): each shard runs the SAME extended-lanes kernel on its
+    contiguous lane block, with the halo columns — carrying true neighbor
+    values this time — exchanged as ppermute slabs
+    (parallel/tiled_shard.halo_extend).  Owner-region sweep results are
+    identical to the global tiled kernel because the sweep's dependency
+    radius (2*ncolor-1 passes x maxoff) is covered by H, exactly the
+    argument that pins the single-chip tiled tier bitwise to the
+    full-field kernels."""
+
+    def __init__(self, mesh, sel, dinv, diag, color_masks, plan,
+                 mixed: bool, sel_is_t: bool = False):
+        self.v = dinv.shape[-1]
+        self.n = dinv.shape[0]
+        self.nsh = mesh.n_shards
+        self.offsets = tuple(mesh.stencil_offsets)
+        self.T, self.H, self.ntiles, self.E, self.loc = plan
+        self.ncolor = len(color_masks)
+        self.mixed = mixed
+        v, n = self.v, self.n
+        tt = lambda b: b.transpose(1, 2, 0).reshape(v * v, n)
+        sel_t = (sel if sel_is_t
+                 else sel.transpose(0, 2, 3, 1).reshape(
+                     len(self.offsets) * v * v, n))
+        # UNextended lane-major operands (global, GSPMD-sharded); halo
+        # extension happens per shard inside the shard_map call
+        self.selm_t = sel_t
+        self.selp_t = sel_t.astype(jnp.bfloat16) if mixed else sel_t
+        self.dinv_t = tt(dinv)
+        self.diag_t = tt(diag)
+        self.masks_t = jnp.stack([m.astype(dinv.dtype)
+                                  for m in color_masks])
+
+    def _kw(self):
+        return dict(offsets=self.offsets, v=self.v, ncolor=self.ncolor,
+                    T=self.T, H=self.H, ntiles=self.ntiles,
+                    interpret=_interpret(), r_unext=False)
+
+    def precond_matvec(self, r):
+        from su2_tpu.parallel import tiled_shard as tsh
+        H, E, loc = self.H, self.E, self.loc
+
+        if self.mixed:
+            def local(selp_l, selm_l, dinv_l, diag_l, masks_l, r_l):
+                ext = lambda x: _pad_rows8(tsh.halo_extend(x, H, E))
+                z_o, w_o = _tiled_sgs_matvec_mixed_call(
+                    ext(selp_l), ext(selm_l), ext(dinv_l), ext(diag_l),
+                    ext(masks_l), ext(r_l), **self._kw())
+                return z_o[:, :loc], w_o[:, :loc]
+            z, w = tsh.sharded_lane_call(
+                self.nsh, local, self.v, self.selp_t, self.selm_t,
+                self.dinv_t, self.diag_t, self.masks_t, r.T)
+        else:
+            def local(selm_l, dinv_l, diag_l, masks_l, r_l):
+                ext = lambda x: _pad_rows8(tsh.halo_extend(x, H, E))
+                z_o, w_o = _tiled_sgs_matvec_call(
+                    ext(selm_l), ext(dinv_l), ext(diag_l), ext(masks_l),
+                    ext(r_l), **self._kw())
+                return z_o[:, :loc], w_o[:, :loc]
+            z, w = tsh.sharded_lane_call(
+                self.nsh, local, self.v, self.selm_t, self.dinv_t,
+                self.diag_t, self.masks_t, r.T)
+        return z.T, w.T
+
+    def precond(self, r):
+        from su2_tpu.parallel import tiled_shard as tsh
+        H, E, loc = self.H, self.E, self.loc
+        kw = dict(offsets=self.offsets, v=self.v, ncolor=self.ncolor,
+                  T=self.T, H=self.H, ntiles=self.ntiles,
+                  interpret=_interpret())
+
+        def local(selp_l, dinv_l, masks_l, r_l):
+            ext = lambda x: _pad_rows8(tsh.halo_extend(x, H, E))
+            z_o = _tiled_sgs_call(ext(selp_l), ext(dinv_l), ext(masks_l),
+                                  ext(r_l), **kw)
+            return z_o[:, :loc]
+
+        z = tsh.sharded_lane_call(self.nsh, local, self.v, self.selp_t,
+                                  self.dinv_t, self.masks_t, r.T)
+        return z.T
+
+
 class StencilSolveOps:
     """Per-solve fused operators: transpose/pad the block data once, then
     every application is a single kernel launch.

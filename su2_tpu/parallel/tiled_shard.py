@@ -61,10 +61,10 @@ def halo_extend(x_t: jnp.ndarray, H: int, E: int, axis: str = "cells"):
 
 
 def sharded_lane_call(n_shards: int, fn, out_rows: int, *lane_ops):
-    """Run `fn(*local_lane_ops) -> (out_rows, loc)` under shard_map over
-    the cells axis.  Every operand is lane-major (rows, nP) sharded on its
-    LAST axis; the output is lane-major sharded the same way.  `fn` is
-    responsible for its own halo_extend calls."""
+    """Run `fn(*local_lane_ops) -> lane-major array (or pytree of them)`
+    under shard_map over the cells axis.  Every operand is lane-major
+    (rows, nP) sharded on its LAST axis; outputs are lane-major sharded
+    the same way.  `fn` is responsible for its own halo_extend calls."""
     from jax import shard_map
 
     mesh = cells_axis_mesh(n_shards)

@@ -225,6 +225,13 @@ def ns_assemble(lib: ChemLib, lay: Layout, mesh: MeshArrays, prm: NSParams,
     fused = (not implicit and ek.use_pallas() and turb is not None
              and sigma_k_edge is not None and not prm.muscl
              and prm.conv_method == "AUSM")
+    if fused and mesh.n_shards > 1:
+        # multi-chip: only the shard_map'd windowed family kernel runs
+        # sharded (pallas/edge_fused._edge_win_sharded); otherwise the
+        # GSPMD roll path assembles
+        from su2_tpu.pallas import edge_fused as _ef
+        fused = (mesh.fam_normal is not None
+                 and _ef._edge_win_plan_sharded(mesh) is not None)
     if nsd is None:
         dpdu_full = st.dpdu(lib, lay, v)
         dtdu_full = st.dtdu(lib, lay, v)

@@ -204,3 +204,192 @@ def test_sharded_mesh_args_multistep_matches_constant_closure(
     # f64 path: the two program forms differ only in constant folding
     assert (np.abs(u_a - u_c) / sc[None, :]).max() < 1e-9
     assert np.abs(rms_a - rms_c).max() < 1e-9
+
+
+def test_sharded_tiled_solve_matches_xla_sweep(combustion_dir, monkeypatch):
+    """ShardedTiledStencilOps (shard_map'd tiled SGS sweep + matvec,
+    ppermute halo slabs) matches the XLA multicolor sweep / matvec on a
+    synthetic stencil system over the sharded combustion mesh (8 virtual
+    devices, f64, mixed=False)."""
+    from su2_tpu.config import Config
+    from su2_tpu.driver import Simulation
+    from su2_tpu.linalg import blockcsr
+    from su2_tpu.pallas import stencil_solve as stks
+    from su2_tpu.parallel import sharding as shd
+
+    import os
+    cfg = Config(os.path.join(combustion_dir, "my_combustion_no_chem.cfg"))
+    sim = Simulation(cfg, dtype=jnp.float64, ndevices=8)
+    ma = sim.mesh
+    n = ma.npoint
+    k = len(ma.stencil_offsets)
+    v = 2
+    ncolor = len(sim.scfg.color_masks)
+    rng = np.random.default_rng(23)
+    sel = rng.standard_normal((k, n, v, v)) * 0.1
+    for kk, o in enumerate(ma.stencil_offsets):
+        p = np.arange(n)
+        sel[kk, (p + o < 0) | (p + o >= n)] = 0.0
+    diag = rng.standard_normal((n, v, v)) * 0.1 \
+        + 3.0 * np.eye(v)[None]
+    r = rng.standard_normal((n, v))
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    sel_j = jax.device_put(jnp.asarray(sel),
+                           NamedSharding(sim.dmesh, P(None, "cells")))
+    diag_j, r_j = shd.shard_state(sim.dmesh, jnp.asarray(diag),
+                                  jnp.asarray(r))
+    dinv = blockcsr.block_diag_inv(diag_j)
+    jac = blockcsr.BlockJacobian(diag=diag_j, off_ij=None, off_ji=None)
+    z_ref = np.asarray(blockcsr.multicolor_sgs_apply(
+        ma, jac, dinv, sim.scfg.color_masks, r_j, offdiag=sel_j))
+    w_ref = np.asarray(blockcsr._bmv(diag_j, jnp.asarray(z_ref))
+                       + blockcsr._offdiag_apply(ma, sel_j, jnp.asarray(z_ref)))
+
+    monkeypatch.setenv("SU2_TPU_TILED_SOLVE", "1")
+    plan = stks.tile_plan_sharded(ma, v, ncolor, 8, False)
+    assert plan is not None
+    ops = stks.ShardedTiledStencilOps(ma, sel_j, dinv, diag_j,
+                                      sim.scfg.color_masks, plan,
+                                      mixed=False)
+    z, w = ops.precond_matvec(r_j)
+    scz = max(np.abs(z_ref).max(), 1.0)
+    np.testing.assert_allclose(np.asarray(z), z_ref, rtol=1e-10,
+                               atol=1e-12 * scz)
+    scw = max(np.abs(w_ref).max(), 1.0)
+    np.testing.assert_allclose(np.asarray(w), w_ref, rtol=1e-10,
+                               atol=1e-12 * scw)
+    z2 = ops.precond(r_j)
+    np.testing.assert_allclose(np.asarray(z2), z_ref, rtol=1e-10,
+                               atol=1e-12 * scz)
+
+
+def test_sharded_windowed_edge_matches_roll_path(combustion_dir,
+                                                 monkeypatch):
+    """The shard_map'd windowed explicit edge kernel
+    (edge_fused._edge_win_sharded, ppermute halo slabs + halo sanitation)
+    matches the GSPMD roll-path assembly on the shipped combustion mesh
+    over 8 virtual devices (full fused_interior_terms physics: AUSM +
+    viscous + Stefan-Maxwell + SST closures + spectral radii)."""
+    import os
+    from su2_tpu.config import Config
+    from su2_tpu.driver import Simulation
+    from su2_tpu.ops import viscous as vis
+    from su2_tpu.pallas import edge_fused
+    from su2_tpu.pallas import edge_kernels as ek
+    from su2_tpu.solvers import ns
+    from su2_tpu import state as st
+
+    cfg = Config(os.path.join(combustion_dir, "my_combustion_no_chem.cfg"))
+    sim = Simulation(cfg, dtype=jnp.float64, ndevices=8)
+    assert sim.mesh.fam_offsets is not None
+    q0, mu_t0, grad_k0, sigma_k0 = sim.initial_turb_state()
+    u, v, _ = st.cons2prim(sim.lib, sim.lay, sim.u0, sim.t0, sim.tparams,
+                           turb_ke=q0[:, 0])
+    turb = vis.TurbFlowData(tke=q0[:, 0], mu_t=mu_t0,
+                            grad_tke=grad_k0[:, 0, :], sigma_k=sigma_k0)
+
+    def assemble(windowed):
+        monkeypatch.setenv("SU2_TPU_WIN_EDGE", "1" if windowed else "0")
+        ek.set_edge_kernel_mode(windowed)
+        try:
+            if windowed:
+                assert edge_fused._edge_win_plan_sharded(sim.mesh) \
+                    is not None
+            res, wm, trans, nonphys, lams = ns.ns_assemble(
+                sim.lib, sim.lay, sim.mesh, sim.params, sim.bcs, v,
+                turb=turb, omega_turb=q0[:, 1],
+                sigma_k_edge=sigma_k0[sim.mesh.edges[:, 0]],
+                want_lambdas=True)
+        finally:
+            ek.set_edge_kernel_mode(False)
+        return np.asarray(res)
+
+    r0 = assemble(False)
+    r1 = assemble(True)
+    assert not np.isnan(r1).any()
+    scale = np.abs(r0).max(axis=0)
+    for k in range(r0.shape[1]):
+        assert np.abs(r1[:, k] - r0[:, k]).max() <= 1e-9 * max(scale[k], 1e-6), k
+
+
+def test_sharded_fused_coupled_step_matches_xla(combustion_dir,
+                                                monkeypatch):
+    """Full composed multi-chip production step: node_state (shard_map
+    pointwise), windowed edge kernel (ppermute halos), sharded tiled
+    gradients — one coupled RANS step on the shipped combustion mesh over
+    8 virtual devices vs the sharded XLA step."""
+    import os
+    from su2_tpu.config import Config
+    from su2_tpu.driver import Simulation
+    from su2_tpu.pallas import edge_kernels as ek
+    from su2_tpu.pallas.context import set_pallas_shards
+    from su2_tpu import state as st
+
+    cfg = Config(os.path.join(combustion_dir, "my_combustion_no_chem.cfg"))
+    sim0 = Simulation(cfg, dtype=jnp.float64, ndevices=8)
+    q0 = sim0.initial_turb_state()
+    o0 = sim0._step(sim0.u0, sim0.t0, *q0, jnp.asarray(False))
+
+    monkeypatch.setenv("SU2_TPU_WIN_EDGE", "1")
+    monkeypatch.setenv("SU2_TPU_TILED_GRAD", "1")
+    set_pallas_shards(8)
+    st.set_node_state_mode("pallas")
+    ek.set_edge_kernel_mode(True)
+    try:
+        sim1 = Simulation(cfg, dtype=jnp.float64, ndevices=8)
+        q1 = sim1.initial_turb_state()
+        o1 = sim1._step(sim1.u0, sim1.t0, *q1, jnp.asarray(False))
+    finally:
+        set_pallas_shards(1)
+        st.set_node_state_mode("xla")
+        ek.set_edge_kernel_mode(False)
+    u0n, u1n = np.asarray(o0[0]), np.asarray(o1[0])
+    q0n, q1n = np.asarray(o0[2]), np.asarray(o1[2])
+    assert not np.isnan(u1n).any() and not np.isnan(q1n).any()
+    sc = np.abs(u0n).max(axis=0)
+    sc[sc == 0] = 1.0
+    assert (np.abs(u1n - u0n) / sc[None, :]).max() < 1e-9
+    scq = np.abs(q0n).max(axis=0)
+    assert (np.abs(q1n - q0n) / scq[None, :]).max() < 1e-9
+
+
+def test_sharded_chem_source_matches_unsharded(combustion_dir):
+    """The shard_map-wrapped chemistry-source kernel (pointwise, zero
+    communication) matches the plain kernel bitwise."""
+    import os
+    from su2_tpu.chemistry import library as cl
+    from su2_tpu.pallas import chem_source as pcs
+    from su2_tpu.pallas.context import set_pallas_shards
+    from su2_tpu.parallel import sharding as shd
+    from jax.sharding import Mesh
+
+    lib = cl.load_library(os.path.join(combustion_dir,
+                                       "test_chem_second.txt"),
+                          None, jnp.float64)
+    lib = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x) if hasattr(x, "dtype") else x, lib)
+
+    class PRM:
+        pasr = True
+        pasr_lb = 0.2
+        c_mu = 0.09
+
+    rng = np.random.default_rng(5)
+    n = 1024
+    t = jnp.asarray(rng.uniform(400.0, 2000.0, n))
+    rho = jnp.asarray(rng.uniform(0.5, 2.0, n))
+    ys = rng.uniform(0, 1, (n, lib.nspecies))
+    ys = jnp.asarray(ys / ys.sum(axis=1, keepdims=True))
+    omt = jnp.asarray(rng.uniform(10.0, 1000.0, n))
+    ref = np.asarray(pcs.chem_source(lib, PRM, t, rho, ys, omt))
+    dmesh = Mesh(np.array(jax.devices()[:8]), axis_names=("cells",))
+    t8, rho8, ys8, omt8 = shd.shard_state(dmesh, t, rho, ys, omt)
+    set_pallas_shards(8)
+    try:
+        out = np.asarray(pcs.chem_source(lib, PRM, t8, rho8, ys8, omt8))
+    finally:
+        set_pallas_shards(1)
+    # not bitwise: the one-hot table contractions reduce over a different
+    # tile shape per shard, so XLA's reduction tree regroups (f64 rounding)
+    sc = max(np.abs(ref).max(), 1e-30)
+    np.testing.assert_allclose(out, ref, rtol=1e-9, atol=1e-12 * sc)
