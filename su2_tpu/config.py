@@ -146,6 +146,18 @@ def _parse_marker_pairs(s: str) -> dict[str, float]:
     return out
 
 
+def _parse_marker_exhaust(s: str) -> dict[str, tuple[float, float]]:
+    """MARKER_ENGINE_EXHAUST = (name, Tt, Pt, ...) — the reference's
+    addExhaustOption (config_structure.cpp:949)."""
+    toks = _split_list(s)
+    if toks == ["NONE"] or not toks:
+        return {}
+    out: dict[str, tuple[float, float]] = {}
+    for i in range(0, len(toks), 3):
+        out[toks[i]] = (float(toks[i + 1]), float(toks[i + 2]))
+    return out
+
+
 def _parse_marker_names(s: str) -> list[str]:
     toks = _split_list(s)
     if toks == ["NONE"]:
@@ -257,6 +269,12 @@ _REGISTRY: dict[str, _Opt] = {
     "FUEL_TEMPERATURE": _d(300.0),
     "FUEL_DATA_FILE": _s(""),
     "MARKER_ENGINE_INFLOW": _Opt(_parse_marker_pairs, {}),
+    # standard-solver nacelle BCs (BC_Engine_Inflow/_Exhaust,
+    # solver_direct_mean.cpp:12726/:12944; options :921-970)
+    "MARKER_ENGINE_EXHAUST": _Opt(_parse_marker_exhaust, {}),
+    "ENGINE_INFLOW_TYPE": _enum("FAN_FACE_MACH"),
+    "DAMP_ENGINE_INFLOW": _d(0.95),
+    "DAMP_ENGINE_EXHAUST": _d(0.95),
     "INFLOW_MASS_FRAC": _Opt(_parse_inlet_mass_frac, {}),
     "INFLOW_VELOCITY_DIR": _Opt(_parse_double_list, [1.0, 0.0, 0.0]),
     "TEMPERATURE_MIN": _d(200.0),

@@ -100,7 +100,43 @@ def build_bc_markers(cfg: Config, lib: ChemLib, mesh: MeshArrays,
             "riemann", tag, "",
             params={"riemann_kind": kind, "v1": f(v1), "v2": f(v2),
                     "flow_dir": f(fdir), "ys": f(ys)}, **geom(tag)))
-    for tag in cfg.marker_engine_inflow:
+    for tag, (tt, pt) in cfg.marker_engine_exhaust.items():
+        # standard nacelle exhaust (BC_Engine_Exhaust,
+        # solver_direct_mean.cpp:12944): a total-conditions inflow with
+        # the GIVEN (Tt, Pt) targets — the reference overwrites its own
+        # iterative pressure estimate with the static targets (:12991-
+        # 12996) — and the flow direction along the inward surface normal
+        # (Flow_Dir = -UnitNormal, :13032).  Our marker normals point
+        # OUTWARD-negated already per the dual-grid convention used by the
+        # inlet math, so the per-vertex unit normal is the flow direction.
+        g = geom(tag)
+        nrm = np.asarray(g["normal"], dtype=np.float64)
+        unit = nrm / np.maximum(
+            np.linalg.norm(nrm, axis=1, keepdims=True), 1e-300)
+        ys = cfg.inlet_mass_frac.get(tag, cfg.freestream_mass_frac)
+        out.append(BCMarker(
+            "inlet", tag, "TOTAL_CONDITIONS",
+            params={"v1": f(tt), "v2": f(pt), "flow_dir": f(unit),
+                    "ys": f(ys)}, **g))
+    if cfg.marker_engine_inflow and not cfg.reactive:
+        # standard nacelle fan-face inflow (BC_Engine_Inflow,
+        # solver_direct_mean.cpp:12726): the ghost state is EXACTLY the
+        # subsonic pressure-outlet characteristic update with the fan-face
+        # back pressure imposed (:12800-12830 == BC_Outlet).
+        # FAN_FACE_PRESSURE imposes the cfg target directly; the
+        # FAN_FACE_MACH/MDOT modes wrap the same BC in a damped scalar
+        # controller fed by the PREVIOUS iteration's marker-integrated
+        # Mach/mass flow (:12743-12766) — a host-loop feature not yet
+        # threaded through the jitted step (raises loudly).
+        if cfg.engine_inflow_type != "FAN_FACE_PRESSURE":
+            raise NotImplementedError(
+                "ENGINE_INFLOW_TYPE= FAN_FACE_MACH/MDOT (damped fan-face "
+                "controller) is not implemented; use FAN_FACE_PRESSURE "
+                "with the target back pressure")
+        for tag, target in cfg.marker_engine_inflow.items():
+            out.append(BCMarker("outlet", tag, "",
+                                params={"p_exit": f(target)}, **geom(tag)))
+    for tag in (cfg.marker_engine_inflow if cfg.reactive else ()):
         # fuel-regression inflow (BC_Engine_Inflow,
         # solver_direct_reactive.cpp:5947; data options
         # config_structure.cpp:569-588)

@@ -732,6 +732,21 @@ def wall_distance(coords: np.ndarray, wall_points: np.ndarray,
     if wall_points.shape[0] == 0:
         return np.full(coords.shape[0], 1e10)
     out = np.empty(coords.shape[0])
+    if coords.shape[0] >= 200_000:
+        # GEMM form |a-b|^2 = |a|^2 + |b|^2 - 2 a.b: the elementwise form
+        # materializes an (chunk, nW, d) temporary per chunk (~0.8 GB at
+        # 4096x8192x3) and took ~20 min at a 0.5M-node 3D box; BLAS does
+        # it in seconds.  f64 cancellation error at first-cell distances
+        # (~1e-6 of the coordinate scale) is ~5e-11 relative — but the
+        # exact elementwise arithmetic is kept below 200k nodes where
+        # printed-digit parity pins exist.
+        w2 = (wall_points ** 2).sum(-1)
+        for s in range(0, coords.shape[0], chunk):
+            blk = coords[s:s + chunk]
+            d2 = ((blk ** 2).sum(-1)[:, None] + w2[None, :]
+                  - 2.0 * blk @ wall_points.T)
+            out[s:s + chunk] = np.sqrt(np.maximum(d2.min(axis=1), 0.0))
+        return out
     for s in range(0, coords.shape[0], chunk):
         blk = coords[s:s + chunk]
         d2 = ((blk[:, None, :] - wall_points[None, :, :]) ** 2).sum(-1)
