@@ -44,3 +44,24 @@ def test_flagship_step_perf_canary():
         f"perf regression: {result['ms_per_iter']} ms/iter vs expected "
         f"{result.get('expected_ms_per_iter')} — bisect before shipping "
         f"(see BENCH_EXPECT.json)")
+
+
+@pytest.mark.tpu
+@pytest.mark.slow
+def test_565k_tier_perf_canary():
+    """Scaling-tier canary (round-5 verdict item 4): the tiled/windowed
+    kernels live on tiers the 9k canary cannot see — a regression in the
+    565k tier trips this (scripts/bench_565k.py vs
+    BENCH_EXPECT.json["tpu_565k"], same >20% rule)."""
+    if not _tpu_available():
+        pytest.skip("no TPU attached")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    out = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "scripts", "bench_565k.py")],
+        capture_output=True, text=True, env=env, timeout=2400)
+    assert out.returncode == 0, out.stderr[-2000:]
+    result = json.loads(out.stdout.strip().splitlines()[-1])
+    assert not result.get("regression"), (
+        f"565k perf regression: {result['ms_per_iter']} ms/iter vs "
+        f"expected {result.get('expected_ms_per_iter')}")
