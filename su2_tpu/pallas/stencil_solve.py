@@ -513,7 +513,10 @@ def tile_plan(mesh, v: int, ncolor: int, sel_itemsize: int,
         + (k * v * v * 4 if with_f32_matvec_sel else 0) \
         + 2 * v * v * 4 + ncolor * 4 + 4 * v * 4 \
         + 2 * (v * v + ncolor + 6 * v + k * v) * 4
-    W = min(_TILE_W_CAP, (_VMEM_LIMIT // bpl) // 128 * 128)
+    # 12% headroom on the scoped-VMEM budget: the bpl temporaries model
+    # under-predicted by ~6% on the 3D flow shapes (v=8, k=6 — Mosaic
+    # scoped OOM at W sized to the full limit, round-5 3D profiling)
+    W = min(_TILE_W_CAP, (_VMEM_LIMIT * 22 // 25 // bpl) // 128 * 128)
     T = W - 2 * H
     if T < max(8 * 128, H):        # halo overhead > 2x: not worth it
         return None
@@ -880,7 +883,10 @@ def tile_plan_sharded(mesh, v: int, ncolor: int, sel_itemsize: int,
         + (k * v * v * 4 if with_f32_matvec_sel else 0) \
         + 2 * v * v * 4 + ncolor * 4 + 4 * v * 4 \
         + 2 * (v * v + ncolor + 6 * v + k * v) * 4
-    W = min(_TILE_W_CAP, (_VMEM_LIMIT // bpl) // 128 * 128)
+    # 12% headroom on the scoped-VMEM budget: the bpl temporaries model
+    # under-predicted by ~6% on the 3D flow shapes (v=8, k=6 — Mosaic
+    # scoped OOM at W sized to the full limit, round-5 3D profiling)
+    W = min(_TILE_W_CAP, (_VMEM_LIMIT * 22 // 25 // bpl) // 128 * 128)
     T = W - 2 * H
     if T < max(8 * 128, H):
         return None

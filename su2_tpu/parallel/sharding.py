@@ -10,9 +10,9 @@ collectives over ICI (the GSPMD partitioner inserts them from the sharding
 annotations); psum-style reductions (min dt, RMS) fall out of the same
 propagation.
 
-Explicit neighbor halo exchange via shard_map + ppermute is provided in
-:mod:`su2_tpu.parallel.halo` and is the planned optimization for the
-frontier gathers.
+Explicit neighbor halo-slab exchange via shard_map + ppermute lives in
+:mod:`su2_tpu.parallel.tiled_shard` and carries the production multi-chip
+pallas tiers (windowed edge kernel, tiled gradients/solve) since round 5.
 """
 
 from __future__ import annotations
