@@ -149,9 +149,10 @@ def block_diag_inv(diag: jax.Array) -> jax.Array:
         det = jnp.where(det == 0.0, 1.0, det)
         inv = jnp.stack([d, -b, -c, a], axis=-1) / det[:, None]
         return inv.reshape(jac.diag.shape)
-    eye = jnp.broadcast_to(jnp.eye(v, dtype=jac.diag.dtype),
-                           jac.diag.shape)
-    return gauss_solve(jac.diag, eye, pivot=False)
+    # lane-major Gauss-Jordan: the node-major form ran ~10x off roofline
+    # on v>=7 blocks (see smallsolve.gauss_inv_t)
+    from su2_tpu.linalg.smallsolve import gauss_inv_t
+    return gauss_inv_t(jac.diag)
 
 
 def block_jacobi_apply(dinv: jax.Array, r: jax.Array) -> jax.Array:

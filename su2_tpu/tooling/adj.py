@@ -34,6 +34,13 @@ def run(cfg: Config, n_primal: int | None = None, raw_mesh=None):
     sens = np.asarray(result["sensitivity"])
     np.savez("surface_sensitivity.npz", sensitivity=sens,
              coords=np.asarray(sim.grid.coords), J=result["J"])
+    # volume adjoint restart (reference restart_adj layout) — consumed by
+    # the GRAD_ADJOINT / GRAD_FLOW_ADJ adaptation sensors (tooling/msh.py)
+    from su2_tpu.io import restart as rio
+    rio.write_restart(getattr(cfg, "restart_adj_filename",
+                              "restart_adj.dat"),
+                      np.asarray(sim.grid.coords),
+                      np.asarray(result["lambda"]))
     with open("surface_adjoint.csv", "w") as f:
         f.write("node,x,y,dJdx,dJdy\n")
         for tag in tags:
