@@ -81,18 +81,27 @@ def gauss_inv_t(a: jnp.ndarray) -> jnp.ndarray:
     relayout transposes bracket the solve; everything between is
     full-lane VPU work."""
     bsz, n = a.shape[0], a.shape[-1]
-    at = a.transpose(1, 2, 0)                               # (n, n, B)
-    eye = jnp.concatenate(
-        [jnp.zeros((n, 1, bsz), a.dtype).at[i, 0].set(1.0)
-         for i in range(n)], axis=1)                        # (n, n, B)
-    aug = jnp.concatenate([at, eye], axis=1)                # (n, 2n, B)
-    rows = jnp.arange(n)
+    at = a.reshape(bsz, n * n).T                            # (n*n, B) 2-D
+    one = jnp.ones((bsz,), a.dtype)
+    zero = jnp.zeros((bsz,), a.dtype)
+    # aug[i][j]: python grid of (B,) lane vectors — every op below is a
+    # 1-D/2-D elementwise op with B on the minor axis, so XLA's layout
+    # keeps lanes dense (a (n, 2n, B) array form let layout assignment
+    # put B on the MAJOR axis, 8x-padding every (n, 2n) block: 2 GB
+    # temporaries at B=524k, n=8)
+    aug = [[at[i * n + j] for j in range(n)]
+           + [one if i == j else zero for j in range(n)]
+           for i in range(n)]
     for col in range(n):
-        pivval = aug[col, col][None, :]                     # (1, B)
+        pivval = aug[col][col]
         safe = jnp.where(pivval == 0.0, 1.0, pivval)
-        prow = aug[col] / safe                              # (2n, B)
-        factors = aug[:, col][:, None, :]                   # (n, 1, B)
-        not_col = (rows != col)[:, None, None]
-        aug = jnp.where(not_col, aug - factors * prow[None],
-                        jnp.broadcast_to(prow[None], aug.shape))
-    return aug[:, n:].transpose(2, 0, 1)                    # (B, n, n)
+        prow = [aug[col][j] / safe for j in range(2 * n)]
+        for i in range(n):
+            if i == col:
+                continue
+            f = aug[i][col]
+            aug[i] = [aug[i][j] - f * prow[j] for j in range(2 * n)]
+        aug[col] = prow
+    inv_t = jnp.stack([aug[i][n + j] for i in range(n) for j in range(n)],
+                      axis=0)                               # (n*n, B)
+    return inv_t.T.reshape(bsz, n, n)
