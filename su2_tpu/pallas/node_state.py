@@ -93,10 +93,14 @@ def _tables(lib, dtype, lite=False):
 
 
 _CHUNK = 128
-_WIN = 256
+# round-5 sweep (scripts/bench_node_state.py at 565k): 1024x128 runs the
+# kernel 14% faster than the old 512x256 (5.06 -> 4.35 ms/call), with
+# sumT bitwise-identical (one-hot selection is exact for any window that
+# covers the knot); WIN=64 and TILE>=2048 plateau at the same rate
+_WIN = 128
 # node-tile width (lanes) per grid step; module-level so benchmarks can
 # sweep it
-_TILE = 512
+_TILE = 1024
 
 
 def spline_gather(tab_ref, nrows, klo, *, ntp, split, dtype):
