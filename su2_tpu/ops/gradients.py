@@ -90,9 +90,16 @@ def gradient_rows(mesh: MeshArrays, q: jnp.ndarray, method: str):
 
 def rows_to_grad(rows: jnp.ndarray, ng: int, d: int) -> jnp.ndarray:
     """(nG*d, nP) rows -> (nP, nG, d) node-major gradient (the layout
-    green_gauss/weighted_least_squares return)."""
+    green_gauss/weighted_least_squares return).
+
+    Written as transpose-then-minor-split: the reshape(ng, d, n) +
+    transpose(2, 0, 1) form lowered at 2.26M as a 26-trip XLA while loop
+    of per-row relayouts through a flat T(1024) intermediate
+    (~4.6 ms/iter, the largest single item of the round-5 tail profile);
+    a plain 2-D transpose followed by splitting the MINOR axis keeps the
+    efficient tiled-transpose path.  Identical values."""
     n = rows.shape[1]
-    return rows.reshape(ng, d, n).transpose(2, 0, 1)
+    return rows.T.reshape(n, ng, d)
 
 
 def green_gauss(mesh: MeshArrays, q: jnp.ndarray) -> jnp.ndarray:

@@ -919,5 +919,6 @@ def fused_implicit_family_terms(lib, lay, mesh, prm, v, grad, lim,
         by_off[o] = j_j
         by_off[-o] = -jnp.roll(j_i, o, axis=1)
     sel_t = jnp.concatenate([by_off[o] for o in mesh.stencil_offsets], axis=0)
-    diag = diag_t.reshape(nvar, nvar, npoints).transpose(2, 0, 1)
+    # transpose-then-minor-split (see ops/gradients.rows_to_grad)
+    diag = diag_t.T.reshape(npoints, nvar, nvar)
     return res_t.T, diag, sel_t

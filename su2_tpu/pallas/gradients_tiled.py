@@ -233,4 +233,6 @@ def gradient_tiled(mesh, q, mode: str):
     rows = gradient_tiled_rows(mesh, q, mode)
     if rows is None:
         return None
-    return rows.reshape(ng, d, n).transpose(2, 0, 1)
+    # transpose-then-minor-split (see ops/gradients.rows_to_grad):
+    # avoids the while-loop relayout lowering at 2.26M
+    return rows.T.reshape(n, ng, d)
