@@ -8,10 +8,11 @@ round 4).  This kernel streams the same arithmetic through overlapping
 lane windows (halo = max|offset|, single pass) with the feature rows
 resident in VMEM, reading q and the per-offset geometry coefficients once.
 
-Opt-in: SU2_TPU_TILED_GRAD=1 routes ops/gradients through it on TPU
-stencil meshes (kept off by default pending a measured win — the tiled
-SST assembly taught that windowed DMA + input stacking can eat the fused
-gain).  Ulp-pinned against the roll path in interpret mode
+Default ON for TPU stencil meshes >= 200k nodes (measured 565k coupled
+step 27.06 -> 25.93 ms/iter, round 4); SU2_TPU_TILED_GRAD=1 forces it
+anywhere, =0 disables.  Sharded meshes run it per shard under shard_map
+with ppermute halo slabs (round 5, _gradient_tiled_rows_sharded).
+Ulp-pinned against the roll path in interpret mode
 (tests/test_gradients_tiled.py)."""
 
 from __future__ import annotations
